@@ -1,0 +1,720 @@
+"""Command-line interface mirroring ropebwt3 (main.c:22-44) with identical
+stdout formats: build, merge, ssa, plain2fmd, mem/sw/hapdiv/search/suffix,
+get, stat, kount, fa2line, fa2kmer, version.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+import numpy as np
+
+from . import __version__
+from .index.dense import DenseFMIndex
+from .nt6 import COMP_TABLE, NT6_TABLE, char2nt6, nt6_to_str, revcomp
+from .seqio import read_batch_nt6, read_seqs, read_sid
+
+REF_VERSION = "3.10-r281"  # ropebwt3 version whose formats/outputs we match
+
+
+def parse_num(s: str) -> int:
+    s = s.strip()
+    mult = 1
+    if s and s[-1] in "kKmMgG":
+        mult = {"k": 10**3, "m": 10**6, "g": 10**9}[s[-1].lower()]
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def _err(msg: str) -> int:
+    print(f"ERROR: {msg}", file=sys.stderr)
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# Index loading
+# ---------------------------------------------------------------------------
+
+
+class IndexLoadError(Exception):
+    pass
+
+
+def load_runs(fn: str):
+    """Auto-detect FMD/FMR/BRE by magic; return (syms, lens)."""
+    from .formats import bre, fmd, fmr
+
+    try:
+        with open(fn, "rb") as fp:
+            data = fp.read()
+    except OSError as e:
+        raise IndexLoadError(f"failed to load BWT from file \"{fn}\": {e.strerror}") from e
+    if data[:4] == b"RLD\x03":
+        _, syms, lens = fmd.decode_runs(data)
+        return syms, lens
+    if data[:3] == b"RB\x02":
+        _, syms, lens = fmr.read_fmr_bytes(data)
+        return syms, lens
+    if data[:4] == b"BRE\x01":
+        return bre.read_bre_bytes(data)
+    raise IndexLoadError(f"failed to load BWT from file \"{fn}\": unrecognized format")
+
+
+def load_index(fn: str, load_ssa: bool = False, load_sid: bool = False) -> DenseFMIndex:
+    import os
+
+    syms, lens = load_runs(fn)
+    f = DenseFMIndex.from_runs(syms, lens)
+    if load_ssa and os.path.exists(fn + ".ssa"):
+        from .formats.ssa import read_ssa
+
+        f.ssa = read_ssa(fn + ".ssa")
+        if f.ssa.m != int(f.acc[1]):
+            print("ERROR: number of sequences do not match between BWT and sampled suffix array", file=sys.stderr)
+            f.ssa = None
+    if load_ssa and load_sid and os.path.exists(fn + ".len.gz"):
+        sid = read_sid(fn + ".len.gz")
+        if sid.n_seq * 2 != int(f.acc[1]):
+            print("ERROR: number of sequences do not match between BWT and the sequence list", file=sys.stderr)
+        else:
+            f.sid = sid
+    return f
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+
+def main_build(argv: list[str]) -> int:
+    from .construct import gsa_bwt, merge_plain
+
+    opts, args = getopt.gnu_getopt(argv, "l:n:m:t:2sri:LFRo:dbTS:p:e")
+    fmt = "plain"
+    batch_size = 7_000_000_000
+    is_line = False
+    is_for, is_rev = True, True
+    fn_in = fn_tmp = None
+    block_len, max_nodes = 512, 64
+    use_rb2 = False
+    sort_order = 0
+    out_fn = None
+    for o, a in opts:
+        if o == "-m":
+            batch_size = parse_num(a)
+        elif o == "-l":
+            block_len = int(a)
+        elif o == "-n":
+            max_nodes = int(a)
+        elif o == "-2":
+            use_rb2 = True
+        elif o in ("-s", "-r"):
+            use_rb2, sort_order = True, (1 if o == "-s" else 2)
+        elif o == "-i":
+            fn_in = a
+        elif o == "-L":
+            is_line = True
+        elif o == "-F":
+            is_for = False
+        elif o == "-R":
+            is_rev = False
+        elif o == "-o":
+            out_fn = a
+        elif o == "-d":
+            fmt = "fmd"
+        elif o == "-b":
+            fmt = "fmr"
+        elif o == "-T":
+            fmt = "tree"
+        elif o == "-e":
+            fmt = "bre"
+        elif o == "-S":
+            fn_tmp = a
+    if not args and fn_in is None:
+        print("Usage: rb3tpu build [options] <in.fa> [...]", file=sys.stderr)
+        return 1
+    if sort_order != 0:
+        return _err("RLO/RCLO orders (-s/-r) are not implemented yet")
+    del use_rb2  # the sais path and the rb2 IO-order path produce the same BWT
+
+    f: DenseFMIndex | None = None
+    if fn_in is not None:
+        f = load_index(fn_in)
+
+    for fn in args:
+        records = read_seqs(fn, is_line)
+        while True:
+            n_seq, seq = read_batch_nt6(records, batch_size, is_for, is_rev)
+            if n_seq == 0:
+                break
+            bwt = gsa_bwt(seq)
+            if f is None:
+                f = DenseFMIndex.from_bwt(bwt)
+            else:
+                f = merge_plain(f, bwt)
+        if fn_tmp:
+            from .formats.fmr import write_fmr
+
+            syms, lens = f.to_runs()
+            write_fmr(fn_tmp, syms, lens)
+    if f is None:
+        return 1
+    _dump_index(f, fmt, out_fn)
+    return 0
+
+
+def _dump_index(f: DenseFMIndex, fmt: str, out_fn: str | None) -> None:
+    syms, lens = f.to_runs()
+    out = sys.stdout.buffer if out_fn is None else open(out_fn, "wb")
+    try:
+        if fmt == "plain":
+            out.write(nt6_to_str(f.bwt[: f.n]).encode() + b"\n")
+        elif fmt == "fmd":
+            from .formats.fmd import encode_runs
+
+            out.write(encode_runs(syms, lens))
+        elif fmt == "fmr":
+            from .formats.fmr import split_runs_into_buckets, write_fmr_bytes
+
+            out.write(write_fmr_bytes(split_runs_into_buckets(syms, lens)))
+        elif fmt == "bre":
+            from .formats.bre import write_bre_bytes
+
+            out.write(write_bre_bytes(syms, lens))
+        elif fmt == "tree":
+            from .formats.fmr import split_runs_into_buckets, _pack_leaves, rle_decode_block
+
+            chunks = []
+            for bs, bl in split_runs_into_buckets(syms, lens):
+                leaves = _pack_leaves(bs, bl, 512)
+                inner = ",".join("".join(nt6_to_str(np.repeat(c, l)) for c, l in rle_decode_block(d)) for d, _ in leaves)
+                chunks.append("(" + inner + ")")
+            out.write(("".join(chunks) + "\n").encode())
+    finally:
+        if out_fn is not None:
+            out.close()
+
+
+# ---------------------------------------------------------------------------
+# merge
+# ---------------------------------------------------------------------------
+
+
+def main_merge(argv: list[str]) -> int:
+    from .construct.merge import merge_plain
+
+    opts, args = getopt.gnu_getopt(argv, "t:o:S:")
+    out_fn = fn_tmp = None
+    for o, a in opts:
+        if o == "-o":
+            out_fn = a
+        elif o == "-S":
+            fn_tmp = a
+    if len(args) < 2:
+        print("Usage: rb3tpu merge [options] <base.fmr> <other1.fmr> [...]", file=sys.stderr)
+        return 1
+    f = load_index(args[0])
+    from .formats.fmr import write_fmr
+
+    for fn in args[1:]:
+        syms, lens = load_runs(fn)
+        seq2 = np.repeat(syms, lens)
+        f = merge_plain(f, seq2)
+        if fn_tmp:
+            s, l = f.to_runs()
+            write_fmr(fn_tmp, s, l)
+    s, l = f.to_runs()
+    write_fmr(out_fn if out_fn else "-", s, l)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# ssa
+# ---------------------------------------------------------------------------
+
+
+def main_ssa(argv: list[str]) -> int:
+    from .formats.ssa import write_ssa
+    from .ssa_ops import ssa_gen
+
+    opts, args = getopt.gnu_getopt(argv, "t:s:o:")
+    ssa_shift, out_fn = 8, None
+    for o, a in opts:
+        if o == "-s":
+            ssa_shift = int(a)
+        elif o == "-o":
+            out_fn = a
+    if not args:
+        print("Usage: rb3tpu ssa [options] <in.fmd>", file=sys.stderr)
+        return 1
+    f = load_index(args[0])
+    sa = ssa_gen(f, ssa_shift)
+    write_ssa(out_fn if out_fn else "-", sa)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# plain2fmd
+# ---------------------------------------------------------------------------
+
+
+def main_plain2fmd(argv: list[str]) -> int:
+    from .formats.fmd import FMDEncoder
+
+    opts, args = getopt.gnu_getopt(argv, "o:")
+    out_fn = None
+    for o, a in opts:
+        if o == "-o":
+            out_fn = a
+    if not args:
+        print("Usage: rb3tpu plain2fmd [-o output.fmd] <in.txt>", file=sys.stderr)
+        return 1
+    enc = FMDEncoder()
+    for fn in args:
+        fp = sys.stdin.buffer if fn == "-" else open(fn, "rb")
+        data = fp.read()
+        if fn != "-":
+            fp.close()
+        a = np.frombuffer(data, dtype=np.uint8)
+        # '\n' and '$' -> 0, otherwise nt6 (main.c:320-326)
+        codes = NT6_TABLE[a].copy()
+        codes[(a == ord("\n")) | (a == ord("$"))] = 0
+        # run-length encode
+        if len(codes):
+            change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(codes)]))
+            enc.put_runs(codes[starts], ends - starts)
+    enc.finish()
+    out = sys.stdout.buffer if out_fn is None else open(out_fn, "wb")
+    out.write(enc.dump_bytes())
+    if out_fn is not None:
+        out.close()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# get / stat / suffix / kount
+# ---------------------------------------------------------------------------
+
+
+def main_get(argv: list[str]) -> int:
+    opts, args = getopt.gnu_getopt(argv, "")
+    if len(args) < 2:
+        print("Usage: rb3tpu get <idx.fmr> <int> [...]")
+        return 0
+    f = load_index(args[0])
+    for s in args[1:]:
+        k = int(s)
+        if 0 <= k < f.n:
+            seq, r = f.retrieve(k)
+            print(f">{k} {r}")
+            print(nt6_to_str(seq))
+    return 0
+
+
+def main_stat(argv: list[str]) -> int:
+    opts, args = getopt.gnu_getopt(argv, "M")
+    if not args:
+        print("Usage: rb3tpu stat [-M] <idx.fmd>")
+        return 0
+    f = load_index(args[0])
+    a = f.acc
+    print(f"{a[1]} sequences")
+    print(f"{a[6]} symbols")
+    print(f"{f.n_runs} runs")
+    print(f"{a[2]-a[1]} A")
+    print(f"{a[3]-a[2]} C")
+    print(f"{a[4]-a[3]} G")
+    print(f"{a[5]-a[4]} T")
+    print(f"{a[6]-a[5]} N")
+    return 0
+
+
+def main_suffix(argv: list[str]) -> int:
+    opts, args = getopt.gnu_getopt(argv, "L")
+    is_line = any(o == "-L" for o, _ in opts)
+    if len(args) < 2:
+        print("Usage: rb3tpu suffix [options] <idx.fmr> <seq.fa> [...]")
+        return 0
+    f = load_index(args[0])
+    rec_num = 0
+    for fn in args[1:]:
+        for rec in read_seqs(fn, is_line):
+            rec_num += 1
+            q = char2nt6(rec.seq)
+            k, l = 0, int(f.acc[6])
+            last_size = 0
+            i = len(q) - 1
+            while i >= 0:
+                tk = f.rank1a(np.array(k))
+                tl = f.rank1a(np.array(l))
+                c = int(q[i])
+                k = int(f.acc[c] + tk[c])
+                l = int(f.acc[c] + tl[c])
+                if l - k == 0:
+                    break
+                last_size = l - k
+                i -= 1
+            name = rec.name if rec.name else f"seq{rec_num}"
+            print(f"{name}\t{i+1}\t{len(q)}\t{last_size}")
+    return 0
+
+
+def main_kount(argv: list[str]) -> int:
+    opts, args = getopt.gnu_getopt(argv, "k:m:")
+    depth, min_occ = 51, 100
+    for o, a in opts:
+        if o == "-k":
+            depth = int(a)
+        elif o == "-m":
+            min_occ = int(a)
+    if not args:
+        print("Usage: rb3tpu kount [options] <in1.fmd> [in2.fmd [...]]", file=sys.stderr)
+        return 1
+    idx = [load_index(fn) for fn in args]
+    n = len(idx)
+    CH = "$ACGTN"
+    stacks = [[(0, int(f.acc[6]), 0, 0)] for f in idx]  # (k, l, d, c)
+    buf = [" "] * depth
+    while all(st for st in stacks):
+        tops = [st.pop() for st in stacks]
+        k0, l0, d0, c0 = tops[0]
+        if d0 > 0:
+            buf[depth - d0] = CH[c0]
+        oks = []
+        ols = []
+        for f, (k, l, _, _) in zip(idx, tops):
+            oks.append(f.rank1a(np.array(k)))
+            ols.append(f.rank1a(np.array(l)))
+        for a in range(1, 5):
+            if not any(int(ols[i][a] - oks[i][a]) >= min_occ for i in range(n)):
+                continue
+            buf[depth - d0 - 1] = CH[a]
+            if d0 != depth - 1:
+                for i in range(n):
+                    f = idx[i]
+                    stacks[i].append((int(f.acc[a] + oks[i][a]), int(f.acc[a] + ols[i][a]), d0 + 1, a))
+            else:
+                counts = "\t".join(str(int(ols[i][a] - oks[i][a])) for i in range(n))
+                print("".join(buf) + "\t" + counts)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# fa2line / fa2kmer
+# ---------------------------------------------------------------------------
+
+
+def main_fa2line(argv: list[str]) -> int:
+    opts, args = getopt.gnu_getopt(argv, "R")
+    no_rev = any(o == "-R" for o, _ in opts)
+    if not args:
+        print("Usage: rb3tpu fa2line [options] <seq.fa> [...]")
+        return 0
+    tab = np.frombuffer(b"\nACGTX", dtype=np.uint8)
+    for fn in args:
+        for rec in read_seqs(fn, False):
+            s = char2nt6(rec.seq)
+            sys.stdout.buffer.write(tab[s].tobytes() + b"\n")
+            if not no_rev:
+                sys.stdout.buffer.write(tab[revcomp(s)].tobytes() + b"\n")
+    return 0
+
+
+def main_fa2kmer(argv: list[str]) -> int:
+    opts, args = getopt.gnu_getopt(argv, "k:w:")
+    kmer, step = 151, 50
+    for o, a in opts:
+        if o == "-k":
+            kmer = int(a)
+        elif o == "-w":
+            step = int(a)
+    if not args:
+        print("Usage: rb3tpu fa2kmer [options] <seq.fa> [...]")
+        return 0
+    for fn in args:
+        for rec in read_seqs(fn, False):
+            seq, L = rec.seq, len(rec.seq)
+            i = 0
+            while i < L:
+                en = L if i + step + kmer > L else i + kmer
+                sys.stdout.write(f">{rec.name}:{i+1}-{en}\n")
+                sys.stdout.buffer.write(seq[i:en] + b"\n")
+                if en == L:
+                    break
+                i += step
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# mem / search / sw / hapdiv
+# ---------------------------------------------------------------------------
+
+_LONG_OPTS = ["no-ssa", "seq", "gap=", "cov", "old-mem", "all-e2e", "no-kalloc", "dbg-dawg", "dbg-sw", "dbg-qname", "dbg-bt", "engine="]
+
+
+def main_search(argv: list[str], cmd: str) -> int:
+    opts, args = getopt.gnu_getopt(argv, "Ll:c:t:K:MdN:A:B:O:E:C:m:k:uj:ey:a:w:p:bg:", _LONG_OPTS)
+    is_line = False
+    algo = "mem_tg"
+    min_len, min_occ = 19, 1
+    min_gap_len = 0
+    max_pos = 0
+    write_cov = False
+    no_ssa = False
+    engine = "auto"
+    batch_size = 100_000_000
+    hapdiv_k, hapdiv_w = 101, 50
+    sw_opts = {
+        "n_best": 25, "min_sc": 30, "match": 1, "mis": 3, "gap_open": 5, "gap_ext": 2,
+        "end_len": 11, "min_mem_len": 0, "e2e_drop": -1, "r2cache_size": 0x10000,
+        "max_pos": 0, "e2e": False, "keep_rs": False, "write_all": False, "max_all_out": 0,
+        "both_dir": False, "write_unmap": False,
+    }
+    for o, a in opts:
+        if o == "-L":
+            is_line = True
+        elif o == "-a":
+            algo, hapdiv_k = "hapdiv", int(a)
+        elif o == "-w":
+            algo, hapdiv_w = "hapdiv", int(a)
+        elif o == "-d":
+            algo = "sw"
+        elif o == "-l":
+            min_len = int(a)
+        elif o == "-c":
+            min_occ = int(a)
+        elif o == "-g":
+            sw_opts["max_all_out"] = int(a)
+            sw_opts["write_all"] = True
+            sw_opts["e2e"] = True
+            sw_opts["end_len"] = 1
+            no_ssa = True
+        elif o == "-K":
+            batch_size = parse_num(a)
+        elif o == "-p":
+            max_pos = sw_opts["max_pos"] = int(a)
+        elif o == "-N":
+            sw_opts["n_best"] = int(a)
+        elif o == "-A":
+            sw_opts["match"] = int(a)
+        elif o == "-B":
+            sw_opts["mis"] = int(a)
+        elif o == "-O":
+            sw_opts["gap_open"] = int(a)
+        elif o == "-E":
+            sw_opts["gap_ext"] = int(a)
+        elif o == "-C":
+            sw_opts["r2cache_size"] = parse_num(a)
+        elif o == "-m":
+            sw_opts["min_sc"] = int(a)
+        elif o == "-k":
+            sw_opts["end_len"] = int(a)
+        elif o == "-j":
+            sw_opts["min_mem_len"] = int(a)
+        elif o == "-e":
+            sw_opts["e2e"] = True
+            sw_opts["end_len"] = 1
+        elif o == "-y":
+            sw_opts["e2e_drop"] = int(a)
+        elif o == "-u":
+            sw_opts["write_unmap"] = True
+        elif o == "-b":
+            sw_opts["both_dir"] = True
+        elif o == "--no-ssa":
+            no_ssa = True
+        elif o == "--seq":
+            sw_opts["keep_rs"] = True
+        elif o == "--gap":
+            min_gap_len = parse_num(a)
+        elif o == "--cov":
+            write_cov = True
+        elif o == "--old-mem":
+            algo = "mem_ori"
+        elif o == "--all-e2e":
+            sw_opts["write_all"] = True
+            sw_opts["e2e"] = True
+            sw_opts["end_len"] = 1
+            no_ssa = True
+        elif o == "--engine":
+            engine = a
+
+    if min_gap_len > 0:
+        max_pos = 0
+    load_all = False
+    if cmd == "sw":
+        algo = "sw"
+        load_all = not no_ssa
+    elif cmd == "hapdiv":
+        algo = "hapdiv"
+        sw_opts["end_len"] = 1
+        sw_opts["e2e"] = True
+    elif cmd == "mem":
+        if max_pos > 0:
+            load_all = True
+    if algo == "sw" and cmd == "search":
+        load_all = load_all or not no_ssa
+
+    if len(args) < 2:
+        print(f"Usage: rb3tpu {cmd} [options] <idx.fmr> <seq.fa> [...]", file=sys.stderr)
+        return 1
+
+    f = load_index(args[0], load_ssa=load_all, load_sid=load_all)
+    if max_pos > 0 and (f.ssa is None or f.sid is None):
+        return _err("failed to load suffix array samples or sequence names/lengths")
+    if not f.is_symmetric():
+        return _err("BWT doesn't contain both strands")
+
+    if algo in ("sw", "hapdiv"):
+        from .align.cli_hooks import run_sw_cli, run_hapdiv_cli
+
+        if algo == "sw":
+            return run_sw_cli(f, args[1:], is_line, sw_opts)
+        return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w)
+
+    return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size)
+
+
+def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size) -> int:
+    out = sys.stdout
+    seq_id = 0
+    use_jax = engine in ("auto", "jax") and algo == "mem_tg"
+    smem_batched = None
+    if use_jax:
+        try:
+            from .ops.smem import BatchedSmemTG
+
+            smem_batched = BatchedSmemTG(f, min_occ=min_occ, min_len=min_len)
+        except Exception:
+            if engine == "jax":
+                raise
+            smem_batched = None
+
+    from .ops import smem_ref
+
+    for fn in files:
+        batch: list = []
+
+        def flush(batch):
+            nonlocal seq_id
+            if not batch:
+                return
+            if smem_batched is not None:
+                all_mems = smem_batched.run([q for _, q in batch])
+            else:
+                fn_algo = smem_ref.smem_tg if algo == "mem_tg" else smem_ref.smem_orig
+                all_mems = [fn_algo(f, q, min_occ, min_len) for _, q in batch]
+            for (name, q), mems in zip(batch, all_mems):
+                seq_id += 1
+                nm = name if name else f"seq{seq_id}"
+                L = len(q)
+                if min_gap_len > 0:
+                    last = 0
+                    gaps = []
+                    for m in mems:
+                        if m.start > last:
+                            if m.start - last >= min_gap_len:
+                                gaps.append((last, m.start))
+                            last = m.end
+                        else:
+                            last = max(last, m.end)
+                    if L - last >= min_gap_len:
+                        gaps.append((last, L))
+                    for st, en in gaps:
+                        out.write(f"{nm}\t{st}\t{en}\t{L}\n")
+                elif write_cov:
+                    st0 = en0 = cov = 0
+                    for m in mems:
+                        if m.start > en0:
+                            cov += en0 - st0
+                            st0, en0 = m.start, m.end
+                        else:
+                            en0 = max(en0, m.end)
+                    cov += en0 - st0
+                    if cov > 0:
+                        out.write(f"{nm}\t{L}\t{cov}\n")
+                else:
+                    for m in mems:
+                        line = f"{nm}\t{m.start}\t{m.end}\t{m.size}"
+                        if max_pos > 0:
+                            from .ssa_ops import ssa_multi
+
+                            pos = ssa_multi(f, f.ssa, m.lo, m.lo + m.size, max_pos)
+                            line += f"\t{len(pos)}"
+                            for sid, p in pos:
+                                rlen = int(f.sid.lens[sid >> 1])
+                                pp = rlen - (p + (m.end - m.start)) if sid & 1 else p
+                                line += f"\t{f.sid.names[sid>>1]}:{'+-'[sid&1]}:{pp}"
+                        out.write(line + "\n")
+
+        tot = 0
+        for rec in read_seqs(fn, is_line):
+            q = char2nt6(rec.seq)
+            batch.append((rec.name, q))
+            tot += len(q)
+            if tot >= batch_size:
+                flush(batch)
+                batch, tot = [], 0
+        flush(batch)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        return _dispatch(argv)
+    except IndexLoadError as e:
+        return _err(str(e))
+    except BrokenPipeError:
+        return 0
+    except getopt.GetoptError as e:
+        return _err(str(e))
+
+
+def _dispatch(argv: list[str]) -> int:
+    if not argv:
+        print("Usage: rb3tpu <command> <arguments>")
+        print("Commands:")
+        print("  Search:    sw mem hapdiv suffix")
+        print("  Construct: build merge plain2fmd ssa")
+        print("  Misc:      get stat kount fa2line fa2kmer version")
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd in ("search", "sw", "mem", "hapdiv"):
+        return main_search(rest, cmd)
+    if cmd == "build":
+        return main_build(rest)
+    if cmd == "merge":
+        return main_merge(rest)
+    if cmd == "ssa":
+        return main_ssa(rest)
+    if cmd == "stat":
+        return main_stat(rest)
+    if cmd == "suffix":
+        return main_suffix(rest)
+    if cmd == "get":
+        return main_get(rest)
+    if cmd == "kount":
+        return main_kount(rest)
+    if cmd == "fa2line":
+        return main_fa2line(rest)
+    if cmd == "fa2kmer":
+        return main_fa2kmer(rest)
+    if cmd == "plain2fmd":
+        return main_plain2fmd(rest)
+    if cmd == "version":
+        print(REF_VERSION)
+        return 0
+    print(f"ERROR: unknown command '{cmd}'", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Batched BWT merge — Algorithm 2 of the ropebwt3 paper, re-formulated.
+
+The reference computes, for every symbol of the new partial BWT B2, its
+insertion rank into the existing BWT B1 via per-sequence LF-loops
+(fm-index.c:143-175), then *inserts* symbols one-by-one into a B+-tree
+(fm-index.c:237-249).  Here the rank phase is a **batched LF-walk** — one lane
+per sequence of B2, each step doing a vectorized rank gather on B1 and an O(1)
+LF lookup on B2 — and the insert phase is a **stable counting merge / scatter**
+that rebuilds the dense BWT array directly (no tree).  Both phases are
+embarrassingly data-parallel and map to the same batched-rank TPU kernel used
+for queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.dense import ASIZE, DenseFMIndex
+
+
+def lf2_table(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For a plain BWT `seq` (uint8), return (acc2[7], lf2[n]) where
+    lf2[i] = acc2[seq[i]] + occ(seq[i], i) — cf. rb3_mg_rank_plain
+    (fm-index.c:202-215)."""
+    seq = np.asarray(seq, dtype=np.uint8)
+    n = len(seq)
+    cnt = np.bincount(seq, minlength=ASIZE).astype(np.int64)
+    acc2 = np.zeros(ASIZE + 1, dtype=np.int64)
+    acc2[1:] = np.cumsum(cnt)
+    # occ-before for each position of its own symbol: stable counting
+    lf2 = np.empty(n, dtype=np.int64)
+    onehot_cum = np.zeros(ASIZE, dtype=np.int64)
+    # vectorized: order positions by symbol (stable) -> index within symbol class
+    order = np.argsort(seq, kind="stable")
+    within = np.empty(n, dtype=np.int64)
+    within[order] = np.arange(n, dtype=np.int64) - acc2[seq[order].astype(np.int64)]
+    lf2[:] = acc2[seq.astype(np.int64)] + within
+    del onehot_cum
+    return acc2, lf2
+
+
+def merge_rank_plain(fa: DenseFMIndex, seq: np.ndarray, step_cb=None) -> tuple[np.ndarray, np.ndarray]:
+    """Compute insertion ranks of every symbol of partial BWT `seq` into `fa`.
+
+    Returns (acc2, ins) where ins[i] (int64) is the number of B1 symbols that
+    precede B2 position i in the merged BWT; the merged position of B2[i] is
+    ins[i] + i.  Batched across all m2 sequences of B2 (lanes), sequential in
+    sequence length only.
+    """
+    acc2, lf2 = lf2_table(seq)
+    n2 = len(seq)
+    m2 = int(acc2[1])  # number of sentinels = sequences in B2
+    ins = np.empty(n2, dtype=np.int64)
+    if n2 == 0:
+        return acc2, ins
+    ka = np.full(m2, fa.acc[1], dtype=np.int64)  # insertion pos into B1
+    kb = np.arange(m2, dtype=np.int64)  # current B2 position per lane
+    active = np.ones(m2, dtype=bool)
+    seq64 = seq.astype(np.int64)
+    while active.any():
+        idx = np.flatnonzero(active)
+        kb_a, ka_a = kb[idx], ka[idx]
+        c = seq64[kb_a]
+        ins[kb_a] = ka_a
+        alive = c != 0
+        if not alive.any():
+            active[idx] = False
+            break
+        idx2 = idx[alive]
+        c2 = c[alive]
+        kb[idx2] = lf2[kb[idx2]]
+        oa = fa.rank1a(ka[idx2])
+        ka[idx2] = fa.acc[c2] + np.take_along_axis(oa, c2[:, None], axis=-1)[:, 0]
+        active[idx[~alive]] = False
+        if step_cb is not None:
+            step_cb(int(alive.sum()))
+    return acc2, ins
+
+
+def merge_plain(fa: DenseFMIndex, seq: np.ndarray) -> DenseFMIndex:
+    """Merge a plain partial BWT `seq` (B2) into dense index `fa` (B1) and
+    return the merged dense index. Stable counting merge replaces the rope
+    insertion of rb3_fmi_merge_plain (fm-index.c:279-303)."""
+    seq = np.asarray(seq, dtype=np.uint8)
+    _, ins = merge_rank_plain(fa, seq)
+    n1, n2 = fa.n, len(seq)
+    merged = np.empty(n1 + n2, dtype=np.uint8)
+    pos2 = ins + np.arange(n2, dtype=np.int64)  # merged positions of B2 symbols
+    mask = np.ones(n1 + n2, dtype=bool)
+    mask[pos2] = False
+    merged[pos2] = seq
+    merged[mask] = fa.bwt[:n1]
+    return DenseFMIndex.from_bwt(merged)

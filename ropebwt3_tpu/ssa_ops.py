@@ -1,0 +1,167 @@
+"""Sampled-suffix-array generation and locate.
+
+Generation (cf. rb3_ssa_gen, ssa.c:17-81) is a full LF-walk of every sequence;
+here it is a *batched* LF-walk — all m sequences advance in lock-step with one
+vectorized rank gather per step — the same access pattern as the merge-rank
+kernel, so the TPU path reuses the batched rank primitive.
+
+Locate: single-position rb3_ssa (ssa.c:93-112) and the heap-driven multi
+locate rb3_ssa_multi (ssa.c:158-192), expected O(s/m) per position on
+redundant collections.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .formats.ssa import SSA
+from .index.dense import DenseFMIndex
+
+
+def ssa_gen(f: DenseFMIndex, ssa_shift: int = 8, batch: int = 1 << 15) -> SSA:
+    m = int(f.acc[1])
+    ms = 1
+    while (1 << ms) < m:
+        ms += 1
+    n_ssa = (int(f.acc[6]) - m + (1 << ssa_shift) - 1) >> ssa_shift
+    mask = (1 << ssa_shift) - 1
+    r2i = np.zeros(m, dtype=np.uint64)
+    ssa = np.zeros(n_ssa, dtype=np.uint64)
+    n0 = m  # f.acc[1]
+    for b0 in range(0, m, batch):
+        k0 = np.arange(b0, min(b0 + batch, m), dtype=np.int64)
+        k = k0.copy()
+        active = np.ones(len(k0), dtype=bool)
+        l = 0
+        # per-lane records of sampled ranks visited: store (x, l) pairs
+        rec_x: list[np.ndarray] = []
+        rec_l: list[np.ndarray] = []
+        rec_lane: list[np.ndarray] = []
+        seq_len = np.zeros(len(k0), dtype=np.int64)
+        while active.any():
+            idx = np.flatnonzero(active)
+            l += 1
+            c, nk = f.lf(k[idx])
+            k[idx] = nk
+            nz = c != 0
+            # sampled-position hits among still-walking lanes
+            hit = nz & (((nk - n0) & mask) == 0)
+            if hit.any():
+                rec_x.append(((nk[hit] - n0) >> ssa_shift).astype(np.int64))
+                rec_l.append(np.full(int(hit.sum()), l, dtype=np.int64))
+                rec_lane.append(idx[hit])
+            done = ~nz
+            if done.any():
+                lanes = idx[done]
+                r2i[nk[done]] = k0[lanes].astype(np.uint64)
+                seq_len[lanes] = l - 1
+                active[lanes] = False
+        if rec_x:
+            X = np.concatenate(rec_x)
+            L = np.concatenate(rec_l)
+            LN = np.concatenate(rec_lane)
+            off = seq_len[LN] - L
+            ssa[X] = ((off.astype(np.uint64)) << np.uint64(ms)) | k0[LN].astype(np.uint64)
+    return SSA(ssa_shift, ms, m, r2i, ssa)
+
+
+def ssa_lookup1(f: DenseFMIndex, sa: SSA, k: int) -> tuple[int, int]:
+    """Return (pos, sid) for BWT position k (rb3_ssa). pos==-1 on failure."""
+    mask = (1 << sa.ss) - 1
+    x = 0
+    n0 = int(f.acc[1])
+    if k >= int(f.acc[6]):
+        return -1, -1
+    while k < n0 or ((k - n0) & mask):
+        x += 1
+        c, nk = f.lf(np.array(int(k)))
+        c, k = int(c), int(nk)
+        if c == 0:
+            return x - 1, int(sa.r2i[k])
+    e = int(sa.ssa[(k - n0) >> sa.ss])
+    sid = e & ((1 << sa.ms) - 1)
+    return x + (e >> sa.ms), sid
+
+
+def ssa_multi(f: DenseFMIndex, sa: SSA, lo: int, hi: int, max_sa: int) -> list[tuple[int, int]]:
+    """Positions of up to max_sa suffixes in SA interval [lo, hi): list of
+    (sid, pos). Mirrors rb3_ssa_multi including its traversal order."""
+    if max_sa == 0 or lo >= hi:
+        return []
+    out: list[tuple[int, int]] = []
+    max_sa = min(max_sa, hi - lo)
+    n0 = int(f.acc[1])
+    msk_sid = (1 << sa.ms) - 1
+    # exact replica of the klib binary max-heap on interval size (ksort.h:38-59)
+    # so that tie order — and thus which positions are reported under the
+    # max_sa cap — matches the reference byte-for-byte.
+    heap: list[tuple[int, int, int]] = []  # (lo, hi, off), keyed by hi-lo
+
+    def _lt(a, b) -> bool:
+        return a[1] - a[0] < b[1] - b[0]
+
+    def _heapup():
+        k = len(heap) - 1
+        tmp = heap[k]
+        while k:
+            i = (k - 1) >> 1
+            if _lt(tmp, heap[i]):
+                break
+            heap[k] = heap[i]
+            k = i
+        heap[k] = tmp
+
+    def _heapdown(i: int, n: int):
+        k = i
+        tmp = heap[i]
+        while True:
+            k = (k << 1) + 1
+            if k >= n:
+                break
+            if k != n - 1 and _lt(heap[k], heap[k + 1]):
+                k += 1
+            if _lt(heap[k], tmp):
+                break
+            heap[i] = heap[k]
+            i = k
+        heap[i] = tmp
+
+    def add_intv(lo: int, hi: int, off: int) -> bool:
+        """Harvest sampled entries inside [lo,hi); push leftover subintervals.
+        Returns False once out is full (mirrors ssa_add_intv, ssa.c:138-156)."""
+        if len(out) == max_sa:
+            return False
+        k = ((lo - n0) >> sa.ss << sa.ss) + n0
+        while k < hi:
+            if k >= lo:
+                e = int(sa.ssa[(k - n0) >> sa.ss])
+                out.append((e & msk_sid, off + (e >> sa.ms)))
+                if len(out) == max_sa:
+                    return False
+                if lo < k:
+                    heap.append((lo, k, off))
+                    _heapup()
+                lo = k + 1
+            k += 1 << sa.ss
+        heap.append((lo, hi, off))
+        _heapup()
+        return True
+
+    add_intv(lo, hi, 0)
+    while heap and len(out) < max_sa:
+        xlo, xhi, off = heap[0]
+        last = heap.pop()
+        if heap:
+            heap[0] = last
+            _heapdown(0, len(heap))
+        ok = f.rank1a(np.array(xlo))
+        ol = f.rank1a(np.array(xhi))
+        for l in range(int(ok[0]), int(ol[0])):  # sentinels reached
+            out.append((int(sa.r2i[l]), off))
+            if len(out) == max_sa:
+                return out
+        for c in range(1, 6):
+            if ok[c] < ol[c]:
+                if not add_intv(int(f.acc[c] + ok[c]), int(f.acc[c] + ol[c]), off + 1):
+                    return out
+    return out

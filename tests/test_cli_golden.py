@@ -1,0 +1,96 @@
+"""End-to-end CLI golden tests: every command's stdout must byte-match the
+reference binary on the same inputs (SURVEY.md §4 test strategy)."""
+
+import subprocess
+
+import pytest
+
+from .conftest import run_ours, run_ref
+
+
+def test_build_plain_golden(ref_bin, corpus):
+    fa = str(corpus / "genomes.fa")
+    assert run_ours(["build", fa]) == run_ref(ref_bin, ["build", fa])
+
+
+def test_build_toy_two_seqs(ref_bin):
+    inp = b"AGG\nAGC\n"
+    assert run_ours(["build", "-LR", "-"], input=inp) == run_ref(ref_bin, ["build", "-LR", "-"], input=inp)
+    assert run_ours(["build", "-L", "-"], input=inp) == run_ref(ref_bin, ["build", "-L", "-"], input=inp)
+
+
+def test_build_fmd_golden(ref_bin, corpus, ref_index):
+    fa = str(corpus / "genomes.fa")
+    assert run_ours(["build", "-d", fa]) == open(ref_index, "rb").read()
+
+
+def test_build_batched_merge(ref_bin, corpus):
+    fa = str(corpus / "genomes.fa")
+    assert run_ours(["build", "-m", "20000", fa]) == run_ref(ref_bin, ["build", fa])
+
+
+def test_merge_cmd_logical(ref_bin, corpus, tmp_path):
+    from ropebwt3_tpu.cli import load_runs
+    import numpy as np
+
+    fa = str(corpus / "genomes.fa")
+    h1, h2 = tmp_path / "h1.fa", tmp_path / "h2.fa"
+    lines = open(fa).read().strip().split("\n")
+    h1.write_text("\n".join(lines[:8]) + "\n")
+    h2.write_text("\n".join(lines[8:]) + "\n")
+    for h, o in ((h1, "h1.fmd"), (h2, "h2.fmd")):
+        (tmp_path / o).write_bytes(run_ref(ref_bin, ["build", "-d", str(h)]))
+    (tmp_path / "ref.fmr").write_bytes(run_ref(ref_bin, ["merge", str(tmp_path / "h1.fmd"), str(tmp_path / "h2.fmd")]))
+    (tmp_path / "my.fmr").write_bytes(run_ours(["merge", str(tmp_path / "h1.fmd"), str(tmp_path / "h2.fmd")]))
+    s1, l1 = load_runs(str(tmp_path / "ref.fmr"))
+    s2, l2 = load_runs(str(tmp_path / "my.fmr"))
+    assert np.array_equal(s1, s2) and np.array_equal(l1, l2)
+
+
+def test_ssa_golden(ref_bin, ref_index):
+    assert run_ours(["ssa", str(ref_index)]) == run_ref(ref_bin, ["ssa", str(ref_index)])
+
+
+@pytest.mark.parametrize("extra", [[], ["--old-mem"], ["-l31"], ["--gap", "20"], ["--cov"], ["-l31", "-p3"]])
+def test_mem_golden(ref_bin, ref_index, corpus, extra):
+    args = ["mem", "-l21"] + extra + [str(ref_index), str(corpus / "reads.fa")]
+    assert run_ours(args + ["--engine=ref"]) == run_ref(ref_bin, args)
+
+
+def test_mem_toy_readme(ref_bin, tmp_path):
+    idx = tmp_path / "toy.fmd"
+    seq = b"TGAACTCTACACAACATATTTTGTCACCAAG\n"
+    idx.write_bytes(run_ref(ref_bin, ["build", "-Ld", "-"], input=seq))
+    q = b"ACTCTACACAAgATATTTTGTCA\n"
+    args = ["mem", "-Ll10", str(idx), "-"]
+    assert run_ours(args + ["--engine=ref"], input=q) == run_ref(ref_bin, args, input=q)
+
+
+def test_stat_get_suffix_golden(ref_bin, ref_index, corpus):
+    assert run_ours(["stat", str(ref_index)]) == run_ref(ref_bin, ["stat", str(ref_index)])
+    ks = [str(ref_index), "0", "3", "9"]
+    assert run_ours(["get"] + ks) == run_ref(ref_bin, ["get"] + ks)
+    args = ["suffix", str(ref_index), str(corpus / "reads.fa")]
+    assert run_ours(args) == run_ref(ref_bin, args)
+
+
+def test_kount_golden(ref_bin, ref_index):
+    args = ["kount", "-k7", "-m4", str(ref_index)]
+    assert run_ours(args) == run_ref(ref_bin, args)
+
+
+def test_fa2line_fa2kmer_golden(ref_bin, corpus):
+    fa = str(corpus / "reads.fa")
+    assert run_ours(["fa2line", fa]) == run_ref(ref_bin, ["fa2line", fa])
+    assert run_ours(["fa2kmer", "-k37", "-w17", fa]) == run_ref(ref_bin, ["fa2kmer", "-k37", "-w17", fa])
+
+
+def test_plain2fmd_golden(ref_bin, corpus, tmp_path):
+    plain = run_ref(ref_bin, ["build", str(corpus / "genomes.fa")])
+    p = tmp_path / "bwt.txt"
+    p.write_bytes(plain)
+    assert run_ours(["plain2fmd", str(p)]) == run_ref(ref_bin, ["plain2fmd", str(p)])
+
+
+def test_version():
+    assert run_ours(["version"]).strip() == b"3.10-r281"
