@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark: batched SMEM search throughput on a synthetic mtb-like pangenome
+index, vs the reference ropebwt3 binary on all host cores.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json config 3 analog): N_GENOMES mutated copies of a
+GENOME_LEN random genome, indexed double-strand; N_READS 150 bp reads with 1%
+errors; `mem -l31` SMEM finding.  vs_baseline is measured against the
+reference binary compiled from /root/reference running with all cores on this
+machine (wall-clock), cached in .bench/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+BENCH = os.path.join(ROOT, ".bench")
+REF_SRC = "/root/reference"
+REF_BIN_DIR = "/tmp/rb3_ref_bin"
+REF_BIN = os.path.join(REF_BIN_DIR, "ropebwt3")
+
+N_GENOMES = 16
+GENOME_LEN = 2_000_000
+DIVERGENCE = 0.01
+N_READS = 100_000
+READ_LEN = 150
+READ_ERR = 0.01
+MIN_LEN = 31
+SEED = 20260817
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def ensure_ref_bin():
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    if not os.path.isdir(REF_SRC):
+        return None
+    try:
+        shutil.copytree(REF_SRC, REF_BIN_DIR, dirs_exist_ok=True)
+        subprocess.run(["make", "-j4"], cwd=REF_BIN_DIR, check=True, capture_output=True)
+        return REF_BIN
+    except Exception as e:
+        log(f"reference build failed: {e}")
+        return None
+
+
+def ensure_corpus():
+    os.makedirs(BENCH, exist_ok=True)
+    fa = os.path.join(BENCH, "genomes.fa")
+    reads_fa = os.path.join(BENCH, "reads.fa")
+    reads_npy = os.path.join(BENCH, "reads.npy")
+    if os.path.exists(fa) and os.path.exists(reads_npy):
+        return fa, reads_fa, np.load(reads_npy)
+    log("generating corpus ...")
+    rng = np.random.default_rng(SEED)
+    base = rng.integers(1, 5, GENOME_LEN).astype(np.uint8)
+    alpha = np.frombuffer(b"$ACGTN", dtype=np.uint8)
+    with open(fa, "w") as f:
+        for i in range(N_GENOMES):
+            s = base.copy()
+            mut = rng.random(GENOME_LEN) < DIVERGENCE
+            s[mut] = rng.integers(1, 5, int(mut.sum()))
+            f.write(f">g{i}\n")
+            f.write(alpha[s].tobytes().decode())
+            f.write("\n")
+    starts = rng.integers(0, GENOME_LEN - READ_LEN, N_READS)
+    reads = base[starts[:, None] + np.arange(READ_LEN)]
+    err = rng.random(reads.shape) < READ_ERR
+    reads = np.where(err, rng.integers(1, 5, reads.shape), reads).astype(np.uint8)
+    np.save(reads_npy, reads)
+    with open(reads_fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n")
+            f.write(alpha[r].tobytes().decode())
+            f.write("\n")
+    return fa, reads_fa, reads
+
+
+def ensure_index(fa):
+    fmd = os.path.join(BENCH, "idx.fmd")
+    if not os.path.exists(fmd):
+        ref = ensure_ref_bin()
+        log("building index ...")
+        if ref:
+            subprocess.run([ref, "build", "-t4", "-do", fmd, fa], check=True, capture_output=True)
+        else:
+            subprocess.run([sys.executable, "-m", "ropebwt3_tpu", "build", "-do", fmd, fa], check=True)
+    return fmd
+
+
+def ensure_dense(fmd):
+    """Cache the dense occ tables as npz (FMD decode is the slow Python path)."""
+    npz = os.path.join(BENCH, "dense.npz")
+    from ropebwt3_tpu.index.dense import DenseFMIndex
+
+    if os.path.exists(npz):
+        z = np.load(npz)
+        return DenseFMIndex(bwt=z["bwt"], n=int(z["n"]), acc=z["acc"], occ_block=z["occ_block"], occ_super=z["occ_super"])
+    log("decoding FMD to dense tables ...")
+    from ropebwt3_tpu.formats import fmd as fmdc
+
+    _, syms, lens = fmdc.read_fmd(fmd)
+    f = DenseFMIndex.from_runs(syms, lens)
+    np.savez(npz, bwt=f.bwt, n=f.n, acc=f.acc, occ_block=f.occ_block, occ_super=f.occ_super)
+    return f
+
+
+def ref_baseline(fmd, reads_fa):
+    """Reference wall-clock on this machine, all cores; cached."""
+    cache = os.path.join(BENCH, "ref_timing.json")
+    if os.path.exists(cache):
+        return json.load(open(cache))
+    ref = ensure_ref_bin()
+    if not ref:
+        return None
+    ncpu = os.cpu_count() or 4
+    log(f"timing reference mem -t{ncpu} ...")
+    t0 = time.time()
+    subprocess.run([ref, "mem", f"-t{ncpu}", f"-l{MIN_LEN}", fmd, reads_fa], check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    wall = time.time() - t0
+    d = {"wall_s": wall, "threads": ncpu, "reads_per_s": N_READS / wall, "mbp_per_s": N_READS * READ_LEN / wall / 1e6}
+    json.dump(d, open(cache, "w"))
+    return d
+
+
+def main():
+    fa, reads_fa, reads = ensure_corpus()
+    fmd = ensure_index(fa)
+    ref = ref_baseline(fmd, reads_fa)
+    f = ensure_dense(fmd)
+    log(f"index: n={f.n:,} symbols")
+
+    import jax
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+
+    idx = DeviceIndex.from_dense(f)
+    del f
+    LANES = 8192
+    L = 256
+    M = 32
+    import jax.numpy as jnp
+
+    qlen = jnp.full(LANES, READ_LEN, jnp.int32)
+    chunks = []
+    for c0 in range(0, N_READS, LANES):
+        block = np.zeros((LANES, L), np.uint8)
+        got = reads[c0 : c0 + LANES]
+        block[: len(got), :READ_LEN] = got
+        chunks.append(jnp.asarray(block))
+    log(f"warmup/compile ({jax.devices()[0].platform}) ...")
+    r = smem_tg_batch(idx, chunks[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M, max_iters=4 * L + 64)
+    r[1].block_until_ready()
+    log("timing ...")
+    t0 = time.time()
+    tot_mems = 0
+    for ch in chunks:
+        mems, n_mem, _ = smem_tg_batch(idx, ch, qlen, min_occ=1, min_len=MIN_LEN, max_mems=M, max_iters=4 * L + 64)
+        tot_mems += int(np.asarray(n_mem).sum())
+    wall = time.time() - t0
+    reads_per_s = N_READS / wall
+    mbp_per_s = N_READS * READ_LEN / wall / 1e6
+    log(f"ours: {wall:.2f}s = {reads_per_s:,.0f} reads/s = {mbp_per_s:.1f} Mbp/s ({tot_mems} MEMs)")
+    vs = reads_per_s / ref["reads_per_s"] if ref else float("nan")
+    if ref:
+        log(f"reference (-t{ref['threads']}): {ref['wall_s']:.2f}s = {ref['reads_per_s']:,.0f} reads/s")
+    print(json.dumps({"metric": "smem_mem31_reads_per_s", "value": round(reads_per_s, 1), "unit": "reads/s", "vs_baseline": round(vs, 3) if vs == vs else None}))
+
+
+if __name__ == "__main__":
+    main()

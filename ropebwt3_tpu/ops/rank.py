@@ -1,0 +1,165 @@
+"""Batched rank / bidirectional-extend on device — the primitive under every
+query and construction op (cf. rld_rank2a / rld_extend, rld0.c:416-502).
+
+The dense index (index/dense.py) is uploaded as three device arrays:
+  bwt_blocks : (n_blocks+1, 64) uint8   — BWT symbols, 64 per block row
+  occ_block  : (n_blocks+1, 6)  int32   — counts before block, within superblock
+  occ_super  : (n_supers+1, 6)  idx     — counts before superblock
+  acc        : (7,)             idx     — cumulative symbol counts
+
+rank1a(k) for a batch of positions is three row gathers plus a masked one-hot
+reduction over the 64-symbol block — pure VPU work, no data-dependent control
+flow, so XLA fuses the whole thing.  idx dtype is int32 for indexes below 2^31
+symbols (TPU-native) and int64 above (XLA-emulated).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.dense import BLOCK, BLOCKS_PER_SUPER, DenseFMIndex
+
+ASIZE = 6
+# bidirectional-extend complement order: the secondary coordinate accumulates
+# sizes in the order 0,4,3,2,1,5 (rld_extend, rld0.c:495-500)
+_EXT_ORDER = (0, 4, 3, 2, 1, 5)
+
+
+def pack_bitplanes(bwt_blocks: np.ndarray) -> np.ndarray:
+    """(nb, 64) uint8 symbols -> (nb, 6) uint32 bit-planes.
+
+    Column layout: [p0_lo, p0_hi, p1_lo, p1_hi, p2_lo, p2_hi] where plane i
+    holds bit i of each 3-bit symbol, lo = block positions 0..31, hi = 32..63.
+    In-block rank for any symbol is then 6 xors/ands + 2 popcounts instead of
+    a (BLOCK, 6) one-hot reduction — far less VPU work and HBM traffic."""
+    nb = bwt_blocks.shape[0]
+    out = np.zeros((nb, 6), dtype=np.uint32)
+    for plane in range(3):
+        bits = (bwt_blocks >> plane) & 1
+        words = np.packbits(bits, axis=1, bitorder="little").view("<u4")  # (nb, 2)
+        out[:, plane * 2] = words[:, 0]
+        out[:, plane * 2 + 1] = words[:, 1]
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceIndex:
+    occ_bits: jax.Array  # (nb, 6) uint32 bit-planes of the BWT blocks
+    occ_block: jax.Array  # (nb, 6) int32 (counts before block within superblock)
+    occ_super: jax.Array  # (ns, 6) idx
+    acc: jax.Array  # (7,) idx
+    n: int
+    comp: jax.Array  # (6,) complement table
+
+    def tree_flatten(self):
+        return (self.occ_bits, self.occ_block, self.occ_super, self.acc, self.comp), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        b, ob, os_, acc, comp = children
+        return cls(b, ob, os_, acc, (aux[0]), comp)
+
+    @property
+    def idx_dtype(self):
+        return self.acc.dtype
+
+    @classmethod
+    def from_dense(cls, f: DenseFMIndex, idx_dtype=None) -> "DeviceIndex":
+        if idx_dtype is None:
+            idx_dtype = jnp.int32 if f.n < (1 << 31) - (1 << 20) else jnp.int64
+        nb = len(f.occ_block)
+        bwt_blocks = f.bwt[: nb * BLOCK].reshape(nb, BLOCK)
+        return cls(
+            occ_bits=jnp.asarray(pack_bitplanes(bwt_blocks)),
+            occ_block=jnp.asarray(f.occ_block.astype(np.uint16)),
+            occ_super=jnp.asarray(f.occ_super.astype(idx_dtype)),
+            acc=jnp.asarray(f.acc.astype(idx_dtype)),
+            n=f.n,
+            comp=jnp.asarray(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32)),
+        )
+
+
+def _inblock_counts(bits: jax.Array, off: jax.Array) -> jax.Array:
+    """bits: (..., 6) uint32 planes; off: (...,) int32 in [0, 64].
+    Returns (..., 6) int32 counts of each symbol among positions < off."""
+    off = off.astype(jnp.uint32)
+    one = jnp.uint32(1)
+    full = jnp.uint32(0xFFFFFFFF)
+    off_lo = jnp.minimum(off, 32)
+    off_hi = jnp.where(off > 32, off - 32, 0)
+    mask_lo = jnp.where(off_lo >= 32, full, (one << off_lo) - one)
+    mask_hi = jnp.where(off_hi >= 32, full, (one << off_hi) - one)
+    p = [bits[..., i] for i in range(6)]
+    outs = []
+    for c in range(ASIZE):
+        eq_lo = mask_lo
+        eq_hi = mask_hi
+        for plane in range(3):
+            if (c >> plane) & 1:
+                eq_lo = eq_lo & p[plane * 2]
+                eq_hi = eq_hi & p[plane * 2 + 1]
+            else:
+                eq_lo = eq_lo & ~p[plane * 2]
+                eq_hi = eq_hi & ~p[plane * 2 + 1]
+        cnt = jax.lax.population_count(eq_lo) + jax.lax.population_count(eq_hi)
+        outs.append(cnt.astype(jnp.int32))
+    return jnp.stack(outs, axis=-1)
+
+
+def rank1a(idx: DeviceIndex, k: jax.Array) -> jax.Array:
+    """occ[..., c] = |{i < k : B[i] = c}|.  k: idx-dtype array."""
+    dt = idx.idx_dtype
+    k = k.astype(dt)
+    bi = (k // BLOCK).astype(jnp.int32) if dt == jnp.int32 else k // BLOCK
+    si = bi // BLOCKS_PER_SUPER
+    base = idx.occ_super[si] + idx.occ_block[bi].astype(dt)
+    off = (k % BLOCK).astype(jnp.int32)
+    add = _inblock_counts(idx.occ_bits[bi], off)
+    return base + add.astype(dt)
+
+
+def rank2a(idx: DeviceIndex, k: jax.Array, l: jax.Array) -> tuple[jax.Array, jax.Array]:
+    kl = jnp.stack([k, l], axis=0)
+    r = rank1a(idx, kl)
+    return r[0], r[1]
+
+
+def extend(idx: DeviceIndex, ik: jax.Array, is_back: jax.Array) -> jax.Array:
+    """Bidirectional extension of bi-intervals.
+
+    ik: (..., 3) rows (x0, x1, size); is_back: (...,) bool (per-lane direction).
+    Returns ok: (..., 6, 3) — for each next symbol c the extended bi-interval,
+    with the exact complement-order prefix sums of the reference."""
+    dt = idx.idx_dtype
+    ik = ik.astype(dt)
+    prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
+    tk, tl = rank2a(idx, prim, prim + ik[..., 2])
+    sz = tl - tk  # (..., 6)
+    prim_out = idx.acc[:ASIZE] + tk  # (..., 6)
+    sec_in = jnp.where(is_back, ik[..., 1], ik[..., 0])
+    # prefix sums over the fixed complement order
+    sec_out = jnp.zeros_like(prim_out)
+    o = sec_in
+    for c, prev in zip(_EXT_ORDER, (None,) + _EXT_ORDER[:-1]):
+        if prev is not None:
+            o = o + sz[..., prev]
+        sec_out = sec_out.at[..., c].set(o)
+    x0 = jnp.where(is_back[..., None], prim_out, sec_out)
+    x1 = jnp.where(is_back[..., None], sec_out, prim_out)
+    return jnp.stack([x0, x1, sz], axis=-1)
+
+
+def set_intv(idx: DeviceIndex, c: jax.Array) -> jax.Array:
+    """Initial bi-interval of one symbol (fm-index.h:90-93); c: (...,) int32."""
+    c = c.astype(jnp.int32)
+    comp = idx.comp[c]
+    return jnp.stack(
+        [idx.acc[c], idx.acc[comp], idx.acc[c + 1] - idx.acc[c]],
+        axis=-1,
+    )

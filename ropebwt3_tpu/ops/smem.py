@@ -1,0 +1,111 @@
+"""Batched SMEM-TG on device — the flagship query kernel.
+
+The Travis-Gagie long-MEM algorithm (fm-index.c:483-528, paper Algorithm 4) is
+a per-read state machine over bidirectional-extend steps.  Here every read is
+a *lane*: each global iteration performs one vectorized resolve (no memory
+traffic) plus one batched extend (two rank gathers) for every active lane, in
+lock-step under `lax.while_loop`.  Control flow is data-independent — phases
+are integers selected with `where` — so XLA compiles a single fused loop body.
+The FSM itself lives in ops/smem_fsm.py and is shared with the sharded
+multi-chip path (parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.dense import DenseFMIndex
+from .rank import DeviceIndex, extend, set_intv
+from .smem_fsm import smem_fsm
+from .smem_ref import Mem
+
+
+@partial(jax.jit, static_argnames=("min_occ", "min_len", "max_mems", "max_iters"))
+def smem_tg_batch(
+    idx: DeviceIndex,
+    q: jax.Array,  # (Q, L) uint8, 0-padded
+    qlen: jax.Array,  # (Q,) int32
+    *,
+    min_occ: int,
+    min_len: int,
+    max_mems: int,
+    max_iters: int,
+):
+    """Returns (mems (Q, max_mems, 5) idx_dtype, n_mem (Q,) int32, iters)."""
+    return smem_fsm(
+        lambda ik, back: extend(idx, ik, back),
+        lambda c: set_intv(idx, c),
+        idx.comp,
+        q.astype(jnp.int32),
+        qlen,
+        idx.idx_dtype,
+        min_occ=min_occ,
+        min_len=min_len,
+        max_mems=max_mems,
+        max_iters=max_iters,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class BatchedSmemTG:
+    """Host-side driver: pads reads into fixed-shape batches, runs the jitted
+    kernel, unpacks Mem lists.  Lane count is fixed per length bucket (L is
+    bucketed to powers of two) so each bucket compiles exactly once; large
+    inputs stream through in chunks."""
+
+    def __init__(self, f: DenseFMIndex, min_occ: int = 1, min_len: int = 19, max_mems: int | None = None, lanes: int = 8192):
+        self.idx = DeviceIndex.from_dense(f)
+        self.min_occ = int(min_occ)
+        self.min_len = int(min_len)
+        self.max_mems = max_mems
+        self.lanes = lanes
+
+    def _run_chunk(self, queries: list[np.ndarray], L: int) -> list[list[Mem]]:
+        Q = len(queries)
+        Qp = min(self.lanes, _round_up(Q, 256))
+        out: list[list[Mem]] = []
+        M = self.max_mems if self.max_mems else max(4, L - self.min_len + 1)
+        for c0 in range(0, Q, Qp):
+            chunk = queries[c0 : c0 + Qp]
+            qarr = np.zeros((Qp, L), dtype=np.uint8)
+            qlen = np.zeros(Qp, dtype=np.int32)
+            for t, qq in enumerate(chunk):
+                qarr[t, : len(qq)] = qq
+                qlen[t] = len(qq)
+            mems, n_mem, _ = smem_tg_batch(
+                self.idx,
+                jnp.asarray(qarr),
+                jnp.asarray(qlen),
+                min_occ=self.min_occ,
+                min_len=self.min_len,
+                max_mems=M,
+                max_iters=4 * L + 64,
+            )
+            mems = np.asarray(mems[: len(chunk)])
+            n_mem = np.asarray(n_mem[: len(chunk)])
+            for t in range(len(chunk)):
+                out.append([Mem(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4])) for r in mems[t, : n_mem[t]]])
+        return out
+
+    def run(self, queries: list[np.ndarray]) -> list[list[Mem]]:
+        if not queries:
+            return []
+        # bucket by padded length; keep original order on output
+        order = sorted(range(len(queries)), key=lambda t: len(queries[t]))
+        buckets: dict[int, list[int]] = {}
+        for t in order:
+            L = max(64, 1 << (max(1, len(queries[t]) - 1)).bit_length())
+            buckets.setdefault(L, []).append(t)
+        results: list[list[Mem] | None] = [None] * len(queries)
+        for L, idxs in buckets.items():
+            outs = self._run_chunk([queries[t] for t in idxs], L)
+            for t, o in zip(idxs, outs):
+                results[t] = o
+        return results  # type: ignore[return-value]

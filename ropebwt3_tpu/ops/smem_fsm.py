@@ -1,0 +1,137 @@
+"""Engine-agnostic SMEM-TG lane state machine.
+
+The FSM (phases START/BACK1/FWD/BACK2/DONE, see ops/smem.py docstring) is
+parameterized over the extend/set_intv primitives so the same loop body runs
+single-chip (ops/rank.py) and sharded under shard_map (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+PH_START, PH_BACK1, PH_FWD, PH_BACK2, PH_DONE = 0, 1, 2, 3, 4
+
+
+def emit(mems, n_mem, lane_mask, st, en, ik):
+    """Append (st, en, size, lo, lo_rc) to masked lanes' buffers.
+
+    Expressed as a one-hot select over the M axis rather than a scatter — XLA
+    TPU scatters serialize, while this is a (Q, M, 5) elementwise select that
+    streams at VPU/HBM speed.  Called once per loop iteration."""
+    Q, M, _ = mems.shape
+    slot = jnp.minimum(n_mem, M - 1)
+    row = jnp.stack([st.astype(mems.dtype), en.astype(mems.dtype), ik[:, 2], ik[:, 0], ik[:, 1]], axis=-1)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (Q, M), 1) == slot[:, None]) & lane_mask[:, None]
+    mems = jnp.where(sel[:, :, None], row[:, None, :], mems)
+    n_mem = jnp.where(lane_mask & (n_mem < M), n_mem + 1, n_mem)
+    return mems, n_mem
+
+
+def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters):
+    """Run the batched TG loop.
+
+    extend_all(ik (Q,3), is_back (Q,)) -> (Q,6,3)
+    set_intv_c(c (Q,)) -> (Q,3)
+    comp: (6,) complement table; q: (Q,L) int32; qlen: (Q,) int32.
+    Returns (mems (Q,max_mems,5) dt, n_mem (Q,) int32, iters)."""
+    Q, L = q.shape
+
+    def qsym(pos):
+        p = jnp.clip(pos, 0, L - 1)
+        return jnp.take_along_axis(q, p[:, None], axis=1)[:, 0]
+
+    state = dict(
+        phase=jnp.full(Q, PH_START, jnp.int32),
+        x=jnp.zeros(Q, jnp.int32),
+        i=jnp.zeros(Q, jnp.int32),
+        j=jnp.zeros(Q, jnp.int32),
+        ik=jnp.zeros((Q, 3), dt),
+        n_mem=jnp.zeros(Q, jnp.int32),
+        mems=jnp.zeros((Q, max_mems, 5), dt),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["phase"] != PH_DONE) & (s["it"] < max_iters)
+
+    def body(s):
+        phase, x, i, j, ik = s["phase"], s["x"], s["i"], s["j"], s["ik"]
+        mems, n_mem = s["mems"], s["n_mem"]
+
+        # ---- resolve (no rank) ------------------------------------------
+        start = phase == PH_START
+        fin = start & (qlen - x < min_len)
+        phase = jnp.where(fin, PH_DONE, phase)
+        begin = start & ~fin
+        ik = jnp.where(begin[:, None], set_intv_c(qsym(x + min_len - 1)).astype(dt), ik)
+        i = jnp.where(begin, x + min_len - 2, i)
+        phase = jnp.where(begin, PH_BACK1, phase)
+        skip = (phase == PH_BACK1) & (i < x)
+        j = jnp.where(skip, x + min_len, j)
+        phase = jnp.where(skip, PH_FWD, phase)
+        fwd_end = (phase == PH_FWD) & (j >= qlen)
+        # buffered emit: at most one per lane per iteration, applied at the end
+        emit_mask, emit_st, emit_en, emit_ik = fwd_end, x, qlen, ik
+        phase = jnp.where(fwd_end, PH_DONE, phase)
+        b2_end = (phase == PH_BACK2) & (i <= x)
+        x = jnp.where(b2_end, i + 1, x)
+        phase = jnp.where(b2_end, PH_START, phase)
+
+        # ---- one batched extend -----------------------------------------
+        back = phase != PH_FWD
+        b1 = phase == PH_BACK1
+        b2 = phase == PH_BACK2
+        fw = phase == PH_FWD
+        active = b1 | b2 | fw
+        pos = jnp.where(fw, j, i)
+        craw = qsym(pos)
+        c = jnp.where(fw, comp[craw], craw)
+        safe_ik = jnp.where(active[:, None], ik, jnp.zeros_like(ik))
+        ok_all = extend_all(safe_ik, back)
+        ok_c = jnp.take_along_axis(ok_all, c[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        succ = ok_c[:, 2] >= min_occ
+
+        # BACK1
+        m = b1 & succ
+        ik = jnp.where(m[:, None], ok_c, ik)
+        i = jnp.where(m, i - 1, i)
+        to_fwd = m & (i < x)
+        j = jnp.where(to_fwd, x + min_len, j)
+        phase = jnp.where(to_fwd, PH_FWD, phase)
+        m = b1 & ~succ
+        x = jnp.where(m, i + 1, x)
+        phase = jnp.where(m, PH_START, phase)
+
+        # FWD
+        m = fw & succ
+        ik = jnp.where(m[:, None], ok_c, ik)
+        j = jnp.where(m, j + 1, j)
+        hit_end = m & (j >= qlen)
+        phase = jnp.where(hit_end, PH_DONE, phase)
+        m = fw & ~succ
+        both = hit_end | m
+        emit_mask = emit_mask | both
+        emit_st = jnp.where(both, x, emit_st)
+        emit_en = jnp.where(hit_end, qlen, jnp.where(m, j, emit_en))
+        emit_ik = jnp.where(both[:, None], ik, emit_ik)
+        ik = jnp.where(m[:, None], set_intv_c(qsym(j)).astype(dt), ik)
+        i = jnp.where(m, j - 1, i)
+        phase = jnp.where(m, PH_BACK2, phase)
+
+        # BACK2
+        m = b2 & succ
+        ik = jnp.where(m[:, None], ok_c, ik)
+        i = jnp.where(m, i - 1, i)
+        fell = m & (i <= x)
+        x = jnp.where(fell, i + 1, x)
+        phase = jnp.where(fell, PH_START, phase)
+        m = b2 & ~succ
+        x = jnp.where(m, i + 1, x)
+        phase = jnp.where(m, PH_START, phase)
+
+        mems, n_mem = emit(mems, n_mem, emit_mask, emit_st, emit_en, emit_ik)
+        return dict(phase=phase, x=x, i=i, j=j, ik=ik, n_mem=n_mem, mems=mems, it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["mems"], out["n_mem"], out["it"]

@@ -3,12 +3,18 @@ import shutil
 import subprocess
 import sys
 
-# CPU-only JAX with an 8-device virtual mesh for sharding tests; must be set
-# before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+# CPU-only JAX with an 8-device virtual mesh for sharding tests.  The machine
+# environment pins JAX_PLATFORMS=axon (a tunneled TPU that serializes across
+# processes and pays remote-compile latency) and a sitecustomize on PYTHONPATH
+# registers that plugin at interpreter start — too early for conftest to undo.
+# Re-exec pytest once with a scrubbed environment.
+if os.environ.get("RB3TPU_TEST_REEXEC") != "1":
+    env = dict(os.environ)
+    env["RB3TPU_TEST_REEXEC"] = "1"
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 import numpy as np
 import pytest

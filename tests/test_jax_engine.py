@@ -1,0 +1,108 @@
+"""Batched JAX SMEM engine and sharded/multi-device paths vs the sequential
+reference implementation."""
+
+import numpy as np
+import pytest
+
+from ropebwt3_tpu.formats import fmd
+from ropebwt3_tpu.index.dense import DenseFMIndex
+from ropebwt3_tpu.nt6 import char2nt6
+from ropebwt3_tpu.ops import smem_ref
+from ropebwt3_tpu.seqio import read_seqs
+
+
+@pytest.fixture(scope="module")
+def dense_index(ref_index):
+    _, syms, lens = fmd.decode_runs(open(ref_index, "rb").read())
+    return DenseFMIndex.from_runs(syms, lens)
+
+
+@pytest.fixture(scope="module")
+def reads(corpus):
+    return [char2nt6(r.seq) for r in read_seqs(str(corpus / "reads.fa"))]
+
+
+def test_batched_smem_matches_ref(dense_index, reads):
+    from ropebwt3_tpu.ops.smem import BatchedSmemTG
+
+    eng = BatchedSmemTG(dense_index, min_occ=1, min_len=21)
+    got = eng.run(reads)
+    for q, g in zip(reads, got):
+        assert g == smem_ref.smem_tg(dense_index, q, 1, 21)
+
+
+def test_batched_smem_mixed_lengths(dense_index, reads):
+    from ropebwt3_tpu.ops.smem import BatchedSmemTG
+
+    mixed = [r[: 40 + 13 * (i % 9)] for i, r in enumerate(reads)]
+    eng = BatchedSmemTG(dense_index, min_occ=1, min_len=17)
+    got = eng.run(mixed)
+    for q, g in zip(mixed, got):
+        assert g == smem_ref.smem_tg(dense_index, q, 1, 17)
+
+
+def test_jax_rank_matches_numpy(dense_index):
+    import jax.numpy as jnp
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex, rank1a
+
+    idx = DeviceIndex.from_dense(dense_index)
+    rng = np.random.default_rng(0)
+    ks = rng.integers(0, dense_index.n + 1, 500)
+    got = np.asarray(rank1a(idx, jnp.asarray(ks, jnp.int32)))
+    assert np.array_equal(got, dense_index.rank1a(ks))
+
+
+def test_sharded_smem(dense_index, reads):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ropebwt3_tpu.parallel.mesh import ShardedIndex, make_mesh
+    from ropebwt3_tpu.parallel.smem_sharded import smem_sharded_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(2, 4)
+    sidx = ShardedIndex.from_dense(dense_index, mesh)
+    Q, L = 16, 256
+    qarr = np.zeros((Q, L), np.uint8)
+    qlen = np.zeros(Q, np.int32)
+    for t in range(Q):
+        r = reads[t]
+        qarr[t, : len(r)] = r
+        qlen[t] = len(r)
+    step = smem_sharded_fn(sidx, min_occ=1, min_len=21, max_mems=64, max_iters=4 * L + 64)
+    qd = jax.device_put(qarr, NamedSharding(mesh, P("dp", None)))
+    qld = jax.device_put(qlen, NamedSharding(mesh, P("dp")))
+    mems, n_mem, _ = step(qd, qld)
+    mems, n_mem = np.asarray(mems), np.asarray(n_mem)
+    for t in range(Q):
+        want = smem_ref.smem_tg(dense_index, reads[t], 1, 21)
+        got = [tuple(int(v) for v in row) for row in mems[t, : n_mem[t]]]
+        assert got == [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in want]
+
+
+def test_jax_sa_builder(corpus):
+    from ropebwt3_tpu.construct.sa import _initial_ranks, suffix_array_doubling
+    from ropebwt3_tpu.construct.sa_jax import gsa_bwt_jax
+
+    rng = np.random.default_rng(3)
+    parts = []
+    for _ in range(20):
+        L = int(rng.integers(5, 800))
+        parts += [rng.integers(1, 6, L).astype(np.uint8), np.zeros(1, np.uint8)]
+    seq = np.concatenate(parts)
+    keys = _initial_ranks(seq)
+    sa = suffix_array_doubling(keys)
+    want = seq[np.where(sa == 0, len(seq) - 1, sa - 1)]
+    assert np.array_equal(gsa_bwt_jax(seq), want)
+
+
+def test_graft_entry():
+    import subprocess
+    import sys
+    import os
+
+    r = subprocess.run([sys.executable, "/root/repo/__graft_entry__.py", "8"], capture_output=True, env=dict(os.environ))
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"dryrun_multichip OK" in r.stdout
