@@ -1,0 +1,500 @@
+"""Revised BWA-SW: DAWG(query) x suffix-trie(reference FM-index) affine-gap DP
+— re-implementation of bwa-sw.c with exact tie-breaking (khashl bucket order,
+klib heap/k-small semantics) so PAF/e2e outputs byte-match the reference.
+
+Per DAWG node (topological order) a row of <= n_best cells keyed by reference
+SA bi-interval; H/E from predecessor rows via one backward extend per
+predecessor cell; F (deletion) closure as a DFS over reference symbols; top-N
+selection through a khashl candidate set + binary heap (bwa-sw.c:329-526).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..index.dense import DenseFMIndex
+from .bwtl import Dawg, bwtl_gen, dawg_gen, dawg_gen_linear
+from .khashl_compat import KhashlSet, kh_hash_uint64, ks_heapsort, ks_heapup, ks_heapdown, ks_ksmall
+
+SW_FROM_H, SW_FROM_E, SW_FROM_F = 0, 1, 2
+SW_FROM_OPEN, SW_FROM_EXT = 0, 1
+SW_F_UNSET = 0x3FFFFFF
+UINT32_MAX = 0xFFFFFFFF
+RB3_SWF_E2E, RB3_SWF_HAPDIV, RB3_SWF_KEEP_RS = 1, 2, 4
+RB2_SW_MAX_ED = 6
+
+
+@dataclass
+class SwOpt:
+    flag: int = 0
+    n_best: int = 25
+    min_sc: int = 30
+    end_len: int = 11
+    min_mem_len: int = 0
+    max_pos: int = 0
+    match: int = 1
+    mis: int = 3
+    e2e_drop: int = -1
+    gap_open: int = 5
+    gap_ext: int = 2
+    r2cache_size: int = 0x10000
+
+
+class Cell:
+    __slots__ = ("H", "E", "F", "flt", "H_from", "E_from", "F_from", "F_from_off", "F_off_set", "H_from_pos", "E_from_pos", "rlen", "qlen", "lo", "hi", "lo_rc")
+
+    def __init__(self):
+        self.H = self.E = self.F = 0
+        self.flt = 0
+        self.H_from = self.E_from = self.F_from = 0
+        self.F_from_off = 0
+        self.F_off_set = 0
+        self.H_from_pos = self.E_from_pos = 0
+        self.rlen = self.qlen = 0
+        self.lo = self.hi = self.lo_rc = 0
+
+    def copy(self) -> "Cell":
+        c = Cell.__new__(Cell)
+        for s in Cell.__slots__:
+            setattr(c, s, getattr(self, s))
+        return c
+
+
+def _cell_hash(c: Cell) -> int:
+    return (kh_hash_uint64(c.lo) + kh_hash_uint64(c.hi)) & 0xFFFFFFFF
+
+
+def _cell_eq(a: Cell, b: Cell) -> bool:
+    return a.lo == b.lo and a.hi == b.hi
+
+
+@dataclass
+class SwHit:
+    score: int = 0
+    qlen: int = 0
+    rlen: int = 0
+    n_cigar: int = 0
+    cs_len: int = 0
+    blen: int = 0
+    mlen: int = 0
+    lo: int = 0
+    hi: int = 0
+    rseq: list = field(default_factory=list)
+    cigar: list = field(default_factory=list)
+    qoff: list = field(default_factory=list)
+    cs: str = ""
+    pos: list = field(default_factory=list)
+
+    @property
+    def n_qoff(self):
+        return len(self.qoff)
+
+    @property
+    def n_pos(self):
+        return len(self.pos)
+
+
+@dataclass
+class HapDiv:
+    n_al: int = 0
+    max_ed: int = 0
+    n_hap: list = field(default_factory=lambda: [0] * (RB2_SW_MAX_ED + 1))
+
+
+def _update_candset(h: KhashlSet, p: Cell) -> tuple[Cell, int]:
+    """sw_update_candset (bwa-sw.c:265-284). Returns (stored cell, changed)."""
+    itr, absent = h.put(p.copy())
+    if not absent:
+        q = h.keys[itr]
+        q.rlen = max(q.rlen, p.rlen)
+        q.qlen = max(q.qlen, p.qlen)
+        changed = 0
+        if q.E < p.E:
+            q.E, q.E_from, q.E_from_pos = p.E, p.E_from, p.E_from_pos
+            changed |= 1 << 1
+        if q.F < p.F:
+            q.F, q.F_from = p.F, p.F_from
+            changed |= 1 << 2
+        if q.H < p.H:
+            q.H, q.H_from = p.H, p.H_from
+            changed |= 1 << 0
+            if p.H_from == SW_FROM_H:
+                q.H_from_pos = p.H_from_pos
+        return q, changed
+    return h.keys[itr], 7
+
+
+def _heap_lt(a, b):  # reverse_lt on uint64-packed (score, id)
+    return a > b
+
+
+def _heap_insert1(heap: list, maxn: int, score: int, id_: int) -> int:
+    x = (score << 32) | id_
+    if len(heap) < maxn:
+        heap.append(x)
+        ks_heapup(heap, _heap_lt)
+        return 1
+    if x > heap[0]:
+        heap[0] = x
+        ks_heapdown(heap, 0, len(heap), _heap_lt)
+        return 1
+    return 0
+
+
+def sw_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, want_rst: bool, want_anno: bool):
+    """Returns (rows, best_pos, best_score). rows[i] = list[Cell]."""
+    n_col = opt.n_best
+    rows: list[list[Cell]] = [[] for _ in range(g.n_node)]
+    root = Cell()
+    root.lo, root.hi, root.lo_rc = 0, int(f.acc[6]), 0
+    root.H_from = SW_FROM_H
+    root.F_from_off = 0  # memset-zeroed in the reference
+    rows[0].append(root)
+    best_score, best_pos = 0, 0
+    fpar: list[tuple[int, int]] = []
+    h = KhashlSet(_cell_hash, _cell_eq)
+    h.resize(opt.n_best * 4)
+    last_p = root  # reference keeps a dangling pointer to the last visited cell
+
+    def extend_back(cell_like) -> np.ndarray:
+        ik = np.array([cell_like.lo, cell_like.lo_rc, cell_like.hi - cell_like.lo], dtype=np.int64)
+        return f.extend(ik, True)  # (6, 3)
+
+    for i in range(1, g.n_node):
+        t = g.node[i]
+        h.clear()
+        max_min_sc = 0
+        if len(t.pre) > 1:
+            n_cell = sum(len(rows[p]) for p in t.pre)
+            if n_cell > opt.n_best:
+                ks_a = []
+                for pid in t.pre:
+                    ks_a.extend(c.H for c in rows[pid])
+                max_min_sc = ks_ksmall(ks_a, opt.n_best, lt=lambda a, b: a > b)
+            max_min_sc -= max(opt.gap_open + opt.gap_ext, opt.mis)
+            if max_min_sc < 0:
+                max_min_sc = 0
+
+        # H and E from predecessors
+        for pid in t.pre:
+            if not rows[pid]:
+                continue
+            for k, p in enumerate(rows[pid]):
+                last_p = p
+                if p.H + opt.match < max_min_sc:
+                    continue
+                ok = extend_back(p)
+                r = Cell()
+                r.F_from_off = SW_F_UNSET
+                r.H_from, r.H_from_pos, r.E_from_pos = SW_FROM_H, pid * n_col + k, UINT32_MAX
+                for c in range(1, 6):
+                    sc = opt.match if (c == t.c and c != 5) else -opt.mis
+                    if ok[c][2] == 0:
+                        continue
+                    if p.H + sc <= 0 or p.H + sc < max_min_sc:
+                        continue
+                    if c != t.c and p.qlen < opt.end_len:
+                        continue
+                    r.lo, r.hi, r.lo_rc = int(ok[c][0]), int(ok[c][0] + ok[c][2]), int(ok[c][1])
+                    r.H = p.H + sc
+                    r.rlen, r.qlen = p.rlen + 1, p.qlen + 1
+                    _update_candset(h, r)
+                # E (insertion in query)
+                if p.H - opt.gap_open > p.E:
+                    r.E_from, r.E = SW_FROM_OPEN, p.H - opt.gap_open
+                else:
+                    r.E_from, r.E = SW_FROM_EXT, p.E
+                r.E -= opt.gap_ext
+                if r.E > 0 and r.E >= max_min_sc and p.qlen >= opt.end_len:
+                    # NB: the reference only sets lo/hi here; lo_rc keeps the
+                    # stale value from the last H candidate (bwa-sw.c:418)
+                    r.lo, r.hi = p.lo, p.hi
+                    r.H = r.E
+                    r.H_from = SW_FROM_E
+                    r.E_from_pos, r.H_from_pos = pid * n_col + k, UINT32_MAX
+                    r.rlen, r.qlen = p.rlen, p.qlen + 1
+                    _update_candset(h, r)
+        rows[i] = []
+        if h.count == 0:
+            continue
+
+        # top-n selection
+        heap: list[int] = []
+        for itr in h:
+            _heap_insert1(heap, opt.n_best, h.keys[itr].H, itr)
+        ks_heapsort(heap, _heap_lt)
+        rows[i] = [h.keys[x & UINT32_MAX].copy() for x in heap]
+        heap.reverse()  # remains a heap
+
+        n_fpar = 0
+        fpar_base = len(fpar)
+        if last_p.qlen >= opt.end_len:
+            # F (deletion in query) closure DFS
+            fstack = [rows[i][j].copy() for j in range(len(rows[i]) - 1, -1, -1) if rows[i][j].H > opt.gap_open + opt.gap_ext]
+            while fstack:
+                z = fstack.pop()
+                minv = 0 if len(heap) < opt.n_best else heap[0] >> 32
+                r = Cell()
+                r.H_from_pos = r.E_from_pos = UINT32_MAX
+                r.F_from_off = SW_F_UNSET
+                if z.H - opt.gap_open > z.F:
+                    r.F_from, r.F = SW_FROM_OPEN, z.H - opt.gap_open
+                else:
+                    r.F_from, r.F = SW_FROM_EXT, z.F
+                r.F -= opt.gap_ext
+                r.H, r.H_from = r.F, SW_FROM_F
+                r.rlen, r.qlen = z.rlen + 1, z.qlen
+                if r.H <= minv:
+                    continue
+                ok = extend_back(z)
+                for c in range(1, 6):
+                    if ok[c][2] == 0:
+                        continue
+                    r.lo, r.hi, r.lo_rc = int(ok[c][0]), int(ok[c][0] + ok[c][2]), int(ok[c][1])
+                    q, changed = _update_candset(h, r)
+                    if changed & (1 << 2):  # q->F updated
+                        _heap_insert1(heap, opt.n_best, r.H, UINT32_MAX)
+                        fpar.append((z.lo, z.hi))
+                        q.F_from, q.F_from_off = r.F_from, fpar_base + n_fpar
+                        n_fpar += 1
+                        if r.H - opt.gap_ext > minv:
+                            fstack.append(q.copy())
+
+        # rebuild the heap and the row
+        heap = []
+        for itr in h:
+            _heap_insert1(heap, opt.n_best, h.keys[itr].H, itr)
+        ks_heapsort(heap, _heap_lt)
+        assert heap
+        rows[i] = [h.keys[x & UINT32_MAX].copy() for x in heap]
+        if n_fpar > 0:
+            _track_F(h, fpar, rows[i])
+        if rows[i][0].H > best_score:
+            best_score, best_pos = rows[i][0].H, i * n_col
+        if i == g.n_node - 1:
+            _cell_dedup(rows[i])
+    return rows, best_pos, best_score
+
+
+def _track_F(h: KhashlSet, fpar: list, row: list[Cell]) -> None:
+    """Compute F_from_off as a row-column index (bwa-sw.c:301-324)."""
+    h.clear()
+    for j, cell in enumerate(row):
+        r = cell.copy()
+        r.H = j  # reuse H as index
+        h.put(r)
+    for p in row:
+        if p.F == 0 or p.F_from_off == SW_F_UNSET:
+            continue
+        r = Cell()
+        r.lo, r.hi = fpar[p.F_from_off]
+        k = h.get(r)
+        if k != h.end():
+            p.F_from_off = h.keys[k].H
+            p.F_off_set = 1
+        else:
+            assert p.H_from != SW_FROM_F
+            p.F_from_off = SW_F_UNSET
+
+
+def _cell_dedup(row: list[Cell]) -> None:
+    """Containment dedup of the final row (bwa-sw.c:197-216)."""
+    if len(row) <= 1:
+        return
+    a = [0]
+    for i in range(1, len(row)):
+        p = row[i]
+        contained = False
+        for j in a:
+            q = row[j]
+            if q.lo_rc <= p.lo_rc and q.lo_rc + (q.hi - q.lo) >= p.lo_rc + (p.hi - p.lo):
+                contained = True
+                break
+            if q.lo <= p.lo and q.hi >= p.hi:
+                contained = True
+                break
+        if not contained:
+            a.append(i)
+        else:
+            p.flt = 1
+
+
+# ---------------------------------------------------------------------------
+# Backtrack
+# ---------------------------------------------------------------------------
+
+
+def _ref_base(f: DenseFMIndex, lo: int) -> int:
+    for c in range(1, 7):
+        if f.acc[c] > lo:
+            return c - 1
+    return 5
+
+
+def _backtrack1_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, rows, pos: int, hit: SwHit, len_only: bool) -> int:
+    n_col = opt.n_best
+    last, last_op, ed = 0, -1, 0
+    hit.score = rows[pos // n_col][pos % n_col].H
+    hit.n_cigar = hit.rlen = hit.qlen = 0
+    cig: list[int] = []
+    rseq: list[int] = []
+    while pos > 0:
+        r = pos // n_col
+        p = rows[r][pos % n_col]
+        x = p.H_from | p.E_from << 2 | p.F_from << 3
+        state = (x & 0x3) if last == 0 else last
+        ext = (x >> (state + 1)) & 1 if state in (1, 2) else 0
+        c = _ref_base(f, p.lo)
+        op = state
+        if state == SW_FROM_H:
+            op = 7 if c == g.node[r].c else 8
+            pos = p.H_from_pos
+            ed += op == 8
+        elif state == SW_FROM_E:
+            assert p.E > 0 and p.E_from_pos != UINT32_MAX
+            pos = p.E_from_pos
+            ed += 1
+        else:  # SW_FROM_F
+            assert p.F > 0 and p.F_off_set
+            pos = r * n_col + p.F_from_off
+            ed += 1
+        # push state
+        if not len_only:
+            rseq.append(c)
+            if last_op == op:
+                cig[-1] += 1 << 4
+            else:
+                cig.append(1 << 4 | op)
+        else:
+            hit.n_cigar += 0 if last_op == op else 1
+        if op in (7, 8):
+            hit.qlen += 1
+            hit.rlen += 1
+        elif op == 1:
+            hit.qlen += 1
+        elif op == 2:
+            hit.rlen += 1
+        last_op = op
+        last = state if (state in (1, 2) and ext) else 0
+    if not len_only:
+        hit.cigar = cig
+        hit.rseq = rseq
+        hit.n_cigar = len(cig)
+    return ed
+
+
+def _cs_core(hit: SwHit, qseq: np.ndarray) -> None:
+    CH = "$acgtn"
+    out = []
+    x, y = 0, hit.qoff[0]
+    for cval in hit.cigar:
+        op, ln = cval & 0xF, cval >> 4
+        if op == 7:
+            out.append(f":{ln}")
+            x += ln
+            y += ln
+        elif op == 8:
+            for i in range(ln):
+                out.append(f"*{CH[qseq[y+i]]}{CH[hit.rseq[x+i]]}")
+            x += ln
+            y += ln
+        elif op == 1:
+            out.append("+" + "".join(CH[qseq[y + i]] for i in range(ln)))
+            y += ln
+        elif op == 2:
+            out.append("-" + "".join(CH[hit.rseq[x + i]] for i in range(ln)))
+            x += ln
+    hit.cs = "".join(out)
+    hit.cs_len = len(hit.cs)
+
+
+def _backtrack1(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, rows, pos: int) -> SwHit:
+    hit = SwHit()
+    n_col = opt.n_best
+    p = g.node[pos // n_col]
+    q = rows[pos // n_col][pos % n_col]
+    hit.lo, hit.hi = q.lo, q.hi
+    if p.hi >= 0:  # [lo,hi) is a SA interval on the query
+        hit.qoff = [int(g.bwt.sa[k]) for k in range(p.lo, p.hi)]
+    else:
+        hit.qoff = [p.lo]
+    _backtrack1_core(opt, f, g, rows, pos, hit, False)
+    _cs_core(hit, qseq)
+    hit.mlen = hit.blen = 0
+    for cval in hit.cigar:
+        op, ln = cval & 0xF, cval >> 4
+        hit.blen += ln
+        if op == 7:
+            hit.mlen += ln
+    return hit
+
+
+def sw_backtrack(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, rows, best_pos: int, want_anno: bool):
+    """Returns (list[SwHit] | None, HapDiv | None)."""
+    n_col = opt.n_best
+    if opt.flag & (RB3_SWF_E2E | RB3_SWF_HAPDIV):
+        prow = rows[g.n_node - 1]
+        if not prow:
+            return ([] if not want_anno else None), (HapDiv() if want_anno else None)
+        H0 = prow[0].H
+        sel = [
+            (i, q)
+            for i, q in enumerate(prow)
+            if not q.flt and q.H_from == SW_FROM_H and q.H >= opt.min_sc and (opt.e2e_drop < 0 or H0 - q.H <= opt.e2e_drop)
+        ]
+        if not sel:
+            return ([] if not want_anno else None), (HapDiv() if want_anno else None)
+        if want_anno:
+            a = HapDiv()
+            a.n_al = len(sel)
+            tmp = SwHit()
+            for i, q in sel:
+                ed = _backtrack1_core(opt, f, g, rows, (g.n_node - 1) * n_col + i, tmp, True)
+                a.max_ed = max(a.max_ed, ed)
+                a.n_hap[min(ed, RB2_SW_MAX_ED)] += q.hi - q.lo
+            return None, a
+        hits = [_backtrack1(opt, f, g, qseq, rows, (g.n_node - 1) * n_col + i) for i, q in sel]
+        return hits, None
+    return [_backtrack1(opt, f, g, qseq, rows, best_pos)], None
+
+
+# ---------------------------------------------------------------------------
+# Public API (rb3_sw / rb3_hapdiv analogs)
+# ---------------------------------------------------------------------------
+
+
+def rb3_sw(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> list[SwHit]:
+    from ..ops.smem_ref import smem_present
+
+    if opt.min_mem_len > 0 and opt.min_mem_len > opt.end_len:
+        if not smem_present(f, seq, opt.min_mem_len):
+            return []
+    if opt.flag & RB3_SWF_E2E:
+        g = dawg_gen_linear(seq)
+    else:
+        g = dawg_gen(bwtl_gen(seq))
+    rows, best_pos, best_score = sw_core(opt, f, g, seq, True, False)
+    hits: list[SwHit] = []
+    if best_score >= opt.min_sc:
+        hits, _ = sw_backtrack(opt, f, g, seq, rows, best_pos, False)
+        hits = hits or []
+    if f.ssa is not None:
+        from ..ssa_ops import ssa_multi
+
+        rest = opt.max_pos
+        for hit in hits:
+            n = rest if rest > 0 else 1
+            hit.pos = ssa_multi(f, f.ssa, hit.lo, hit.hi, n)
+            rest -= len(hit.pos)
+    return hits
+
+
+def rb3_hapdiv(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> HapDiv | None:
+    g = dawg_gen_linear(seq)
+    rows, best_pos, best_score = sw_core(opt, f, g, seq, False, True)
+    if best_score >= opt.min_sc:
+        _, anno = sw_backtrack(opt, f, g, seq, rows, best_pos, True)
+        return anno
+    return None

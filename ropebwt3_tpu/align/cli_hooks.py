@@ -1,11 +1,158 @@
-"""CLI glue for the BWA-SW / hapdiv alignment engine."""
+"""CLI glue for sw/hapdiv — output formats byte-matching search.c."""
 
 from __future__ import annotations
 
+import sys
+
+import numpy as np
+
+from ..nt6 import char2nt6, revcomp
+from ..seqio import read_seqs
+from .bwasw import RB3_SWF_E2E, RB3_SWF_HAPDIV, RB3_SWF_KEEP_RS, SwOpt, rb3_hapdiv, rb3_sw
+
+_CIG = "MIDNSHP=X"
+_NT = "$ACGTN"
+
+
+def _opt_from_dict(d: dict) -> SwOpt:
+    o = SwOpt()
+    o.n_best = d["n_best"]
+    o.min_sc = d["min_sc"]
+    o.match = d["match"]
+    o.mis = d["mis"]
+    o.gap_open = d["gap_open"]
+    o.gap_ext = d["gap_ext"]
+    o.end_len = d["end_len"]
+    o.min_mem_len = d["min_mem_len"]
+    o.e2e_drop = d["e2e_drop"]
+    o.r2cache_size = d["r2cache_size"]
+    o.max_pos = d["max_pos"]
+    if d["e2e"]:
+        o.flag |= RB3_SWF_E2E
+    if d["keep_rs"]:
+        o.flag |= RB3_SWF_KEEP_RS
+    return o
+
+
+def _pos_stranded(sid, pos_entry, rlen):
+    psid, ppos = pos_entry
+    clen = int(sid.lens[psid >> 1])
+    if (psid & 1) == 0:
+        st, en = ppos, ppos + rlen
+    else:
+        st, en = clen - (ppos + rlen), clen - ppos
+    return clen, st, en
+
+
+def write_paf(out, f, h, name: str, qlen: int, keep_rs: bool) -> None:
+    line = [f"{name}\t{qlen}\t{h.qoff[0]}\t{h.qoff[0] + h.qlen}"]
+    if h.n_pos > 0:
+        psid, ppos = h.pos[0]
+        if f.sid is not None:
+            clen, st, en = _pos_stranded(f.sid, h.pos[0], h.rlen)
+            line.append(f"\t{'+-'[psid & 1]}\t{f.sid.names[psid >> 1]}\t{clen}\t{st}\t{en}")
+        else:
+            line.append(f"\t+\t{psid}\t*\t{ppos}\t{ppos + h.rlen}")
+    else:
+        line.append(f"\t*\t*\t{h.rlen}\t*\t*")
+    line.append(f"\t{h.mlen}\t{h.blen}\t0")
+    line.append(f"\tAS:i:{h.score}\tqh:i:{h.n_qoff}\trh:i:{h.hi - h.lo}\tcg:Z:")
+    line.append("".join(f"{c >> 4}{_CIG[c & 0xF]}" for c in h.cigar))
+    line.append(f"\tcs:Z:{h.cs}")
+    if keep_rs:
+        line.append("\trs:Z:" + "".join(_NT[c] for c in h.rseq))
+    if h.n_pos > 1:
+        tag = "ap" if f.sid is not None else "aq"
+        line.append(f"\t{tag[0]}{tag[1]}:Z:")
+        for pe in h.pos[1:]:
+            psid, ppos = pe
+            if f.sid is not None:
+                _, st, _ = _pos_stranded(f.sid, pe, h.rlen)
+                line.append(f"{f.sid.names[psid >> 1]},{'+-'[psid & 1]},{st};")
+            else:
+                line.append(f"{psid},{ppos};")
+    out.write("".join(line) + "\n")
+
+
+def write_all_hits(out, name: str, qlen: int, hits, strand: str, max_all_out: int) -> None:
+    if max_all_out <= 0:
+        max_all_out = 1 << 62
+    tot = sum(h.hi - h.lo for h in hits)
+    n_out = 0
+    for h in hits:
+        n_out += h.hi - h.lo
+        if n_out >= max_all_out:
+            break
+    out.write(f"QS\t{name}\t{qlen}\t{len(hits)}\t{strand}\t{n_out}\t{tot}\n")
+    n_out = 0
+    for h in hits:
+        out.write(f"QH\t{h.hi - h.lo}\t{h.score}\t{h.blen - h.mlen}\t{h.cs}\n")
+        n_out += h.hi - h.lo
+        if n_out >= max_all_out:
+            break
+    out.write("//\n")
+
 
 def run_sw_cli(f, files, is_line, sw_opts) -> int:
-    raise NotImplementedError("sw: BWA-SW engine lands in align/bwasw.py")
+    opt = _opt_from_dict(sw_opts)
+    out = sys.stdout
+    if sw_opts["write_all"]:
+        out.write("CC\tQS  queryName  queryLen  numHap\n")
+        out.write("CC\tQH  refCount   score     editDist   cs   strand   nOut   totAln\n")
+        out.write("CC\n")
+    seq_id = 0
+    for fn in files:
+        for rec in read_seqs(fn, is_line):
+            seq_id += 1
+            name = rec.name if rec.name else f"seq{seq_id}"
+            q = char2nt6(rec.seq)
+            hits = rb3_sw(opt, f, q)
+            if sw_opts["write_all"]:
+                write_all_hits(out, name, len(q), hits, "+", sw_opts["max_all_out"])
+                if sw_opts["both_dir"]:
+                    qr = revcomp(q)
+                    write_all_hits(out, name, len(q), rb3_sw(opt, f, qr), "-", sw_opts["max_all_out"])
+            else:
+                if hits:
+                    for h in hits:
+                        write_paf(out, f, h, name, len(q), sw_opts["keep_rs"])
+                elif sw_opts["write_unmap"]:
+                    out.write(f"{name}\t{len(q)}\t*\t*\t*\t*\t*\t*\t*\t0\t0\t0\n")
+    return 0
 
 
 def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
-    raise NotImplementedError("hapdiv: BWA-SW engine lands in align/bwasw.py")
+    opt = _opt_from_dict(sw_opts)
+    opt.flag |= RB3_SWF_E2E | RB3_SWF_HAPDIV
+    out = sys.stdout
+    seq_id = 0
+    for fn in files:
+        # one batch at a time like the reference pipeline; window results are
+        # run-length merged per sequence (search.c:327-353)
+        for rec in read_seqs(fn, is_line):
+            seq_id += 1
+            name = rec.name if rec.name else f"seq{seq_id}"
+            q = char2nt6(rec.seq)
+            if len(q) < k:
+                continue
+            results = []
+            j = 0
+            while j + k <= len(q):
+                r = rb3_hapdiv(opt, f, q[j : j + k])
+                if r is None:
+                    from .bwasw import HapDiv
+
+                    r = HapDiv()
+                results.append((j, (r.n_al, r.max_ed, tuple(r.n_hap))))
+                j += w
+            # merge identical consecutive windows
+            i0 = 0
+            for i1 in range(1, len(results) + 1):
+                if i1 == len(results) or results[i1][1] != results[i0][1]:
+                    off0 = results[i0][0]
+                    off_last = results[i1 - 1][0]
+                    n_al, max_ed, n_hap = results[i0][1]
+                    row = f"{name}\t{off0}\t{off_last + k}\t{n_al}\t{max_ed}\t" + "\t".join(str(x) for x in n_hap)
+                    out.write(row + "\n")
+                    i0 = i1
+    return 0

@@ -1,0 +1,48 @@
+"""BWA-SW golden tests: PAF / e2e / all-e2e / hapdiv byte-identical to the
+reference, including tie-breaking via khashl bucket order."""
+
+import pytest
+
+from .conftest import run_ours, run_ref
+
+
+@pytest.fixture(scope="module")
+def sw_reads(corpus, tmp_path_factory):
+    """A small read set (sw is the slow path; keep CI fast)."""
+    d = tmp_path_factory.mktemp("swreads")
+    lines = open(corpus / "reads.fa").read().strip().split("\n")
+    p = d / "reads8.fa"
+    p.write_text("\n".join(lines[:16]) + "\n")
+    return p
+
+
+@pytest.mark.parametrize(
+    "args",
+    [
+        [],
+        ["-N5"],
+        ["-e"],
+        ["--all-e2e"],
+        ["-u", "--seq", "-p3"],
+        ["-m20", "-A2", "-B5", "-O4", "-E1"],
+    ],
+)
+def test_sw_golden(ref_bin, ref_index, sw_reads, args):
+    cmd = ["sw"] + args + [str(ref_index), str(sw_reads)]
+    assert run_ours(cmd) == run_ref(ref_bin, cmd)
+
+
+def test_sw_toy_readme(ref_bin, ref_index):
+    q = b"ACCTACAACACCGGTaGGCTACAACGTGG\n"
+    cmd = ["sw", "-Lm20", str(ref_index), "-"]
+    assert run_ours(cmd, input=q) == run_ref(ref_bin, cmd, input=q)
+
+
+def test_hapdiv_golden(ref_bin, ref_index, sw_reads):
+    cmd = ["hapdiv", str(ref_index), str(sw_reads)]
+    assert run_ours(cmd) == run_ref(ref_bin, cmd)
+
+
+def test_hapdiv_custom_k_w(ref_bin, ref_index, sw_reads):
+    cmd = ["hapdiv", "-a61", "-w25", str(ref_index), str(sw_reads)]
+    assert run_ours(cmd) == run_ref(ref_bin, cmd)
