@@ -8,13 +8,24 @@ prefix-doubling suffix-array builder plus a batched interleave-rank BWT merge.
 
 On-disk formats (FMD/FMR/BRE/SSA/plain) and stdout formats (mem BED, sw PAF,
 hapdiv tables) are bit-compatible with ropebwt3 v3.10-r281.
+
+NB: jax is imported lazily (see _jax_setup) — on this machine every jax import
+attaches to the tunneled TPU, which serializes across processes; host-only
+commands (stat, get, format conversion, ...) must not pay that.
 """
 
 __version__ = "0.1.0"
 
-# Explicit-dtype policy: we enable x64 so int64 BWT offsets exist for
-# terabase-scale indexes; every array in this package declares its dtype
-# explicitly, so float compute stays f32/bf16.
-import jax as _jax
+_jax_ready = False
 
-_jax.config.update("jax_enable_x64", True)
+
+def _jax_setup():
+    """Import jax and enable x64 (int64 BWT offsets for terabase indexes).
+    Call this before using any jax-backed module."""
+    global _jax_ready
+    if _jax_ready:
+        return
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    _jax_ready = True

@@ -216,10 +216,39 @@ class FMDEncoder:
 
 
 def encode_runs(syms: np.ndarray, lens: np.ndarray, sbits: int = 3) -> bytes:
+    if sbits == 3:
+        data = _encode_runs_native(syms, lens)
+        if data is not None:
+            return data
     enc = FMDEncoder(6, sbits)
     enc.put_runs(syms, lens)
     enc.finish()
     return enc.dump_bytes()
+
+
+def _encode_runs_native(syms: np.ndarray, lens: np.ndarray) -> bytes | None:
+    import ctypes
+
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    syms = np.ascontiguousarray(syms, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out_size = ctypes.c_int64(0)
+    ptr = lib.rb3t_fmd_encode(
+        syms.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        len(syms),
+        ctypes.byref(out_size),
+    )
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, out_size.value)
+    finally:
+        lib.rb3t_free(ptr)
 
 
 def write_fmd(fn: str, syms: np.ndarray, lens: np.ndarray, sbits: int = 3) -> None:
@@ -254,6 +283,9 @@ def decode_runs(data: bytes) -> tuple[FMDHeader, np.ndarray, np.ndarray]:
     Adjacent equal-symbol runs split across blocks are merged, so the result is
     a maximal run-length encoding of the BWT."""
     h = parse_header(data)
+    native = _decode_runs_native(data)
+    if native is not None:
+        return h, native[0], native[1]
     asize1 = h.asize + 1
     off0 = _offset0(asize1)
     words_off = 32 + 8 * h.asize
@@ -302,6 +334,27 @@ def decode_runs(data: bytes) -> tuple[FMDHeader, np.ndarray, np.ndarray]:
         else:
             shead += ssize
     return h, np.asarray(syms, dtype=np.uint8), np.asarray(lens, dtype=np.int64)
+
+
+def _decode_runs_native(data: bytes) -> tuple[np.ndarray, np.ndarray] | None:
+    import ctypes
+
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.rb3t_fmd_decode(data, len(data), None, None, 0)
+    if n < 0:
+        return None
+    syms = np.empty(n, dtype=np.uint8)
+    lens = np.empty(n, dtype=np.int64)
+    n2 = lib.rb3t_fmd_decode(
+        data, len(data), syms.ctypes.data_as(ctypes.c_void_p), lens.ctypes.data_as(ctypes.c_void_p), n
+    )
+    if n2 != n:
+        return None
+    return syms, lens
 
 
 def read_fmd(fn: str) -> tuple[FMDHeader, np.ndarray, np.ndarray]:

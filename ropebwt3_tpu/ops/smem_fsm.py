@@ -7,6 +7,8 @@ single-chip (ops/rank.py) and sharded under shard_map (parallel/mesh.py).
 
 from __future__ import annotations
 
+from .. import _jax_setup as __jx
+__jx()
 import jax
 import jax.numpy as jnp
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from .. import _jax_setup as __jx
+__jx()
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
