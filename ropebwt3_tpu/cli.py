@@ -66,6 +66,9 @@ def load_index(fn: str, load_ssa: bool = False, load_sid: bool = False) -> Dense
 
     syms, lens = load_runs(fn)
     f = DenseFMIndex.from_runs(syms, lens)
+    from . import log
+
+    log.info("loaded the BWT", func="load_index")
     if load_ssa and os.path.exists(fn + ".ssa"):
         from .formats.ssa import read_ssa
 
@@ -134,25 +137,37 @@ def main_build(argv: list[str]) -> int:
     if not args and fn_in is None:
         print("Usage: rb3tpu build [options] <in.fa> [...]", file=sys.stderr)
         return 1
-    if sort_order != 0:
-        return _err("RLO/RCLO orders (-s/-r) are not implemented yet")
     del use_rb2  # the sais path and the rb2 IO-order path produce the same BWT
 
     f: DenseFMIndex | None = None
     if fn_in is not None:
+        if sort_order != 0:
+            return _err("-s/-r cannot be combined with -i yet")
         f = load_index(fn_in)
 
+    n_batches = 0
     for fn in args:
         records = read_seqs(fn, is_line)
         while True:
             n_seq, seq = read_batch_nt6(records, batch_size, is_for, is_rev)
             if n_seq == 0:
                 break
+            n_batches += 1
+            from . import log
+
+            log.info("read %d symbols", len(seq), func="main_build")
+            if sort_order != 0:
+                if n_batches > 1:
+                    return _err("-s/-r only supported within a single batch; raise -m")
+                seq = _sort_units(seq, sort_order)
             bwt = gsa_bwt(seq)
+            log.info("constructed partial BWT for %d symbols", len(bwt), func="main_build")
             if f is None:
                 f = DenseFMIndex.from_bwt(bwt)
+                log.info("encoded the partial BWT for %d symbols", len(bwt), func="main_build")
             else:
                 f = merge_plain(f, bwt)
+                log.info("merged the partial BWT for %d symbols", len(bwt), func="main_build")
         if fn_tmp:
             from .formats.fmr import write_fmr
 
@@ -162,6 +177,27 @@ def main_build(argv: list[str]) -> int:
         return 1
     _dump_index(f, fmt, out_fn)
     return 0
+
+
+def _sort_units(seq: np.ndarray, sort_order: int) -> np.ndarray:
+    """Reorder the 0-terminated units of a batch for RLO/RCLO construction.
+
+    The legacy inserter (mrope.c:300-385) places sentinels so sequences sort
+    in reverse-lexicographic order (RLO, -s) or reverse-complement-lex order
+    (RCLO, -r); since our GSA builder orders sentinels by position, permuting
+    the units reproduces the same BWT."""
+    from .nt6 import revcomp
+
+    ends = np.flatnonzero(seq == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    units = [seq[s:e] for s, e in zip(starts, ends)]
+    if sort_order == 1:  # RLO
+        keys = [u[::-1].tobytes() for u in units]
+    else:  # RCLO
+        keys = [revcomp(u).tobytes() for u in units]
+    order = sorted(range(len(units)), key=lambda t: keys[t])
+    zero = np.zeros(1, dtype=np.uint8)
+    return np.concatenate([x for t in order for x in (units[t], zero)])
 
 
 def _dump_index(f: DenseFMIndex, fmt: str, out_fn: str | None) -> None:
@@ -669,7 +705,12 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
-        return _dispatch(argv)
+        ret = _dispatch(argv)
+        if ret == 0 and len(argv) > 1:
+            from . import log
+
+            log.footer(argv, REF_VERSION)
+        return ret
     except IndexLoadError as e:
         return _err(str(e))
     except BrokenPipeError:

@@ -59,7 +59,9 @@ def gsa_bwt(seq: np.ndarray, backend: str = "auto") -> np.ndarray:
     if n == 0:
         return seq.copy()
     assert seq[-1] == 0, "batch must end with a separator"
-    if backend in ("auto", "jax"):
+    # Small batches are faster on host than paying device attach + per-round
+    # dispatch (and on this machine attaching to the TPU serializes processes).
+    if backend == "jax" or (backend == "auto" and n >= 8_000_000):
         try:
             from .sa_jax import gsa_bwt_jax
 

@@ -62,18 +62,30 @@ class BatchedSmemTG:
     bucketed to powers of two) so each bucket compiles exactly once; large
     inputs stream through in chunks."""
 
-    def __init__(self, f: DenseFMIndex, min_occ: int = 1, min_len: int = 19, max_mems: int | None = None, lanes: int = 8192):
+    def __init__(self, f: DenseFMIndex, min_occ: int = 1, min_len: int = 19, max_mems: int | None = None, lanes: int = 8192, use_pallas: bool | None = None):
         self.idx = DeviceIndex.from_dense(f)
+        self._dense = f  # host-side fallback for per-read overflow reruns
         self.min_occ = int(min_occ)
         self.min_len = int(min_len)
         self.max_mems = max_mems
         self.lanes = lanes
+        if use_pallas is None:
+            # the fused Pallas body needs a real TPU backend and int32 indexes
+            use_pallas = jax.default_backend() not in ("cpu", "gpu") and self.idx.idx_dtype == jnp.int32
+        self.use_pallas = use_pallas
 
     def _run_chunk(self, queries: list[np.ndarray], L: int) -> list[list[Mem]]:
         Q = len(queries)
         Qp = min(self.lanes, _round_up(Q, 256))
         out: list[list[Mem]] = []
         M = self.max_mems if self.max_mems else max(4, L - self.min_len + 1)
+        if self.use_pallas:
+            from .smem_pallas import smem_tg_pallas
+
+            kernel = lambda *a, **kw: smem_tg_pallas(*a, **kw)
+            M = self.max_mems if self.max_mems else min(32, max(4, L - self.min_len + 1))
+        else:
+            kernel = smem_tg_batch
         for c0 in range(0, Q, Qp):
             chunk = queries[c0 : c0 + Qp]
             qarr = np.zeros((Qp, L), dtype=np.uint8)
@@ -81,7 +93,7 @@ class BatchedSmemTG:
             for t, qq in enumerate(chunk):
                 qarr[t, : len(qq)] = qq
                 qlen[t] = len(qq)
-            mems, n_mem, _ = smem_tg_batch(
+            mems, n_mem, _ = kernel(
                 self.idx,
                 jnp.asarray(qarr),
                 jnp.asarray(qlen),
@@ -93,7 +105,12 @@ class BatchedSmemTG:
             mems = np.asarray(mems[: len(chunk)])
             n_mem = np.asarray(n_mem[: len(chunk)])
             for t in range(len(chunk)):
-                out.append([Mem(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4])) for r in mems[t, : n_mem[t]]])
+                if n_mem[t] > M:  # buffer overflow: recompute this read on host
+                    from . import smem_ref
+
+                    out.append(smem_ref.smem_tg(self._dense, chunk[t], self.min_occ, self.min_len))
+                else:
+                    out.append([Mem(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4])) for r in mems[t, : n_mem[t]]])
         return out
 
     def run(self, queries: list[np.ndarray]) -> list[list[Mem]]:

@@ -26,7 +26,8 @@ def emit(mems, n_mem, lane_mask, st, en, ik):
     row = jnp.stack([st.astype(mems.dtype), en.astype(mems.dtype), ik[:, 2], ik[:, 0], ik[:, 1]], axis=-1)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (Q, M), 1) == slot[:, None]) & lane_mask[:, None]
     mems = jnp.where(sel[:, :, None], row[:, None, :], mems)
-    n_mem = jnp.where(lane_mask & (n_mem < M), n_mem + 1, n_mem)
+    # n_mem counts TRUE emits (may exceed M); hosts detect overflow and rerun
+    n_mem = jnp.where(lane_mask, n_mem + 1, n_mem)
     return mems, n_mem
 
 
@@ -38,10 +39,14 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
     comp: (6,) complement table; q: (Q,L) int32; qlen: (Q,) int32.
     Returns (mems (Q,max_mems,5) dt, n_mem (Q,) int32, iters)."""
     Q, L = q.shape
+    q_flat = q.reshape(-1)
+    lane_base = jnp.arange(Q, dtype=jnp.int32) * L
 
     def qsym(pos):
+        # flat 1-D take: lowers to the fast axis-0 gather path on TPU
+        # (take_along_axis picks a much slower lowering inside loop bodies)
         p = jnp.clip(pos, 0, L - 1)
-        return jnp.take_along_axis(q, p[:, None], axis=1)[:, 0]
+        return jnp.take(q_flat, lane_base + p)
 
     state = dict(
         phase=jnp.full(Q, PH_START, jnp.int32),
@@ -91,7 +96,9 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         c = jnp.where(fw, comp[craw], craw)
         safe_ik = jnp.where(active[:, None], ik, jnp.zeros_like(ik))
         ok_all = extend_all(safe_ik, back)
-        ok_c = jnp.take_along_axis(ok_all, c[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        # per-lane symbol row select via masked sum (avoids a slow gather)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (Q, 6), 1) == c[:, None]).astype(ok_all.dtype)
+        ok_c = jnp.sum(ok_all * sel[:, :, None], axis=1, dtype=ok_all.dtype)
         succ = ok_c[:, 2] >= min_occ
 
         # BACK1

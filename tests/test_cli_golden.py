@@ -47,6 +47,20 @@ def test_merge_cmd_logical(ref_bin, corpus, tmp_path):
     assert np.array_equal(s1, s2) and np.array_equal(l1, l2)
 
 
+def test_build_rlo_rclo(ref_bin, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    fa = tmp_path / "u.fa"
+    with open(fa, "w") as f:
+        for i in range(30):
+            L = int(rng.integers(3, 40))
+            f.write(f">u{i}\n" + "".join("ACGTN"[c] for c in rng.integers(0, 5, L)) + "\n")
+        f.write(">d1\nACGTACGT\n>d2\nACGTACGT\n>d3\nACGT\n")
+    assert run_ours(["build", "-s", str(fa)]) == run_ref(ref_bin, ["build", "-2s", str(fa)])
+    assert run_ours(["build", "-r", str(fa)]) == run_ref(ref_bin, ["build", "-2r", str(fa)])
+
+
 def test_ssa_golden(ref_bin, ref_index):
     assert run_ours(["ssa", str(ref_index)]) == run_ref(ref_bin, ["ssa", str(ref_index)])
 

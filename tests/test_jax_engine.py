@@ -82,6 +82,34 @@ def test_sharded_smem(dense_index, reads):
         assert got == [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in want]
 
 
+def test_pallas_fsm_matches_xla(dense_index, reads):
+    """The fused Pallas loop body (interpret mode on CPU) must produce the
+    exact same MEMs as the pure-XLA FSM."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+    from ropebwt3_tpu.ops.smem_pallas import smem_tg_pallas
+
+    idx = DeviceIndex.from_dense(dense_index)
+    Q, L = 128, 256
+    qarr = np.zeros((Q, L), np.uint8)
+    qlen = np.zeros(Q, np.int32)
+    for t in range(Q):
+        r = reads[t % len(reads)]
+        qarr[t, : len(r)] = r
+        qlen[t] = len(r)
+    args = dict(min_occ=1, min_len=21, max_mems=16, max_iters=4 * L + 64)
+    m1, n1, _ = smem_tg_batch(idx, jnp.asarray(qarr), jnp.asarray(qlen), **args)
+    m2, n2, _ = smem_tg_pallas(idx, jnp.asarray(qarr), jnp.asarray(qlen), interpret=True, **args)
+    m1, n1, m2, n2 = map(np.asarray, (m1, n1, m2, n2))
+    assert np.array_equal(n1, n2)
+    for t in range(Q):
+        k = min(n1[t], 16)
+        assert np.array_equal(m1[t, :k], m2[t, :k])
+
+
 def test_jax_sa_builder(corpus):
     from ropebwt3_tpu.construct.sa import _initial_ranks, suffix_array_doubling
     from ropebwt3_tpu.construct.sa_jax import gsa_bwt_jax
