@@ -177,15 +177,17 @@ def sw_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, want_rst: bo
             if max_min_sc < 0:
                 max_min_sc = 0
 
-        # H and E from predecessors
-        for pid in t.pre:
-            if not rows[pid]:
-                continue
-            for k, p in enumerate(rows[pid]):
+        # H and E from predecessors; extends batched into one vectorized rank
+        batch_cells = [(pid, k, p) for pid in t.pre if rows[pid] for k, p in enumerate(rows[pid])]
+        if batch_cells:
+            iks = np.array([[p.lo, p.lo_rc, p.hi - p.lo] for _, _, p in batch_cells], dtype=np.int64)
+            ok_batch = f.extend(iks, True)  # (n, 6, 3)
+        for bi, (pid, k, p) in enumerate(batch_cells):
+            if True:
                 last_p = p
                 if p.H + opt.match < max_min_sc:
                     continue
-                ok = extend_back(p)
+                ok = ok_batch[bi]
                 r = Cell()
                 r.F_from_off = SW_F_UNSET
                 r.H_from, r.H_from_pos, r.E_from_pos = SW_FROM_H, pid * n_col + k, UINT32_MAX

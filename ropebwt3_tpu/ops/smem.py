@@ -70,9 +70,12 @@ class BatchedSmemTG:
         self.max_mems = max_mems
         self.lanes = lanes
         if use_pallas is None:
-            # the fused Pallas body needs a real TPU backend and int32 indexes
-            use_pallas = jax.default_backend() not in ("cpu", "gpu") and self.idx.idx_dtype == jnp.int32
-        self.use_pallas = use_pallas
+            # Measured on the tunneled v5e, the fused Pallas body loses to the
+            # XLA FSM (per-call buffer DMA setup dominates its saved
+            # dispatches), so the XLA path is the default; the Pallas kernel
+            # stays available (and correctness-tested) for future tuning.
+            use_pallas = False
+        self.use_pallas = use_pallas and self.idx.idx_dtype == jnp.int32
 
     def _run_chunk(self, queries: list[np.ndarray], L: int) -> list[list[Mem]]:
         Q = len(queries)

@@ -3,23 +3,23 @@
 The pure-XLA FSM (ops/smem_fsm.py) spends ~100 small kernel dispatches per
 iteration; on TPU that overhead dominates the actual rank work by >100x.  Here
 the entire per-iteration state update — bidirectional extend math (bit-plane
-popcount rank), FSM transitions, and next-iteration resolve — runs as ONE
-Pallas kernel on VMEM-resident lane state; only the table gathers (which XLA
-lowers to the fast hardware gather path) and the emit select stay in XLA.
+popcount rank), FSM transitions, set_intv resolution, and the next-iteration
+resolve — runs as ONE Pallas kernel on VMEM-resident lane state.  The XLA glue
+per iteration is minimal: five flat 1-D table gathers (the fast hardware
+gather path, no transposes), the emit select, and the loop condition.
 
 Iteration order is [transitions; resolve] with a resolve-only first iteration
 (all lanes start inactive), which reproduces ops/smem_fsm.py's
 [resolve; extend] sequence exactly, one iteration offset.
 
-Positions whose symbols the next resolve/extend might need are computed at the
-end of the kernel so XLA can prefetch them:
-  pos_ext  — symbol driving the next extend (i or j)
-  pos_a/b/c — set_intv window symbols for the 3 ways a lane can (re)enter
-              START: entry x, post-fail x=i+1, post-fell-through x=i_old
-  pos_fail — q[j] for the FWD-fail set_intv
+The kernel outputs the five query positions whose symbols the next iteration
+might need (extend symbol, FWD-fail set_intv, and the 3 ways a lane can
+(re)enter START) so XLA prefetches them with one stacked gather.
 
 Lane state is shaped (R, 128) (R = Q/128) for native VPU tiling; 6-column
-data is (6, R, 128).
+data is (6, R, 128).  All bit math is int32 (Mosaic recurses lowering uint32
+converts) and all scalar constants are np.int32 (bare Python ints become i64
+under x64, another lowering recursion).
 """
 
 from __future__ import annotations
@@ -42,24 +42,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..index.dense import BLOCK, BLOCKS_PER_SUPER
 from .rank import DeviceIndex
-from .smem_ref import Mem
 
 PH_START, PH_BACK1, PH_FWD, PH_BACK2, PH_DONE = 0, 1, 2, 3, 4
 _EXT_ORDER = (0, 4, 3, 2, 1, 5)
-# int32 scalar constants: bare Python ints inside jnp.where become i64 under
-# x64 and Mosaic's i64->i32 convert lowering recurses forever
-
-
-# NumPy scalars (not jnp arrays: pallas kernels may not capture array consts)
 _I_START, _I_BACK1, _I_FWD, _I_BACK2, _I_DONE = (np.int32(v) for v in range(5))
 _I_ONE, _I_ZERO = np.int32(1), np.int32(0)
+# position slots in the stacked symbol prefetch
+P_EXT, P_FAIL, P_A, P_B, P_C = range(5)
 
 
 def _inblock6(bits, off):
-    """bits: list of 6 (R,128) int32 bit-plane words (bit patterns; Mosaic
-    recurses forever lowering uint32 converts, so all bit math is int32 with
-    wrapping semantics); off: (R,128) int32 in [0,64].
-    Returns list of 6 (R,128) int32 counts."""
+    """bits: list of 6 (R,128) int32 bit-plane words; off: (R,128) int32 in
+    [0,64]. Returns list of 6 (R,128) int32 symbol counts before off."""
     one = np.int32(1)
     full = np.int32(-1)
     off_lo = jnp.minimum(off, 32)
@@ -83,50 +77,44 @@ def _inblock6(bits, off):
     return out
 
 
+# state rows: 0 phase, 1 x, 2 i, 3 j, 4..6 ik, 7 primk, 8 priml, 9..13 pos
+S_PHASE, S_X, S_I, S_J, S_IK0, S_IK1, S_IK2, S_PRIMK, S_PRIML, S_POS = 0, 1, 2, 3, 4, 5, 6, 7, 8, 9
+N_STATE = 14
+# pack rows: 0..5 bits_k, 6..11 bits_l, 12..17 base_k, 18..23 base_l, 24..28 syms, 29 qlen
+G_BITSK, G_BITSL, G_BASEK, G_BASEL, G_SYMS, G_QLEN = 0, 6, 12, 18, 24, 29
+N_PACK = 30
+
+
 def _make_kernel(min_occ: int, min_len: int):
     def kernel(
         acc_ref,  # SMEM (8,) int32 cumulative counts
-        qlen_ref,
-        phase_ref,
-        x_ref,
-        i_ref,
-        j_ref,
-        ik_ref,  # (3, R, 128)
-        bits_k_ref,  # (6, R, 128) uint32
-        bits_l_ref,
-        base_k_ref,  # (6, R, 128) int32
-        base_l_ref,
-        primk_ref,
-        priml_ref,
-        csym_ref,  # (R, 128) int32: symbol at pos_ext
-        ik_fail_ref,  # (3, R, 128): set_intv(q[pos_fail])
-        rs_a_ref,  # (3, R, 128): set_intv(q[pos_a])
-        rs_b_ref,
-        rs_c_ref,
+        st_ref,  # (N_STATE, R, 128) packed lane state
+        pk_ref,  # (N_PACK, R, 128) packed gathered data
         # outputs
-        phase_o,
-        x_o,
-        i_o,
-        j_o,
-        ik_o,
-        primk_o,
-        priml_o,
-        pos_ext_o,
-        pos_a_o,
-        pos_b_o,
-        pos_c_o,
-        pos_fail_o,
-        emit_mask_o,
-        emit_row_o,  # (5, R, 128)
+        st_o,  # (N_STATE, R, 128)
+        emit_o,  # (6, R, 128): mask + 5 row fields
     ):
-        phase = phase_ref[:]
-        x = x_ref[:]
-        i = i_ref[:]
-        j = j_ref[:]
-        qlen = qlen_ref[:]
-        ik0 = ik_ref[0]
-        ik1 = ik_ref[1]
-        ik2 = ik_ref[2]
+        def set_intv_vec(s):
+            """In-kernel rb3_fmd_set_intv via 6-way select with SMEM scalars."""
+            r0 = jnp.zeros_like(s)
+            r1 = jnp.zeros_like(s)
+            r2 = jnp.zeros_like(s)
+            for sym in range(6):
+                csym = 5 - sym if 1 <= sym <= 4 else sym
+                m = s == sym
+                r0 = jnp.where(m, acc_ref[sym], r0)
+                r1 = jnp.where(m, acc_ref[csym], r1)
+                r2 = jnp.where(m, acc_ref[sym + 1] - acc_ref[sym], r2)
+            return r0, r1, r2
+
+        phase = st_ref[S_PHASE]
+        x = st_ref[S_X]
+        i = st_ref[S_I]
+        j = st_ref[S_J]
+        qlen = pk_ref[G_QLEN]
+        ik0 = st_ref[S_IK0]
+        ik1 = st_ref[S_IK1]
+        ik2 = st_ref[S_IK2]
 
         fw = phase == PH_FWD
         b1 = phase == PH_BACK1
@@ -134,15 +122,15 @@ def _make_kernel(min_occ: int, min_len: int):
         active = b1 | b2 | fw
 
         # ---- extend: finish the rank and the bi-interval math ------------
-        craw = csym_ref[:]
+        craw = pk_ref[G_SYMS + P_EXT]
         comp_c = jnp.where((craw >= 1) & (craw <= 4), 5 - craw, craw)
         c = jnp.where(fw, comp_c, craw)
-        offk = primk_ref[:] & (BLOCK - 1)
-        offl = priml_ref[:] & (BLOCK - 1)
-        cntk = _inblock6([bits_k_ref[p] for p in range(6)], offk)
-        cntl = _inblock6([bits_l_ref[p] for p in range(6)], offl)
-        tk = [base_k_ref[p] + cntk[p] for p in range(6)]
-        tl = [base_l_ref[p] + cntl[p] for p in range(6)]
+        offk = st_ref[S_PRIMK] & (BLOCK - 1)
+        offl = st_ref[S_PRIML] & (BLOCK - 1)
+        cntk = _inblock6([pk_ref[G_BITSK + p] for p in range(6)], offk)
+        cntl = _inblock6([pk_ref[G_BITSL + p] for p in range(6)], offl)
+        tk = [pk_ref[G_BASEK + p] + cntk[p] for p in range(6)]
+        tl = [pk_ref[G_BASEL + p] + cntl[p] for p in range(6)]
         sz = [tl[p] - tk[p] for p in range(6)]
         sec_in = jnp.where(fw, ik0, ik1)
         sec = {}
@@ -151,7 +139,6 @@ def _make_kernel(min_occ: int, min_len: int):
             if prev is not None:
                 o = o + sz[prev]
             sec[sym] = o
-        # select row c
         okc0 = jnp.zeros_like(x)
         okc1 = jnp.zeros_like(x)
         okc2 = jnp.zeros_like(x)
@@ -166,7 +153,7 @@ def _make_kernel(min_occ: int, min_len: int):
         succ = active & (okc2 >= min_occ)
 
         # ---- transitions -------------------------------------------------
-        emit_mask = jnp.zeros_like(x, dtype=jnp.int32)
+        emit_mask = jnp.zeros_like(x)
         emit_st = jnp.zeros_like(x)
         emit_en = jnp.zeros_like(x)
         e_ik0 = jnp.zeros_like(x)
@@ -194,7 +181,7 @@ def _make_kernel(min_occ: int, min_len: int):
         j = jnp.where(m, j + 1, j)
         hit_end = m & (j >= qlen)
         phase = jnp.where(hit_end, _I_DONE, phase)
-        mf = fw & active & ~succ
+        mf = fw & ~succ
         both = hit_end | mf
         emit_mask = jnp.where(both, _I_ONE, emit_mask)
         emit_st = jnp.where(both, x, emit_st)
@@ -202,9 +189,10 @@ def _make_kernel(min_occ: int, min_len: int):
         e_ik0 = jnp.where(both, ik0, e_ik0)
         e_ik1 = jnp.where(both, ik1, e_ik1)
         e_ik2 = jnp.where(both, ik2, e_ik2)
-        ik0 = jnp.where(mf, ik_fail_ref[0], ik0)
-        ik1 = jnp.where(mf, ik_fail_ref[1], ik1)
-        ik2 = jnp.where(mf, ik_fail_ref[2], ik2)
+        f0, f1, f2 = set_intv_vec(pk_ref[G_SYMS + P_FAIL])
+        ik0 = jnp.where(mf, f0, ik0)
+        ik1 = jnp.where(mf, f1, ik1)
+        ik2 = jnp.where(mf, f2, ik2)
         i = jnp.where(mf, j - 1, i)
         phase = jnp.where(mf, _I_BACK2, phase)
 
@@ -223,11 +211,7 @@ def _make_kernel(min_occ: int, min_len: int):
         phase = jnp.where(m, _I_START, phase)
 
         # ---- resolve (next iteration's) ---------------------------------
-        # Select the precomputed set_intv row for the window symbol: lanes
-        # that entered START via a fail use rs_b (pos = i+min_len), via
-        # fell-through use rs_c (pos = i_old+min_len-1), otherwise rs_a
-        # (pos = entry x+min_len-1).
-        was_start = phase_ref[:] == PH_START
+        was_start = st_ref[S_PHASE] == PH_START
         start = phase == PH_START
         fin = start & (qlen - x < min_len)
         phase = jnp.where(fin, _I_DONE, phase)
@@ -235,10 +219,11 @@ def _make_kernel(min_occ: int, min_len: int):
         use_a = begin & was_start
         use_c = begin & fell
         use_b = begin & ~was_start & ~fell
-        for ref, mask in ((rs_a_ref, use_a), (rs_b_ref, use_b), (rs_c_ref, use_c)):
-            ik0 = jnp.where(mask, ref[0], ik0)
-            ik1 = jnp.where(mask, ref[1], ik1)
-            ik2 = jnp.where(mask, ref[2], ik2)
+        for slot, mask in ((P_A, use_a), (P_B, use_b), (P_C, use_c)):
+            r0, r1, r2 = set_intv_vec(pk_ref[G_SYMS + slot])
+            ik0 = jnp.where(mask, r0, ik0)
+            ik1 = jnp.where(mask, r1, ik1)
+            ik2 = jnp.where(mask, r2, ik2)
         i = jnp.where(begin, x + min_len - 2, i)
         phase = jnp.where(begin, _I_BACK1, phase)
         skip = (phase == PH_BACK1) & begin & (i < x)
@@ -264,34 +249,28 @@ def _make_kernel(min_occ: int, min_len: int):
         prim = jnp.where(fw_n, ik1, ik0)
         prim = jnp.where(active_n, prim, _I_ZERO)
         szn = jnp.where(active_n, ik2, _I_ZERO)
-        phase_o[:] = phase
-        x_o[:] = x
-        i_o[:] = i
-        j_o[:] = j
-        ik_o[0] = ik0
-        ik_o[1] = ik1
-        ik_o[2] = ik2
-        primk_o[:] = prim
-        priml_o[:] = prim + szn
-        pos_ext_o[:] = jnp.where(fw_n, j, i)
-        pos_a_o[:] = x + min_len - 1
-        pos_b_o[:] = i + min_len  # valid when x will become i+1
-        pos_c_o[:] = i_entry_b2 + min_len - 1
-        pos_fail_o[:] = j
-        emit_mask_o[:] = emit_mask
-        emit_row_o[0] = emit_st
-        emit_row_o[1] = emit_en
-        emit_row_o[2] = e_ik2
-        emit_row_o[3] = e_ik0
-        emit_row_o[4] = e_ik1
+        st_o[S_PHASE] = phase
+        st_o[S_X] = x
+        st_o[S_I] = i
+        st_o[S_J] = j
+        st_o[S_IK0] = ik0
+        st_o[S_IK1] = ik1
+        st_o[S_IK2] = ik2
+        st_o[S_PRIMK] = prim
+        st_o[S_PRIML] = prim + szn
+        st_o[S_POS + P_EXT] = jnp.where(fw_n, j, i)
+        st_o[S_POS + P_FAIL] = j
+        st_o[S_POS + P_A] = x + min_len - 1
+        st_o[S_POS + P_B] = i + min_len  # valid when x will become i+1
+        st_o[S_POS + P_C] = i_entry_b2 + min_len - 1
+        emit_o[0] = emit_mask
+        emit_o[1] = emit_st
+        emit_o[2] = emit_en
+        emit_o[3] = e_ik2
+        emit_o[4] = e_ik0
+        emit_o[5] = e_ik1
 
     return kernel
-
-
-def _set_intv_rows(acc, comp, c):
-    """(..., ) int32 symbols -> (3, ...) set_intv rows."""
-    cc = comp[c]
-    return jnp.stack([acc[c], acc[cc], acc[c + 1] - acc[c]], axis=0)
 
 
 @partial(jax.jit, static_argnames=("min_occ", "min_len", "max_mems", "max_iters", "interpret"))
@@ -313,69 +292,34 @@ def smem_tg_pallas(
     dt = jnp.int32
     assert idx.idx_dtype == jnp.int32, "pallas path requires int32 indexes"
     acc32 = idx.acc.astype(jnp.int32)
-    comp = idx.comp
     q_flat = q.astype(jnp.int32).reshape(-1)
-    lane_base = (jnp.arange(Q, dtype=jnp.int32) * L).reshape(sh)
+    lane_base = jnp.arange(Q, dtype=jnp.int32).reshape(sh) * L
     qlen = qlen_in.reshape(sh)
+    # flattened tables for transpose-free (6, R, 128) gathers: row-major
+    # (nb, 6) flattens so entry (bi, p) sits at bi*6 + p
+    bits_flat = jax.lax.bitcast_convert_type(idx.occ_bits, jnp.int32).reshape(-1)
+    blk_flat = idx.occ_block.reshape(-1)
+    sup_flat = idx.occ_super.astype(dt).reshape(-1)
+    plane6 = jnp.arange(6, dtype=jnp.int32)[:, None, None]
 
     kernel = _make_kernel(min_occ, min_len)
     out_shapes = (
-        jax.ShapeDtypeStruct(sh, dt),  # phase
-        jax.ShapeDtypeStruct(sh, dt),  # x
-        jax.ShapeDtypeStruct(sh, dt),  # i
-        jax.ShapeDtypeStruct(sh, dt),  # j
-        jax.ShapeDtypeStruct((3,) + sh, dt),  # ik
-        jax.ShapeDtypeStruct(sh, dt),  # primk
-        jax.ShapeDtypeStruct(sh, dt),  # priml
-        jax.ShapeDtypeStruct(sh, dt),  # pos_ext
-        jax.ShapeDtypeStruct(sh, dt),  # pos_a
-        jax.ShapeDtypeStruct(sh, dt),  # pos_b
-        jax.ShapeDtypeStruct(sh, dt),  # pos_c
-        jax.ShapeDtypeStruct(sh, dt),  # pos_fail
-        jax.ShapeDtypeStruct(sh, dt),  # emit_mask
-        jax.ShapeDtypeStruct((5,) + sh, dt),  # emit_row
+        jax.ShapeDtypeStruct((N_STATE,) + sh, dt),  # packed state
+        jax.ShapeDtypeStruct((6,) + sh, dt),  # emit mask + row
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_in = 17
     call = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_in,
-        out_specs=tuple(vmem for _ in out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem, vmem],
+        out_specs=(vmem, vmem),
+        input_output_aliases={1: 0},  # state updated in place
         interpret=interpret,
     )
 
-    def qsym(pos):
-        p = jnp.clip(pos, 0, L - 1)
-        return jnp.take(q_flat, (lane_base + p).reshape(-1)).reshape(sh)
-
-    def gather_tables(primk, priml):
-        def one(prim):
-            bi = (prim // BLOCK).reshape(-1)
-            si = bi // BLOCKS_PER_SUPER
-            bits_u32 = idx.occ_bits[bi].reshape(sh + (6,))
-            bits = jnp.moveaxis(jax.lax.bitcast_convert_type(bits_u32, jnp.int32), -1, 0)
-            base = (idx.occ_super[si].astype(dt) + idx.occ_block[bi].astype(dt)).reshape(sh + (6,))
-            return bits, jnp.moveaxis(base, -1, 0)
-
-        bk, basek = one(primk)
-        bl, basel = one(priml)
-        return bk, bl, basek, basel
-
-    zero = jnp.zeros(sh, dt)
+    st0 = jnp.zeros((N_STATE,) + sh, dt).at[S_POS + P_A].set(min_len - 1)
     state = dict(
-        phase=zero,
-        x=zero,
-        i=zero,
-        j=zero,
-        ik=jnp.zeros((3,) + sh, dt),
-        primk=zero,
-        priml=zero,
-        pos_ext=zero,
-        pos_a=jnp.full(sh, min_len - 1, dt),
-        pos_b=zero,
-        pos_c=zero,
-        pos_fail=zero,
+        st=st0,
         n_mem=jnp.zeros((Q,), jnp.int32),
         mems=jnp.zeros((Q, max_mems, 5), dt),
         it=jnp.zeros((), jnp.int32),
@@ -386,59 +330,32 @@ def smem_tg_pallas(
         return (~s["done"]) & (s["it"] < max_iters + 1)
 
     def body(s):
-        bits_k, bits_l, base_k, base_l = gather_tables(s["primk"], s["priml"])
-        csym = qsym(s["pos_ext"])
-        ik_fail = _set_intv_rows(acc32, comp, qsym(s["pos_fail"]))
-        rs_a = _set_intv_rows(acc32, comp, qsym(s["pos_a"]))
-        rs_b = _set_intv_rows(acc32, comp, qsym(s["pos_b"]))
-        rs_c = _set_intv_rows(acc32, comp, qsym(s["pos_c"]))
-        outs = call(
-            acc32.astype(jnp.int32),
-            qlen,
-            s["phase"],
-            s["x"],
-            s["i"],
-            s["j"],
-            s["ik"],
-            bits_k,
-            bits_l,
-            base_k,
-            base_l,
-            s["primk"],
-            s["priml"],
-            csym,
-            ik_fail,
-            rs_a,
-            rs_b,
-            rs_c,
-        )
-        (phase, x, i, j, ik, primk, priml, pos_ext, pos_a, pos_b, pos_c, pos_fail, emit_mask, emit_row) = outs
-        # emit: one-hot select over the M axis
+        st = s["st"]
+        # one stacked flat gather per table: bits for both endpoints at once
+        bi2 = jnp.stack([st[S_PRIMK], st[S_PRIML]], 0) // BLOCK  # (2, R, 128)
+        fi = (bi2[:, None] * 6 + plane6[None]).reshape(-1)  # (2,6,R,128) flat
+        bits = jnp.take(bits_flat, fi).reshape((12,) + sh)
+        base = (
+            jnp.take(sup_flat, ((bi2[:, None] // BLOCKS_PER_SUPER) * 6 + plane6[None]).reshape(-1))
+            + jnp.take(blk_flat, fi).astype(dt)
+        ).reshape((12,) + sh)
+        p = jnp.clip(st[S_POS : S_POS + 5], 0, L - 1)
+        syms = jnp.take(q_flat, (lane_base[None] + p).reshape(-1)).reshape((5,) + sh)
+        pack = jnp.concatenate([bits, base, syms, qlen[None]], axis=0)
+        st2, emit = call(acc32, st, pack)
         mems, n_mem = s["mems"], s["n_mem"]
-        em = emit_mask.reshape(Q) != 0
-        row = jnp.moveaxis(emit_row.reshape(5, Q), 0, 1)  # (Q, 5)
+        em = emit[0].reshape(Q) != 0
+        row = jnp.moveaxis(emit[1:6].reshape(5, Q), 0, 1)  # (Q, 5)
         slot = jnp.minimum(n_mem, max_mems - 1)
         sel = (jax.lax.broadcasted_iota(jnp.int32, (Q, max_mems), 1) == slot[:, None]) & em[:, None]
         mems = jnp.where(sel[:, :, None], row[:, None, :], mems)
-        # n_mem counts TRUE emits (may exceed max_mems); host reruns overflows
         n_mem = jnp.where(em, n_mem + 1, n_mem)
         return dict(
-            phase=phase,
-            x=x,
-            i=i,
-            j=j,
-            ik=ik,
-            primk=primk,
-            priml=priml,
-            pos_ext=pos_ext,
-            pos_a=pos_a,
-            pos_b=pos_b,
-            pos_c=pos_c,
-            pos_fail=pos_fail,
+            st=st2,
             n_mem=n_mem,
             mems=mems,
             it=s["it"] + 1,
-            done=jnp.all(phase == PH_DONE),
+            done=jnp.all(st2[S_PHASE] == PH_DONE),
         )
 
     out = jax.lax.while_loop(cond, body, state)
