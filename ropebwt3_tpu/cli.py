@@ -64,10 +64,24 @@ def load_runs(fn: str):
 def load_index(fn: str, load_ssa: bool = False, load_sid: bool = False) -> DenseFMIndex:
     import os
 
-    syms, lens = load_runs(fn)
-    f = DenseFMIndex.from_runs(syms, lens)
     from . import log
 
+    # Optional dense-table sidecar (the analog of the reference's mmap -M):
+    # RB3TPU_CACHE=1 caches the decoded occ tables next to the index so
+    # repeated queries skip the run-length decode.
+    cache_fn = fn + ".dense.npz"
+    use_cache = os.environ.get("RB3TPU_CACHE") == "1"
+    if use_cache and os.path.exists(cache_fn) and os.path.getmtime(cache_fn) >= os.path.getmtime(fn):
+        z = np.load(cache_fn)
+        f = DenseFMIndex(bwt=z["bwt"], n=int(z["n"]), acc=z["acc"], occ_block=z["occ_block"], occ_super=z["occ_super"])
+    else:
+        syms, lens = load_runs(fn)
+        f = DenseFMIndex.from_runs(syms, lens)
+        if use_cache:
+            try:
+                np.savez(cache_fn, bwt=f.bwt, n=f.n, acc=f.acc, occ_block=f.occ_block, occ_super=f.occ_super)
+            except OSError:
+                pass
     log.info("loaded the BWT", func="load_index")
     if load_ssa and os.path.exists(fn + ".ssa"):
         from .formats.ssa import read_ssa
@@ -103,8 +117,11 @@ def main_build(argv: list[str]) -> int:
     use_rb2 = False
     sort_order = 0
     out_fn = None
+    sais_threads = 0
     for o, a in opts:
-        if o == "-m":
+        if o == "-p":
+            sais_threads = int(a)
+        elif o == "-m":
             batch_size = parse_num(a)
         elif o == "-l":
             block_len = int(a)
@@ -145,34 +162,71 @@ def main_build(argv: list[str]) -> int:
             return _err("-s/-r cannot be combined with -i yet")
         f = load_index(fn_in)
 
-    n_batches = 0
-    for fn in args:
-        records = read_seqs(fn, is_line)
-        while True:
-            n_seq, seq = read_batch_nt6(records, batch_size, is_for, is_rev)
-            if n_seq == 0:
-                break
-            n_batches += 1
-            from . import log
+    from . import log
 
-            log.info("read %d symbols", len(seq), func="main_build")
-            if sort_order != 0:
-                if n_batches > 1:
-                    return _err("-s/-r only supported within a single batch; raise -m")
-                seq = _sort_units(seq, sort_order)
-            bwt = gsa_bwt(seq)
-            log.info("constructed partial BWT for %d symbols", len(bwt), func="main_build")
-            if f is None:
-                f = DenseFMIndex.from_bwt(bwt)
-                log.info("encoded the partial BWT for %d symbols", len(bwt), func="main_build")
-            else:
-                f = merge_plain(f, bwt)
-                log.info("merged the partial BWT for %d symbols", len(bwt), func="main_build")
-        if fn_tmp:
+    def batches():
+        nonlocal n_batches
+        for fn in args:
+            records = read_seqs(fn, is_line)
+            while True:
+                n_seq, seq = read_batch_nt6(records, batch_size, is_for, is_rev)
+                if n_seq == 0:
+                    break
+                n_batches += 1
+                log.info("read %d symbols", len(seq), func="main_build")
+                if sort_order != 0:
+                    if n_batches > 1:
+                        raise IndexLoadError("-s/-r only supported within a single batch; raise -m")
+                    seq = _sort_units(seq, sort_order)
+                yield seq
+            yield None  # file boundary (for -S checkpointing)
+
+    def absorb(bwt):
+        nonlocal f
+        log.info("constructed partial BWT for %d symbols", len(bwt), func="main_build")
+        if f is None:
+            f = DenseFMIndex.from_bwt(bwt)
+            log.info("encoded the partial BWT for %d symbols", len(bwt), func="main_build")
+        else:
+            f = merge_plain(f, bwt)
+            log.info("merged the partial BWT for %d symbols", len(bwt), func="main_build")
+
+    def checkpoint():
+        if fn_tmp and f is not None:
             from .formats.fmr import write_fmr
 
             syms, lens = f.to_runs()
             write_fmr(fn_tmp, syms, lens)
+            log.info("saved the current index to '%s'", fn_tmp, func="main_build")
+
+    n_batches = 0
+    if sais_threads > 0:
+        # overlapped pipeline (analog of build -p / kt_pipeline, build.c:55-83):
+        # suffix-sort the next batch while merging the current one
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex:
+            fut = None
+            for seq in batches():
+                if seq is None:
+                    if fut is not None:
+                        absorb(fut.result())
+                        fut = None
+                    checkpoint()
+                    continue
+                nf = ex.submit(gsa_bwt, seq)
+                if fut is not None:
+                    absorb(fut.result())
+                fut = nf
+            if fut is not None:
+                absorb(fut.result())
+                checkpoint()
+    else:
+        for seq in batches():
+            if seq is None:
+                checkpoint()
+                continue
+            absorb(gsa_bwt(seq))
     if f is None:
         return 1
     _dump_index(f, fmt, out_fn)

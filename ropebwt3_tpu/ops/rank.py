@@ -2,15 +2,15 @@
 query and construction op (cf. rld_rank2a / rld_extend, rld0.c:416-502).
 
 The dense index (index/dense.py) is uploaded as three device arrays:
-  bwt_blocks : (n_blocks+1, 64) uint8   — BWT symbols, 64 per block row
-  occ_block  : (n_blocks+1, 6)  int32   — counts before block, within superblock
-  occ_super  : (n_supers+1, 6)  idx     — counts before superblock
-  acc        : (7,)             idx     — cumulative symbol counts
+  occ_bits   : (n_blocks+1, 6) uint32 — BWT blocks as 3 bit-planes x 2 words
+  occ_block  : (n_blocks+1, 6) uint16 — counts before block, within superblock
+  occ_super  : (n_supers+1, 6) idx    — counts before superblock
+  acc        : (7,)            idx    — cumulative symbol counts
 
-rank1a(k) for a batch of positions is three row gathers plus a masked one-hot
-reduction over the 64-symbol block — pure VPU work, no data-dependent control
-flow, so XLA fuses the whole thing.  idx dtype is int32 for indexes below 2^31
-symbols (TPU-native) and int64 above (XLA-emulated).
+rank1a(k) for a batch of positions is three row gathers plus, per symbol, six
+xor/and ops and two popcounts on the masked bit-planes — pure VPU work, no
+data-dependent control flow, so XLA fuses the whole thing.  idx dtype is int32
+for indexes below 2^31 symbols (TPU-native) and int64 above (XLA-emulated).
 """
 
 from __future__ import annotations

@@ -41,7 +41,12 @@ def run_ref(ref_bin, args, input=None):
 
 
 def run_ours(args, input=None):
-    r = subprocess.run([sys.executable, "-m", "ropebwt3_tpu"] + args, input=input, capture_output=True)
+    # CLI subprocesses must not attach to the tunneled TPU (serializes across
+    # processes machine-wide); scrub to the CPU backend.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-m", "ropebwt3_tpu"] + args, input=input, capture_output=True, env=env)
     assert r.returncode == 0, r.stderr.decode()
     return r.stdout
 
