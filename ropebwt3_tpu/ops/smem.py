@@ -79,9 +79,12 @@ class BatchedSmemTG:
 
     def _run_chunk(self, queries: list[np.ndarray], L: int) -> list[list[Mem]]:
         Q = len(queries)
-        Qp = min(self.lanes, _round_up(Q, 256))
+        # scale lanes down for long reads so q + mems stay within HBM budget;
+        # cap the per-lane MEM buffer (overflowing reads rerun on host)
+        lanes = max(256, min(self.lanes, self.lanes * 512 // max(512, L)))
+        Qp = min(lanes, _round_up(Q, 256))
         out: list[list[Mem]] = []
-        M = self.max_mems if self.max_mems else max(4, L - self.min_len + 1)
+        M = self.max_mems if self.max_mems else min(256, max(4, L - self.min_len + 1))
         if self.use_pallas:
             from .smem_pallas import smem_tg_pallas
 

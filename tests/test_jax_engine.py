@@ -41,6 +41,28 @@ def test_batched_smem_mixed_lengths(dense_index, reads):
         assert g == smem_ref.smem_tg(dense_index, q, 1, 17)
 
 
+def test_batched_smem_long_reads(dense_index):
+    """HiFi-length reads: lane scaling + capped MEM buffers + overflow rerun."""
+    import numpy as np
+
+    from ropebwt3_tpu.ops.smem import BatchedSmemTG
+
+    g, _ = dense_index.retrieve(0)
+    rng = np.random.default_rng(9)
+    reads = []
+    for _ in range(6):
+        ln = int(rng.integers(3000, 6000))
+        st = int(rng.integers(0, len(g) - ln))
+        r = g[st : st + ln].copy()
+        mut = rng.random(ln) < 0.05
+        r[mut] = rng.integers(1, 5, int(mut.sum()))
+        reads.append(r)
+    eng = BatchedSmemTG(dense_index, min_occ=1, min_len=25, max_mems=8)  # force overflows
+    got = eng.run(reads)
+    for q, gm in zip(reads, got):
+        assert gm == smem_ref.smem_tg(dense_index, q, 1, 25)
+
+
 def test_jax_rank_matches_numpy(dense_index):
     import jax.numpy as jnp
 
