@@ -27,15 +27,12 @@ def lf2_table(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cnt = np.bincount(seq, minlength=ASIZE).astype(np.int64)
     acc2 = np.zeros(ASIZE + 1, dtype=np.int64)
     acc2[1:] = np.cumsum(cnt)
-    # occ-before for each position of its own symbol: stable counting
-    lf2 = np.empty(n, dtype=np.int64)
-    onehot_cum = np.zeros(ASIZE, dtype=np.int64)
-    # vectorized: order positions by symbol (stable) -> index within symbol class
+    # occ-before for each position of its own symbol: stable counting via
+    # argsort (order positions by symbol, index within the symbol class)
     order = np.argsort(seq, kind="stable")
     within = np.empty(n, dtype=np.int64)
     within[order] = np.arange(n, dtype=np.int64) - acc2[seq[order].astype(np.int64)]
-    lf2[:] = acc2[seq.astype(np.int64)] + within
-    del onehot_cum
+    lf2 = acc2[seq.astype(np.int64)] + within
     return acc2, lf2
 
 
@@ -77,12 +74,68 @@ def merge_rank_plain(fa: DenseFMIndex, seq: np.ndarray, step_cb=None) -> tuple[n
     return acc2, ins
 
 
-def merge_plain(fa: DenseFMIndex, seq: np.ndarray) -> DenseFMIndex:
+def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Device-batched variant of merge_rank_plain: one vectorized rank gather
+    on B1 per step, all m2 sequence walks in lock-step lanes (the TPU analog
+    of kt_for(worker_cal_rank), fm-index.c:189-200)."""
+    from .. import _jax_setup
+
+    _jax_setup()
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.rank import DeviceIndex, rank1a
+
+    acc2, lf2 = lf2_table(seq)
+    n2 = len(seq)
+    m2 = int(acc2[1])
+    idx = DeviceIndex.from_dense(fa)
+    dt = idx.idx_dtype
+    seq_d = jnp.asarray(seq.astype(np.int32))
+    lf2_d = jnp.asarray(lf2.astype(np.int32 if dt == jnp.int32 else np.int64))
+    acc_d = idx.acc
+
+    def body(state):
+        ka, kb, alive, ins = state
+        c = jnp.take(seq_d, kb)
+        old = jnp.take(ins, kb)
+        ins = ins.at[kb].set(jnp.where(alive, ka, old))
+        oa = rank1a(idx, ka)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (m2, 6), 1) == c[:, None]).astype(dt)
+        oc = jnp.sum(oa * sel, axis=1, dtype=dt)
+        accc = jnp.take(acc_d, c)
+        alive2 = alive & (c != 0)
+        ka = jnp.where(alive2, accc + oc, ka)
+        kb = jnp.where(alive2, jnp.take(lf2_d, kb), kb)
+        return ka, kb, alive2, ins
+
+    state = (
+        jnp.full((m2,), int(fa.acc[1]), dt),
+        jnp.arange(m2, dtype=lf2_d.dtype),
+        jnp.ones((m2,), jnp.bool_),
+        jnp.zeros((n2,), dt),
+    )
+    state = jax.lax.while_loop(lambda s: jnp.any(s[2]), body, state)
+    ins = np.asarray(state[3]).astype(np.int64)
+    return acc2, ins
+
+
+def merge_plain(fa: DenseFMIndex, seq: np.ndarray, engine: str = "auto") -> DenseFMIndex:
     """Merge a plain partial BWT `seq` (B2) into dense index `fa` (B1) and
     return the merged dense index. Stable counting merge replaces the rope
     insertion of rb3_fmi_merge_plain (fm-index.c:279-303)."""
     seq = np.asarray(seq, dtype=np.uint8)
-    _, ins = merge_rank_plain(fa, seq)
+    m2 = int(np.count_nonzero(seq == 0))
+    use_device = engine == "device" or (engine == "auto" and m2 >= 2048 and fa.n < (1 << 31) - (1 << 20))
+    if use_device:
+        try:
+            _, ins = merge_rank_device(fa, seq)
+        except Exception:
+            if engine == "device":
+                raise
+            _, ins = merge_rank_plain(fa, seq)
+    else:
+        _, ins = merge_rank_plain(fa, seq)
     n1, n2 = fa.n, len(seq)
     merged = np.empty(n1 + n2, dtype=np.uint8)
     pos2 = ins + np.arange(n2, dtype=np.int64)  # merged positions of B2 symbols

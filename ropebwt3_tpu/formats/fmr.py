@@ -128,8 +128,6 @@ def split_runs_into_buckets(syms: np.ndarray, lens: np.ndarray):
     symbol counts (cf. rb3_enc_fmd2fmr, fm-index.c:56-85)."""
     syms = np.asarray(syms, dtype=np.uint8)
     lens = np.asarray(lens, dtype=np.int64)
-    tot = np.bincount(syms, weights=lens.astype(np.float64), minlength=6).astype(np.int64)
-    # recompute exactly in int64
     tot = np.zeros(6, dtype=np.int64)
     np.add.at(tot, syms.astype(np.int64), lens)
     acc = np.concatenate(([0], np.cumsum(tot)))

@@ -132,6 +132,29 @@ def test_pallas_fsm_matches_xla(dense_index, reads):
         assert np.array_equal(m1[t, :k], m2[t, :k])
 
 
+def test_merge_rank_device_matches_host():
+    import numpy as np
+
+    from ropebwt3_tpu.construct.merge import merge_rank_device, merge_rank_plain
+    from ropebwt3_tpu.construct.sa import gsa_bwt
+    from ropebwt3_tpu.index.dense import DenseFMIndex
+
+    rng = np.random.default_rng(4)
+
+    def mkbatch(n_seq, lo, hi):
+        parts = []
+        for _ in range(n_seq):
+            L = int(rng.integers(lo, hi))
+            parts += [rng.integers(1, 6, L).astype(np.uint8), np.zeros(1, np.uint8)]
+        return np.concatenate(parts)
+
+    fa = DenseFMIndex.from_bwt(gsa_bwt(mkbatch(50, 20, 400), backend="numpy"))
+    bwt2 = gsa_bwt(mkbatch(60, 10, 300), backend="numpy")
+    a1, i1 = merge_rank_plain(fa, bwt2)
+    a2, i2 = merge_rank_device(fa, bwt2)
+    assert np.array_equal(a1, a2) and np.array_equal(i1, i2)
+
+
 def test_jax_sa_builder(corpus):
     from ropebwt3_tpu.construct.sa import _initial_ranks, suffix_array_doubling
     from ropebwt3_tpu.construct.sa_jax import gsa_bwt_jax
