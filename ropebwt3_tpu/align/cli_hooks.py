@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
 
 from ..nt6 import char2nt6, revcomp
 from ..seqio import read_seqs

@@ -12,7 +12,7 @@ import numpy as np
 
 from . import __version__
 from .index.dense import DenseFMIndex
-from .nt6 import COMP_TABLE, NT6_TABLE, char2nt6, nt6_to_str, revcomp
+from .nt6 import NT6_TABLE, char2nt6, nt6_to_str, revcomp
 from .seqio import read_batch_nt6, read_seqs, read_sid
 
 REF_VERSION = "3.10-r281"  # ropebwt3 version whose formats/outputs we match

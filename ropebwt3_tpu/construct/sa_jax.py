@@ -11,7 +11,7 @@ Rounds are host-driven (one scalar sync per round, ~log2(max_len) rounds).
 
 from __future__ import annotations
 
-from functools import partial
+
 
 from .. import _jax_setup as __jx
 __jx()

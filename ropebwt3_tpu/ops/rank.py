@@ -16,7 +16,7 @@ for indexes below 2^31 symbols (TPU-native) and int64 above (XLA-emulated).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 from .. import _jax_setup as __jx
 __jx()

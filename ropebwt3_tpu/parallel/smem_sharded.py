@@ -3,7 +3,7 @@ occ tables sharded over `idx`, rank reconstituted by psum per extend step."""
 
 from __future__ import annotations
 
-from functools import partial
+
 
 from .. import _jax_setup as __jx
 __jx()
