@@ -61,6 +61,22 @@ def test_build_rlo_rclo(ref_bin, tmp_path):
     assert run_ours(["build", "-r", str(fa)]) == run_ref(ref_bin, ["build", "-2r", str(fa)])
 
 
+def test_build_checkpoint_and_incremental(ref_bin, corpus, tmp_path):
+    lines = open(corpus / "genomes.fa").read().strip().split("\n")
+    h1, h2 = tmp_path / "h1.fa", tmp_path / "h2.fa"
+    h1.write_text("\n".join(lines[:8]) + "\n")
+    h2.write_text("\n".join(lines[8:]) + "\n")
+    both = run_ref(ref_bin, ["build", str(h1), str(h2)])
+    # -S: final checkpoint must restore to the full BWT (reference reads our FMR)
+    ck = tmp_path / "ck.fmr"
+    run_ours(["build", "-S", str(ck), str(h1), str(h2)])
+    assert run_ref(ref_bin, ["build", "-i", str(ck), "-"], input=b"") == both
+    # -i with an FMR base
+    fmr1 = tmp_path / "h1.fmr"
+    fmr1.write_bytes(run_ours(["build", "-b", str(h1)]))
+    assert run_ours(["build", "-i", str(fmr1), str(h2)]) == both
+
+
 def test_ssa_golden(ref_bin, ref_index):
     assert run_ours(["ssa", str(ref_index)]) == run_ref(ref_bin, ["ssa", str(ref_index)])
 
