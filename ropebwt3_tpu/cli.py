@@ -339,7 +339,15 @@ def main_ssa(argv: list[str]) -> int:
         print("Usage: rb3tpu ssa [options] <in.fmd>", file=sys.stderr)
         return 1
     f = load_index(args[0])
-    sa = ssa_gen(f, ssa_shift)
+    if int(f.acc[1]) >= 2048 and f.n < (1 << 31) - (1 << 20):
+        from .ssa_ops import ssa_gen_device
+
+        try:
+            sa = ssa_gen_device(f, ssa_shift)
+        except Exception:
+            sa = ssa_gen(f, ssa_shift)
+    else:
+        sa = ssa_gen(f, ssa_shift)
     write_ssa(out_fn if out_fn else "-", sa)
     return 0
 

@@ -65,6 +65,74 @@ def ssa_gen(f: DenseFMIndex, ssa_shift: int = 8, batch: int = 1 << 15) -> SSA:
     return SSA(ssa_shift, ms, m, r2i, ssa)
 
 
+def ssa_gen_device(f: DenseFMIndex, ssa_shift: int = 8) -> SSA:
+    """Device-batched SSA generation: all m sequence LF-walks advance in
+    lock-step lanes with one vectorized rank per step (TPU analog of the
+    kt_for in rb3_ssa_gen, ssa.c:54-81).  Produces byte-identical SSA."""
+    from . import _jax_setup
+
+    _jax_setup()
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.rank import DeviceIndex, rank1a
+
+    m = int(f.acc[1])
+    ms = 1
+    while (1 << ms) < m:
+        ms += 1
+    n_ssa = (int(f.acc[6]) - m + (1 << ssa_shift) - 1) >> ssa_shift
+    mask = (1 << ssa_shift) - 1
+    idx = DeviceIndex.from_dense(f)
+    dt = idx.idx_dtype
+    n0 = m
+    bwt_sym = jnp.asarray(f.bwt[: f.n])  # symbol-at-k lookups
+
+    def body(state):
+        k, alive, l, ssa_l, ssa_lane, death_l, final_k = state
+        c = jnp.take(bwt_sym, k).astype(jnp.int32)
+        ok = rank1a(idx, k)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (m, 6), 1) == c[:, None]).astype(dt)
+        occ_c = jnp.sum(ok * sel, axis=1, dtype=dt)
+        nk = jnp.take(idx.acc, c) + occ_c
+        l = l + 1
+        nz = c != 0
+        hit = alive & nz & (((nk - n0) & mask) == 0)
+        # non-hit lanes scatter into a dummy slot (n_ssa) so duplicate-index
+        # write order can never clobber a real hit
+        x = jnp.where(hit, (nk - n0) >> ssa_shift, n_ssa)
+        lane_ids = jnp.arange(m, dtype=jnp.int32)
+        ssa_l = ssa_l.at[x].set(l)
+        ssa_lane = ssa_lane.at[x].set(lane_ids)
+        died = alive & ~nz
+        death_l = jnp.where(died, l, death_l)
+        final_k = jnp.where(died, nk, final_k)
+        alive2 = alive & nz
+        k = jnp.where(alive2, nk, k)
+        return k, alive2, l, ssa_l, ssa_lane, death_l, final_k
+
+    state = (
+        jnp.arange(m, dtype=dt),
+        jnp.ones((m,), jnp.bool_),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((n_ssa + 1,), jnp.int32),
+        jnp.full((n_ssa + 1,), -1, jnp.int32),
+        jnp.zeros((m,), jnp.int32),
+        jnp.zeros((m,), dt),
+    )
+    state = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, state)
+    _, _, _, ssa_l, ssa_lane, death_l, final_k = (np.asarray(s) for s in state)
+    ssa_l, ssa_lane = ssa_l[:n_ssa], ssa_lane[:n_ssa]
+    r2i = np.zeros(m, dtype=np.uint64)
+    r2i[final_k] = np.arange(m, dtype=np.uint64)
+    ssa = np.zeros(n_ssa, dtype=np.uint64)
+    filled = ssa_lane >= 0
+    lanes = ssa_lane[filled].astype(np.int64)
+    offs = (death_l[lanes] - 1 - ssa_l[filled]).astype(np.uint64)
+    ssa[filled] = (offs << np.uint64(ms)) | lanes.astype(np.uint64)
+    return SSA(ssa_shift, ms, m, r2i, ssa)
+
+
 def ssa_lookup1(f: DenseFMIndex, sa: SSA, k: int) -> tuple[int, int]:
     """Return (pos, sid) for BWT position k (rb3_ssa). pos==-1 on failure."""
     mask = (1 << sa.ss) - 1

@@ -58,3 +58,12 @@ def test_ssa_roundtrip(tiny):
     sa2 = read_ssa_bytes(write_ssa_bytes(sa))
     assert sa2.ss == sa.ss and sa2.ms == sa.ms and sa2.m == sa.m
     assert np.array_equal(sa2.r2i, sa.r2i) and np.array_equal(sa2.ssa, sa.ssa)
+
+
+def test_ssa_gen_device_matches_host(tiny):
+    from ropebwt3_tpu.ssa_ops import ssa_gen_device
+
+    f, _ = tiny
+    a = ssa_gen(f, 4)
+    b = ssa_gen_device(f, 4)
+    assert write_ssa_bytes(a) == write_ssa_bytes(b)
