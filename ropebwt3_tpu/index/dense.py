@@ -47,31 +47,71 @@ class DenseFMIndex:
         if n % BLOCK:
             # padding bytes beyond n must not pollute counts of the last block
             b[n : n_blocks * BLOCK] = 255
-        blk = b[: n_blocks * BLOCK].reshape(n_blocks, BLOCK)
-        # per-block symbol counts -> exclusive cumulative
-        per_block = np.zeros((n_blocks + 1, ASIZE), dtype=np.int64)
-        for c in range(ASIZE):
-            per_block[1:, c] = (blk == c).sum(axis=1)
-        occ_glob = np.cumsum(per_block, axis=0)  # [n_blocks+1, 6] counts before block
+        # per-block symbol counts, (6, n_blocks+1) layout so the exclusive
+        # cumulative runs over contiguous rows; chunked so the boolean
+        # temporaries stay cache-sized even for multi-GB BWTs
+        per_block_rows = np.zeros((n_blocks + 1, ASIZE), dtype=np.int64)
+        _native_counts = False
+        try:
+            import ctypes
+
+            from ..native import get_lib
+
+            lib = get_lib()
+            if lib is not None:
+                lib.rb3t_block_counts(
+                    b.ctypes.data_as(ctypes.c_void_p), n, n_blocks, per_block_rows.ctypes.data_as(ctypes.c_void_p)
+                )
+                _native_counts = True
+        except Exception:
+            pass
+        if not _native_counts:
+            CHUNK_BLOCKS = 1 << 18
+            for b0 in range(0, n_blocks, CHUNK_BLOCKS):
+                b1 = min(b0 + CHUNK_BLOCKS, n_blocks)
+                blk = b[b0 * BLOCK : b1 * BLOCK].reshape(b1 - b0, BLOCK)
+                for c in range(ASIZE):
+                    per_block_rows[b0 + 1 : b1 + 1, c] = (blk == c).sum(axis=1)
+        per_block = np.ascontiguousarray(per_block_rows.T)
+        del per_block_rows
+        occ_glob_t = np.cumsum(per_block, axis=1)  # [6, n_blocks+1] counts before block
         if n % BLOCK:
             b[n : n_blocks * BLOCK] = 0
         n_supers = (n_blocks + BLOCKS_PER_SUPER - 1) // BLOCKS_PER_SUPER
-        occ_super = np.zeros((n_supers + 1, ASIZE), dtype=np.int64)
         sb = np.arange(n_supers + 1) * BLOCKS_PER_SUPER
         np.clip(sb, 0, n_blocks, out=sb)
-        occ_super[:] = occ_glob[sb]
-        super_of_block = np.arange(n_blocks + 1) // BLOCKS_PER_SUPER
-        np.clip(super_of_block, 0, n_supers, out=super_of_block)
-        rel = occ_glob - occ_super[super_of_block]
-        assert rel.max(initial=0) < (1 << 16)
-        occ_block = rel.astype(np.uint16)
+        occ_super = np.ascontiguousarray(occ_glob_t[:, sb].T)
+        # per-block counts relative to the containing superblock: sequential
+        # repeat of the super rows instead of a giant index gather
+        reps = np.repeat(occ_super, BLOCKS_PER_SUPER, axis=0)[: n_blocks + 1]
+        occ_block = (occ_glob_t.T - reps).astype(np.uint16)
         acc = np.zeros(ASIZE + 1, dtype=np.int64)
-        acc[1:] = np.cumsum(occ_glob[n_blocks])
+        acc[1:] = np.cumsum(occ_glob_t[:, n_blocks])
         return cls(bwt=b, n=n, acc=acc, occ_block=occ_block, occ_super=occ_super)
 
     @classmethod
     def from_runs(cls, syms: np.ndarray, lens: np.ndarray) -> "DenseFMIndex":
-        return cls.from_bwt(np.repeat(np.asarray(syms, dtype=np.uint8), np.asarray(lens, dtype=np.int64)))
+        syms = np.ascontiguousarray(syms, dtype=np.uint8)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        try:
+            import ctypes
+
+            from ..native import get_lib
+
+            lib = get_lib()
+            if lib is not None:
+                n = int(lens.sum())
+                bwt = np.empty(n, dtype=np.uint8)
+                lib.rb3t_runs_expand(
+                    syms.ctypes.data_as(ctypes.c_void_p),
+                    lens.ctypes.data_as(ctypes.c_void_p),
+                    len(syms),
+                    bwt.ctypes.data_as(ctypes.c_void_p),
+                )
+                return cls.from_bwt(bwt)
+        except Exception:
+            pass
+        return cls.from_bwt(np.repeat(syms, lens))
 
     # -- conversions -------------------------------------------------------
     def to_runs(self) -> tuple[np.ndarray, np.ndarray]:

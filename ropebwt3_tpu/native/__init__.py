@@ -46,6 +46,7 @@ def get_lib():
         lib.rb3t_fmd_encode.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         lib.rb3t_free.argtypes = [ctypes.c_void_p]
         lib.rb3t_runs_expand.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.rb3t_block_counts.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None

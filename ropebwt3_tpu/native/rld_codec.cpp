@@ -282,3 +282,20 @@ void rb3t_runs_expand(const uint8_t *syms, const int64_t *lens, int64_t n_runs, 
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// One-pass per-block symbol counts for the dense index builder:
+// out[(block+1)*6 + c] = count of symbol c in block `block` (64 symbols).
+void rb3t_block_counts(const uint8_t *bwt, int64_t n, int64_t n_blocks, int64_t *out) {
+    for (int64_t blk = 0; blk < n_blocks; ++blk) {
+        int64_t cnt[8] = {0};
+        const uint8_t *p = bwt + blk * 64;
+        int64_t end = (blk + 1) * 64 <= n ? 64 : n - blk * 64;
+        for (int64_t i = 0; i < end; ++i) ++cnt[p[i] & 7];
+        int64_t *q = out + (blk + 1) * 6;
+        for (int c = 0; c < 6; ++c) q[c] = cnt[c];
+    }
+}
+
+}  // extern "C"
