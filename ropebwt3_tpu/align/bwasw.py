@@ -18,6 +18,9 @@ from ..index.dense import DenseFMIndex
 from .bwtl import Dawg, bwtl_gen, dawg_gen, dawg_gen_linear
 from .khashl_compat import KhashlSet, kh_hash_uint64, ks_heapsort, ks_heapup, ks_heapdown, ks_ksmall
 
+DBG_DAWG, DBG_SW, DBG_QNAME, DBG_BT = 1, 2, 4, 8
+dbg_flag = 0  # mirrors rb3_dbg_flag (rb3priv.h:7-10)
+
 SW_FROM_H, SW_FROM_E, SW_FROM_F = 0, 1, 2
 SW_FROM_OPEN, SW_FROM_EXT = 0, 1
 SW_F_UNSET = 0x3FFFFFF
@@ -276,6 +279,14 @@ def sw_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, want_rst: bo
             best_score, best_pos = rows[i][0].H, i * n_col
         if i == g.n_node - 1:
             _cell_dedup(rows[i])
+        if dbg_flag & DBG_SW:
+            import sys
+
+            sys.stderr.write(
+                "SW\t%d\t[%d,%d)\t%d\t%s\t%s\n"
+                % (i, t.lo, t.hi, len(rows[i]), ",".join(str(p) for p in t.pre),
+                   ",".join("%d(%d)" % (cl.H, cl.qlen - cl.rlen) for cl in rows[i]))
+            )
     return rows, best_pos, best_score
 
 
@@ -344,6 +355,10 @@ def _backtrack1_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, rows, pos: int, hit: 
     while pos > 0:
         r = pos // n_col
         p = rows[r][pos % n_col]
+        if dbg_flag & DBG_BT:
+            import sys
+
+            sys.stderr.write("BT\t%d\t%d\t%d\n" % (r, pos % n_col, p.H))
         x = p.H_from | p.E_from << 2 | p.F_from << 3
         state = (x & 0x3) if last == 0 else last
         ext = (x >> (state + 1)) & 1 if state in (1, 2) else 0
@@ -421,6 +436,9 @@ def _backtrack1(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, rows, po
         hit.qoff = [int(g.bwt.sa[k]) for k in range(p.lo, p.hi)]
     else:
         hit.qoff = [p.lo]
+    # the reference walks twice (length-only then fill, bwa-sw.c:176-179);
+    # replicate so --dbg-bt traces match byte-for-byte
+    _backtrack1_core(opt, f, g, rows, pos, hit, True)
     _backtrack1_core(opt, f, g, rows, pos, hit, False)
     _cs_core(hit, qseq)
     hit.mlen = hit.blen = 0

@@ -132,6 +132,13 @@ def dawg_gen(q: Bwtl) -> Dawg:
             if lo == hi:
                 continue
             nodes[ids[lo << 32 | hi]].pre.append(i)
+    from .bwasw import DBG_DAWG, dbg_flag as _dbg
+
+    if _dbg & DBG_DAWG:
+        import sys
+
+        for i, nd in enumerate(nodes):
+            sys.stderr.write("DG\t%d\t[%d,%d)\t%s\n" % (i, nd.lo, nd.hi, ",".join(str(p) for p in nd.pre)))
     return Dawg(n_node=n_node, node=nodes, bwt=q)
 
 

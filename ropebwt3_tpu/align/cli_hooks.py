@@ -104,6 +104,10 @@ def run_sw_cli(f, files, is_line, sw_opts) -> int:
         for rec in read_seqs(fn, is_line):
             seq_id += 1
             name = rec.name if rec.name else f"seq{seq_id}"
+            from . import bwasw as _bw
+
+            if _bw.dbg_flag & _bw.DBG_QNAME:
+                sys.stderr.write(f"Q\t{name}\t0\n")
             q = char2nt6(rec.seq)
             hits = rb3_sw(opt, f, q)
             if sw_opts["write_all"]:

@@ -638,6 +638,10 @@ def main_search(argv: list[str], cmd: str) -> int:
             no_ssa = True
         elif o == "--engine":
             engine = a
+        elif o in ("--dbg-dawg", "--dbg-sw", "--dbg-qname", "--dbg-bt"):
+            from .align import bwasw as _bw
+
+            _bw.dbg_flag |= {"--dbg-dawg": 1, "--dbg-sw": 2, "--dbg-qname": 4, "--dbg-bt": 8}[o]
 
     if min_gap_len > 0:
         max_pos = 0

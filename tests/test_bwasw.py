@@ -46,3 +46,24 @@ def test_hapdiv_golden(ref_bin, ref_index, sw_reads):
 def test_hapdiv_custom_k_w(ref_bin, ref_index, sw_reads):
     cmd = ["hapdiv", "-a61", "-w25", str(ref_index), str(sw_reads)]
     assert run_ours(cmd) == run_ref(ref_bin, cmd)
+
+
+def test_sw_debug_streams(ref_bin, ref_index, sw_reads):
+    """--dbg-dawg/--dbg-sw/--dbg-bt/--dbg-qname stderr traces byte-match."""
+    import os
+    import subprocess
+    import sys
+
+    cmd = ["sw", "--dbg-dawg", "--dbg-sw", "--dbg-bt", "--dbg-qname", str(ref_index), str(sw_reads)]
+    ref = subprocess.run([ref_bin, "-t1"][:1] + ["sw", "-t1"] + cmd[1:], capture_output=True, check=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    ours = subprocess.run([sys.executable, "-m", "ropebwt3_tpu"] + cmd, capture_output=True, env=env)
+    assert ours.returncode == 0, ours.stderr.decode()
+
+    def dbg_lines(b):
+        return [l for l in b.decode().split("\n") if l.startswith(("DG\t", "SW\t", "BT\t", "Q\t"))]
+
+    assert dbg_lines(ours.stderr) == dbg_lines(ref.stderr)
+    assert ours.stdout == ref.stdout
