@@ -149,7 +149,7 @@ def main():
 
     idx = DeviceIndex.from_dense(f)
     del f
-    LANES = 8192  # measured throughput optimum on v5e (see ops/smem.py)
+    LANES = 8192  # near-optimal on v5e; per-iter cost cliffs above ~12k lanes
     L = 256
     M = 16
     import jax.numpy as jnp
