@@ -148,146 +148,209 @@ def _heap_insert1(heap: list, maxn: int, score: int, id_: int) -> int:
 
 def sw_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, want_rst: bool, want_anno: bool):
     """Returns (rows, best_pos, best_score). rows[i] = list[Cell]."""
+    (out,) = sw_core_multi(opt, f, [g])
+    return out
+
+
+def sw_core_multi(opt: SwOpt, f: DenseFMIndex, gs: list[Dawg]):
+    """Lock-step DP over W same-shaped DAWGs (e.g. hapdiv windows): the
+    per-cell H/E extends and the F-closure rounds of ALL windows batch into
+    single vectorized ranks, while each window's heap/candset logic runs its
+    exact scalar sequence (bit-identical to one-window processing).
+
+    Returns [(rows, best_pos, best_score), ...] per window."""
     n_col = opt.n_best
-    rows: list[list[Cell]] = [[] for _ in range(g.n_node)]
-    root = Cell()
-    root.lo, root.hi, root.lo_rc = 0, int(f.acc[6]), 0
-    root.H_from = SW_FROM_H
-    root.F_from_off = 0  # memset-zeroed in the reference
-    rows[0].append(root)
-    best_score, best_pos = 0, 0
-    fpar: list[tuple[int, int]] = []
-    h = KhashlSet(_cell_hash, _cell_eq)
-    h.resize(opt.n_best * 4)
-    last_p = root  # reference keeps a dangling pointer to the last visited cell
+    W = len(gs)
+    n_node = gs[0].n_node
+    assert all(g.n_node == n_node for g in gs)
 
-    def extend_back(cell_like) -> np.ndarray:
-        ik = np.array([cell_like.lo, cell_like.lo_rc, cell_like.hi - cell_like.lo], dtype=np.int64)
-        return f.extend(ik, True)  # (6, 3)
+    class WState:
+        __slots__ = ("g", "rows", "h", "fpar", "last_p", "best_score", "best_pos")
 
-    for i in range(1, g.n_node):
-        t = g.node[i]
-        h.clear()
-        max_min_sc = 0
-        if len(t.pre) > 1:
-            n_cell = sum(len(rows[p]) for p in t.pre)
-            if n_cell > opt.n_best:
-                ks_a = []
-                for pid in t.pre:
-                    ks_a.extend(c.H for c in rows[pid])
-                max_min_sc = ks_ksmall(ks_a, opt.n_best, lt=lambda a, b: a > b)
-            max_min_sc -= max(opt.gap_open + opt.gap_ext, opt.mis)
-            if max_min_sc < 0:
-                max_min_sc = 0
+    ws: list[WState] = []
+    for g in gs:
+        w = WState()
+        w.g = g
+        w.rows = [[] for _ in range(n_node)]
+        root = Cell()
+        root.lo, root.hi, root.lo_rc = 0, int(f.acc[6]), 0
+        root.H_from = SW_FROM_H
+        w.rows[0].append(root)
+        w.h = KhashlSet(_cell_hash, _cell_eq)
+        w.h.resize(opt.n_best * 4)
+        w.fpar = []
+        w.last_p = root  # reference keeps a dangling pointer to the last visited cell
+        w.best_score, w.best_pos = 0, 0
+        ws.append(w)
 
-        # H and E from predecessors; extends batched into one vectorized rank
-        batch_cells = [(pid, k, p) for pid in t.pre if rows[pid] for k, p in enumerate(rows[pid])]
-        if batch_cells:
-            iks = np.array([[p.lo, p.lo_rc, p.hi - p.lo] for _, _, p in batch_cells], dtype=np.int64)
-            ok_batch = f.extend(iks, True)  # (n, 6, 3)
-        for bi, (pid, k, p) in enumerate(batch_cells):
-                last_p = p
-                if p.H + opt.match < max_min_sc:
+    def extend_batch(cells) -> np.ndarray:
+        iks = np.array([[c.lo, c.lo_rc, c.hi - c.lo] for c in cells], dtype=np.int64)
+        return f.extend(iks, True)  # (n, 6, 3)
+
+    for i in range(1, n_node):
+        # ---- per-window pruning bound + cell collection -------------------
+        batch: list[tuple[WState, int, int, Cell]] = []
+        mms: dict[int, int] = {}
+        for wi, w in enumerate(ws):
+            t = w.g.node[i]
+            w.h.clear()
+            max_min_sc = 0
+            if len(t.pre) > 1:
+                n_cell = sum(len(w.rows[p]) for p in t.pre)
+                if n_cell > opt.n_best:
+                    ks_a = []
+                    for pid in t.pre:
+                        ks_a.extend(c.H for c in w.rows[pid])
+                    max_min_sc = ks_ksmall(ks_a, opt.n_best, lt=lambda a, b: a > b)
+                max_min_sc -= max(opt.gap_open + opt.gap_ext, opt.mis)
+                if max_min_sc < 0:
+                    max_min_sc = 0
+            mms[wi] = max_min_sc
+            for pid in t.pre:
+                for k, p in enumerate(w.rows[pid]):
+                    batch.append((w, pid, k, p))
+        ok_batch = extend_batch([p for _, _, _, p in batch]) if batch else None
+
+        # ---- H and E (scalar per window, batched extends) ------------------
+        widx = {id(w): mms[x] for x, w in enumerate(ws)}
+        for bi, (w, pid, k, p) in enumerate(batch):
+            t = w.g.node[i]
+            h = w.h
+            max_min_sc = widx[id(w)]
+            w.last_p = p
+            if p.H + opt.match < max_min_sc:
+                continue
+            ok = ok_batch[bi]
+            r = Cell()
+            r.F_from_off = SW_F_UNSET
+            r.H_from, r.H_from_pos, r.E_from_pos = SW_FROM_H, pid * n_col + k, UINT32_MAX
+            for c in range(1, 6):
+                sc = opt.match if (c == t.c and c != 5) else -opt.mis
+                if ok[c][2] == 0:
                     continue
-                ok = ok_batch[bi]
-                r = Cell()
-                r.F_from_off = SW_F_UNSET
-                r.H_from, r.H_from_pos, r.E_from_pos = SW_FROM_H, pid * n_col + k, UINT32_MAX
+                if p.H + sc <= 0 or p.H + sc < max_min_sc:
+                    continue
+                if c != t.c and p.qlen < opt.end_len:
+                    continue
+                r.lo, r.hi, r.lo_rc = int(ok[c][0]), int(ok[c][0] + ok[c][2]), int(ok[c][1])
+                r.H = p.H + sc
+                r.rlen, r.qlen = p.rlen + 1, p.qlen + 1
+                _update_candset(h, r)
+            # E (insertion in query)
+            if p.H - opt.gap_open > p.E:
+                r.E_from, r.E = SW_FROM_OPEN, p.H - opt.gap_open
+            else:
+                r.E_from, r.E = SW_FROM_EXT, p.E
+            r.E -= opt.gap_ext
+            if r.E > 0 and r.E >= max_min_sc and p.qlen >= opt.end_len:
+                # NB: the reference only sets lo/hi here; lo_rc keeps the
+                # stale value from the last H candidate (bwa-sw.c:418)
+                r.lo, r.hi = p.lo, p.hi
+                r.H = r.E
+                r.H_from = SW_FROM_E
+                r.E_from_pos, r.H_from_pos = pid * n_col + k, UINT32_MAX
+                r.rlen, r.qlen = p.rlen, p.qlen + 1
+                _update_candset(h, r)
+
+        # ---- top-n selection + F closure (lock-step rounds) ----------------
+        class FCtx:
+            __slots__ = ("heap", "fstack", "n_fpar", "fpar_base", "pending_z", "pending_r", "pending_min")
+
+        fctxs: dict[int, FCtx] = {}
+        for w in ws:
+            w.rows[i] = []
+            if w.h.count == 0:
+                continue
+            heap: list[int] = []
+            for itr in w.h:
+                _heap_insert1(heap, opt.n_best, w.h.keys[itr].H, itr)
+            ks_heapsort(heap, _heap_lt)
+            w.rows[i] = [w.h.keys[x & UINT32_MAX].copy() for x in heap]
+            heap.reverse()  # remains a heap
+            fc = FCtx()
+            fc.heap = heap
+            fc.n_fpar = 0
+            fc.fpar_base = len(w.fpar)
+            fc.pending_z = None
+            fc.pending_r = None
+            if w.last_p.qlen >= opt.end_len:
+                fc.fstack = [w.rows[i][j].copy() for j in range(len(w.rows[i]) - 1, -1, -1) if w.rows[i][j].H > opt.gap_open + opt.gap_ext]
+            else:
+                fc.fstack = []
+            fctxs[id(w)] = fc
+
+        # rounds: each active window advances to its next extend-needing pop
+        active = [w for w in ws if id(w) in fctxs and fctxs[id(w)].fstack]
+        while active:
+            todo: list[tuple[WState, FCtx]] = []
+            for w in active:
+                fc = fctxs[id(w)]
+                while fc.fstack:
+                    z = fc.fstack.pop()
+                    minv = 0 if len(fc.heap) < opt.n_best else fc.heap[0] >> 32
+                    r = Cell()
+                    r.H_from_pos = r.E_from_pos = UINT32_MAX
+                    r.F_from_off = SW_F_UNSET
+                    if z.H - opt.gap_open > z.F:
+                        r.F_from, r.F = SW_FROM_OPEN, z.H - opt.gap_open
+                    else:
+                        r.F_from, r.F = SW_FROM_EXT, z.F
+                    r.F -= opt.gap_ext
+                    r.H, r.H_from = r.F, SW_FROM_F
+                    r.rlen, r.qlen = z.rlen + 1, z.qlen
+                    if r.H <= minv:
+                        continue
+                    fc.pending_z, fc.pending_r, fc.pending_min = z, r, minv
+                    todo.append((w, fc))
+                    break
+            if not todo:
+                break
+            oks = extend_batch([fc.pending_z for _, fc in todo])
+            for (w, fc), ok in zip(todo, oks):
+                z, r = fc.pending_z, fc.pending_r
                 for c in range(1, 6):
-                    sc = opt.match if (c == t.c and c != 5) else -opt.mis
                     if ok[c][2] == 0:
                         continue
-                    if p.H + sc <= 0 or p.H + sc < max_min_sc:
-                        continue
-                    if c != t.c and p.qlen < opt.end_len:
-                        continue
                     r.lo, r.hi, r.lo_rc = int(ok[c][0]), int(ok[c][0] + ok[c][2]), int(ok[c][1])
-                    r.H = p.H + sc
-                    r.rlen, r.qlen = p.rlen + 1, p.qlen + 1
-                    _update_candset(h, r)
-                # E (insertion in query)
-                if p.H - opt.gap_open > p.E:
-                    r.E_from, r.E = SW_FROM_OPEN, p.H - opt.gap_open
-                else:
-                    r.E_from, r.E = SW_FROM_EXT, p.E
-                r.E -= opt.gap_ext
-                if r.E > 0 and r.E >= max_min_sc and p.qlen >= opt.end_len:
-                    # NB: the reference only sets lo/hi here; lo_rc keeps the
-                    # stale value from the last H candidate (bwa-sw.c:418)
-                    r.lo, r.hi = p.lo, p.hi
-                    r.H = r.E
-                    r.H_from = SW_FROM_E
-                    r.E_from_pos, r.H_from_pos = pid * n_col + k, UINT32_MAX
-                    r.rlen, r.qlen = p.rlen, p.qlen + 1
-                    _update_candset(h, r)
-        rows[i] = []
-        if h.count == 0:
-            continue
+                    q, changed = _update_candset(w.h, r)
+                    if changed & (1 << 2):  # q->F has been updated
+                        _heap_insert1(fc.heap, opt.n_best, r.H, UINT32_MAX)
+                        w.fpar.append((z.lo, z.hi))
+                        q.F_from, q.F_from_off = r.F_from, fc.fpar_base + fc.n_fpar
+                        fc.n_fpar += 1
+                        # NB: compares against the heap min captured at pop
+                        # time, exactly like the scalar loop (bwa-sw.c:453,476)
+                        if r.H - opt.gap_ext > fc.pending_min:
+                            fc.fstack.append(q.copy())
+            active = [w for w in ws if id(w) in fctxs and fctxs[id(w)].fstack]
 
-        # top-n selection
-        heap: list[int] = []
-        for itr in h:
-            _heap_insert1(heap, opt.n_best, h.keys[itr].H, itr)
-        ks_heapsort(heap, _heap_lt)
-        rows[i] = [h.keys[x & UINT32_MAX].copy() for x in heap]
-        heap.reverse()  # remains a heap
+        # ---- rebuild heap/row, track F, best, dedup ------------------------
+        for w in ws:
+            if id(w) not in fctxs:
+                continue
+            fc = fctxs[id(w)]
+            heap = []
+            for itr in w.h:
+                _heap_insert1(heap, opt.n_best, w.h.keys[itr].H, itr)
+            ks_heapsort(heap, _heap_lt)
+            assert heap
+            w.rows[i] = [w.h.keys[x & UINT32_MAX].copy() for x in heap]
+            if fc.n_fpar > 0:
+                _track_F(w.h, w.fpar, w.rows[i])
+            if w.rows[i][0].H > w.best_score:
+                w.best_score, w.best_pos = w.rows[i][0].H, i * n_col
+            if i == n_node - 1:
+                _cell_dedup(w.rows[i])
+            if dbg_flag & DBG_SW:
+                import sys
 
-        n_fpar = 0
-        fpar_base = len(fpar)
-        if last_p.qlen >= opt.end_len:
-            # F (deletion in query) closure DFS
-            fstack = [rows[i][j].copy() for j in range(len(rows[i]) - 1, -1, -1) if rows[i][j].H > opt.gap_open + opt.gap_ext]
-            while fstack:
-                z = fstack.pop()
-                minv = 0 if len(heap) < opt.n_best else heap[0] >> 32
-                r = Cell()
-                r.H_from_pos = r.E_from_pos = UINT32_MAX
-                r.F_from_off = SW_F_UNSET
-                if z.H - opt.gap_open > z.F:
-                    r.F_from, r.F = SW_FROM_OPEN, z.H - opt.gap_open
-                else:
-                    r.F_from, r.F = SW_FROM_EXT, z.F
-                r.F -= opt.gap_ext
-                r.H, r.H_from = r.F, SW_FROM_F
-                r.rlen, r.qlen = z.rlen + 1, z.qlen
-                if r.H <= minv:
-                    continue
-                ok = extend_back(z)
-                for c in range(1, 6):
-                    if ok[c][2] == 0:
-                        continue
-                    r.lo, r.hi, r.lo_rc = int(ok[c][0]), int(ok[c][0] + ok[c][2]), int(ok[c][1])
-                    q, changed = _update_candset(h, r)
-                    if changed & (1 << 2):  # q->F updated
-                        _heap_insert1(heap, opt.n_best, r.H, UINT32_MAX)
-                        fpar.append((z.lo, z.hi))
-                        q.F_from, q.F_from_off = r.F_from, fpar_base + n_fpar
-                        n_fpar += 1
-                        if r.H - opt.gap_ext > minv:
-                            fstack.append(q.copy())
-
-        # rebuild the heap and the row
-        heap = []
-        for itr in h:
-            _heap_insert1(heap, opt.n_best, h.keys[itr].H, itr)
-        ks_heapsort(heap, _heap_lt)
-        assert heap
-        rows[i] = [h.keys[x & UINT32_MAX].copy() for x in heap]
-        if n_fpar > 0:
-            _track_F(h, fpar, rows[i])
-        if rows[i][0].H > best_score:
-            best_score, best_pos = rows[i][0].H, i * n_col
-        if i == g.n_node - 1:
-            _cell_dedup(rows[i])
-        if dbg_flag & DBG_SW:
-            import sys
-
-            sys.stderr.write(
-                "SW\t%d\t[%d,%d)\t%d\t%s\t%s\n"
-                % (i, t.lo, t.hi, len(rows[i]), ",".join(str(p) for p in t.pre),
-                   ",".join("%d(%d)" % (cl.H, cl.qlen - cl.rlen) for cl in rows[i]))
-            )
-    return rows, best_pos, best_score
+                t = w.g.node[i]
+                sys.stderr.write(
+                    "SW\t%d\t[%d,%d)\t%d\t%s\t%s\n"
+                    % (i, t.lo, t.hi, len(w.rows[i]), ",".join(str(p) for p in t.pre),
+                       ",".join("%d(%d)" % (cl.H, cl.qlen - cl.rlen) for cl in w.rows[i]))
+                )
+    return [(w.rows, w.best_pos, w.best_score) for w in ws]
 
 
 def _track_F(h: KhashlSet, fpar: list, row: list[Cell]) -> None:
@@ -511,9 +574,21 @@ def rb3_sw(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> list[SwHit]:
 
 
 def rb3_hapdiv(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> HapDiv | None:
-    g = dawg_gen_linear(seq)
-    rows, best_pos, best_score = sw_core(opt, f, g, seq, False, True)
-    if best_score >= opt.min_sc:
-        _, anno = sw_backtrack(opt, f, g, seq, rows, best_pos, True)
-        return anno
-    return None
+    return rb3_hapdiv_multi(opt, f, [seq])[0]
+
+
+def rb3_hapdiv_multi(opt: SwOpt, f: DenseFMIndex, seqs: list[np.ndarray]) -> list[HapDiv | None]:
+    """Batch hapdiv windows of equal length: all window DPs run lock-step so
+    their extends share vectorized ranks (sw_core_multi)."""
+    if not seqs:
+        return []
+    gs = [dawg_gen_linear(s) for s in seqs]
+    outs = sw_core_multi(opt, f, gs)
+    res: list[HapDiv | None] = []
+    for (rows, best_pos, best_score), g, seq in zip(outs, gs, seqs):
+        if best_score >= opt.min_sc:
+            _, anno = sw_backtrack(opt, f, g, seq, rows, best_pos, True)
+            res.append(anno)
+        else:
+            res.append(None)
+    return res

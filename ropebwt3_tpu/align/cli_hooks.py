@@ -7,7 +7,7 @@ import sys
 
 from ..nt6 import char2nt6, revcomp
 from ..seqio import read_seqs
-from .bwasw import RB3_SWF_E2E, RB3_SWF_HAPDIV, RB3_SWF_KEEP_RS, SwOpt, rb3_hapdiv, rb3_sw
+from .bwasw import RB3_SWF_E2E, RB3_SWF_HAPDIV, RB3_SWF_KEEP_RS, SwOpt, rb3_hapdiv_multi, rb3_sw
 
 _CIG = "MIDNSHP=X"
 _NT = "$ACGTN"
@@ -138,16 +138,18 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
             q = char2nt6(rec.seq)
             if len(q) < k:
                 continue
+            offs = list(range(0, len(q) - k + 1, w))
+            BATCH = 64  # windows per lock-step DP batch
             results = []
-            j = 0
-            while j + k <= len(q):
-                r = rb3_hapdiv(opt, f, q[j : j + k])
-                if r is None:
-                    from .bwasw import HapDiv
+            for b0 in range(0, len(offs), BATCH):
+                group = offs[b0 : b0 + BATCH]
+                rs = rb3_hapdiv_multi(opt, f, [q[j : j + k] for j in group])
+                for j, r in zip(group, rs):
+                    if r is None:
+                        from .bwasw import HapDiv
 
-                    r = HapDiv()
-                results.append((j, (r.n_al, r.max_ed, tuple(r.n_hap))))
-                j += w
+                        r = HapDiv()
+                    results.append((j, (r.n_al, r.max_ed, tuple(r.n_hap))))
             # merge identical consecutive windows
             i0 = 0
             for i1 in range(1, len(results) + 1):
