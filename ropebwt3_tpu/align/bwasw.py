@@ -60,8 +60,22 @@ class Cell:
 
     def copy(self) -> "Cell":
         c = Cell.__new__(Cell)
-        for s in Cell.__slots__:
-            setattr(c, s, getattr(self, s))
+        c.H = self.H
+        c.E = self.E
+        c.F = self.F
+        c.flt = self.flt
+        c.H_from = self.H_from
+        c.E_from = self.E_from
+        c.F_from = self.F_from
+        c.F_from_off = self.F_from_off
+        c.F_off_set = self.F_off_set
+        c.H_from_pos = self.H_from_pos
+        c.E_from_pos = self.E_from_pos
+        c.rlen = self.rlen
+        c.qlen = self.qlen
+        c.lo = self.lo
+        c.hi = self.hi
+        c.lo_rc = self.lo_rc
         return c
 
 
@@ -108,7 +122,7 @@ class HapDiv:
 
 def _update_candset(h: KhashlSet, p: Cell) -> tuple[Cell, int]:
     """sw_update_candset (bwa-sw.c:265-284). Returns (stored cell, changed)."""
-    itr, absent = h.put(p.copy())
+    itr, absent = h.put(p, copy_on_insert=True)
     if not absent:
         q = h.keys[itr]
         q.rlen = max(q.rlen, p.rlen)

@@ -92,8 +92,10 @@ class KhashlSet:
         self.bits = new_bits
         return 0
 
-    def put(self, key) -> tuple[int, bool]:
-        """Returns (bucket, absent). On absent the key object is stored as-is."""
+    def put(self, key, copy_on_insert: bool = False) -> tuple[int, bool]:
+        """Returns (bucket, absent). On absent the key object (or its .copy()
+        when copy_on_insert, saving a copy for the common present case) is
+        stored."""
         n_buckets = self.n_buckets
         if self.count >= _max_count(n_buckets):
             self.resize(n_buckets + 1)
@@ -106,7 +108,7 @@ class KhashlSet:
             if i == last:
                 break
         if not self.used[i]:
-            self.keys[i] = key
+            self.keys[i] = key.copy() if copy_on_insert else key
             self.used[i] = 1
             self.count += 1
             return i, True
