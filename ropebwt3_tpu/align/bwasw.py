@@ -160,8 +160,75 @@ def _heap_insert1(heap: list, maxn: int, score: int, id_: int) -> int:
     return 0
 
 
+def _native_sw_lib():
+    """The C++ DP core, or None (debug streams force the Python path so the
+    --dbg-* golden traces keep coming from the reference implementation)."""
+    import os
+
+    if dbg_flag or os.environ.get("RB3TPU_NATIVE_SW", "1") == "0":
+        return None
+    from ..native import get_sw_lib
+
+    return get_sw_lib()
+
+
+def native_sw_available() -> bool:
+    return _native_sw_lib() is not None
+
+
+def _sw_core_native(lib, opt: SwOpt, f: DenseFMIndex, g: Dawg):
+    """Run rb3t_sw_dp and rebuild rows as Cell lists for the Python backtrack."""
+    import ctypes
+
+    n_node, n_col = g.n_node, opt.n_best
+    node_c = np.empty(n_node, dtype=np.int32)
+    pre_off = np.zeros(n_node + 1, dtype=np.int32)
+    pres: list[int] = []
+    for i, nd in enumerate(g.node):
+        node_c[i] = nd.c
+        pres.extend(nd.pre)
+        pre_off[i + 1] = len(pres)
+    pre_flat = np.asarray(pres, dtype=np.int32)
+    opt9 = np.array(
+        [opt.flag, opt.n_best, opt.min_sc, opt.end_len, opt.match, opt.mis, opt.e2e_drop, opt.gap_open, opt.gap_ext],
+        dtype=np.int32,
+    )
+    row_len = np.zeros(n_node, dtype=np.int32)
+    sz = n_node * n_col
+    o64 = np.zeros((sz, 3), dtype=np.int64)
+    o32 = np.zeros((sz, 5), dtype=np.int32)
+    ou32 = np.zeros((sz, 3), dtype=np.uint32)
+    ou8 = np.zeros((sz, 5), dtype=np.uint8)
+    best = np.zeros(2, dtype=np.int64)
+    P = ctypes.c_void_p
+    lib.rb3t_sw_dp(
+        P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
+        int(f.n), P(opt9.ctypes.data), n_node, P(node_c.ctypes.data), P(pre_off.ctypes.data),
+        P(pre_flat.ctypes.data), P(row_len.ctypes.data), P(o64.ctypes.data), P(o32.ctypes.data),
+        P(ou32.ctypes.data), P(ou8.ctypes.data), P(best.ctypes.data),
+    )
+    rl = row_len.tolist()
+    l64, l32, lu32, lu8 = o64.tolist(), o32.tolist(), ou32.tolist(), ou8.tolist()
+    rows = []
+    for i in range(n_node):
+        row = []
+        for j in range(rl[i]):
+            b = i * n_col + j
+            c = Cell.__new__(Cell)
+            c.lo, c.hi, c.lo_rc = l64[b]
+            c.H, c.E, c.F, c.rlen, c.qlen = l32[b]
+            c.H_from_pos, c.E_from_pos, c.F_from_off = lu32[b]
+            c.H_from, c.E_from, c.F_from, c.F_off_set, c.flt = lu8[b]
+            row.append(c)
+        rows.append(row)
+    return rows, int(best[0]), int(best[1])
+
+
 def sw_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, want_rst: bool, want_anno: bool):
     """Returns (rows, best_pos, best_score). rows[i] = list[Cell]."""
+    lib = _native_sw_lib()
+    if lib is not None:
+        return _sw_core_native(lib, opt, f, g)
     (out,) = sw_core_multi(opt, f, [g])
     return out
 
@@ -591,11 +658,46 @@ def rb3_hapdiv(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> HapDiv | None:
     return rb3_hapdiv_multi(opt, f, [seq])[0]
 
 
+def _hapdiv_native(lib, opt: SwOpt, f: DenseFMIndex, seqs: list[np.ndarray]) -> list[HapDiv | None]:
+    import ctypes
+    import os
+
+    from ..nt6 import NT6_TABLE
+
+    k = len(seqs[0])
+    W = len(seqs)
+    buf = np.ascontiguousarray(NT6_TABLE[np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs])])
+    opt9 = np.array(
+        [opt.flag, opt.n_best, opt.min_sc, opt.end_len, opt.match, opt.mis, opt.e2e_drop, opt.gap_open, opt.gap_ext],
+        dtype=np.int32,
+    )
+    out = np.zeros((W, 10), dtype=np.int64)
+    P = ctypes.c_void_p
+    lib.rb3t_hapdiv_batch(
+        P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
+        int(f.n), P(opt9.ctypes.data), P(buf.ctypes.data), W, k, min(os.cpu_count() or 1, W), P(out.ctypes.data),
+    )
+    res: list[HapDiv | None] = []
+    for w in range(W):
+        if out[w, 0] >= opt.min_sc:
+            a = HapDiv()
+            a.n_al, a.max_ed = int(out[w, 1]), int(out[w, 2])
+            a.n_hap = [int(x) for x in out[w, 3:10]]
+            res.append(a)
+        else:
+            res.append(None)
+    return res
+
+
 def rb3_hapdiv_multi(opt: SwOpt, f: DenseFMIndex, seqs: list[np.ndarray]) -> list[HapDiv | None]:
     """Batch hapdiv windows of equal length: all window DPs run lock-step so
-    their extends share vectorized ranks (sw_core_multi)."""
+    their extends share vectorized ranks (sw_core_multi); with the native DP
+    core available the whole batch runs threaded in C++ instead."""
     if not seqs:
         return []
+    lib = _native_sw_lib()
+    if lib is not None and all(len(s) == len(seqs[0]) for s in seqs):
+        return _hapdiv_native(lib, opt, f, seqs)
     gs = [dawg_gen_linear(s) for s in seqs]
     outs = sw_core_multi(opt, f, gs)
     res: list[HapDiv | None] = []

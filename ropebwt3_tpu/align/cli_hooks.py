@@ -139,7 +139,11 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
             if len(q) < k:
                 continue
             offs = list(range(0, len(q) - k + 1, w))
-            BATCH = 64  # windows per lock-step DP batch
+            from .bwasw import native_sw_available
+
+            # native DP threads across the whole window set; the Python
+            # lock-step path chunks to bound per-batch state
+            BATCH = len(offs) if native_sw_available() else 64
             results = []
             for b0 in range(0, len(offs), BATCH):
                 group = offs[b0 : b0 + BATCH]

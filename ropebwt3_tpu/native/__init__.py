@@ -13,9 +13,23 @@ import subprocess
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "rld_codec.cpp")
 _SO = os.path.join(_DIR, "_rld_codec.so")
+_SW_SRC = os.path.join(_DIR, "bwasw_core.cpp")
+_SW_SO = os.path.join(_DIR, "_bwasw_core.so")
 
 _lib = None
 _tried = False
+_sw_lib = None
+_sw_tried = False
+
+
+def _build(src: str, so: str) -> None:
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread", "-o", so + ".tmp", src],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(so + ".tmp", so)
 
 
 def get_lib():
@@ -26,13 +40,7 @@ def get_lib():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
-                check=True,
-                capture_output=True,
-            )
-            os.replace(_SO + ".tmp", _SO)
+        _build(_SRC, _SO)
         lib = ctypes.CDLL(_SO)
         lib.rb3t_fmd_decode.restype = ctypes.c_int64
         lib.rb3t_fmd_decode.argtypes = [
@@ -51,3 +59,23 @@ def get_lib():
     except Exception:
         _lib = None
     return _lib
+
+
+def get_sw_lib():
+    """BWA-SW native DP core (bwasw_core.cpp); None if unavailable."""
+    global _sw_lib, _sw_tried
+    if _sw_lib is not None or _sw_tried:
+        return _sw_lib
+    _sw_tried = True
+    try:
+        _build(_SW_SRC, _SW_SO)
+        lib = ctypes.CDLL(_SW_SO)
+        V, I32, I64 = ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64
+        lib.rb3t_sw_dp.restype = None
+        lib.rb3t_sw_dp.argtypes = [V, V, V, V, I64, V, I32, V, V, V, V, V, V, V, V, V]
+        lib.rb3t_hapdiv_batch.restype = None
+        lib.rb3t_hapdiv_batch.argtypes = [V, V, V, V, I64, V, V, I64, I64, I32, V]
+        _sw_lib = lib
+    except Exception:
+        _sw_lib = None
+    return _sw_lib
