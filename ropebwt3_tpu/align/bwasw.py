@@ -160,6 +160,14 @@ def _heap_insert1(heap: list, maxn: int, score: int, id_: int) -> int:
     return 0
 
 
+def _opt_arr(opt: SwOpt) -> np.ndarray:
+    return np.array(
+        [opt.flag, opt.n_best, opt.min_sc, opt.end_len, opt.match, opt.mis, opt.e2e_drop,
+         opt.gap_open, opt.gap_ext, opt.min_mem_len],
+        dtype=np.int32,
+    )
+
+
 def _native_sw_lib():
     """The C++ DP core, or None (debug streams force the Python path so the
     --dbg-* golden traces keep coming from the reference implementation)."""
@@ -189,10 +197,7 @@ def _sw_core_native(lib, opt: SwOpt, f: DenseFMIndex, g: Dawg):
         pres.extend(nd.pre)
         pre_off[i + 1] = len(pres)
     pre_flat = np.asarray(pres, dtype=np.int32)
-    opt9 = np.array(
-        [opt.flag, opt.n_best, opt.min_sc, opt.end_len, opt.match, opt.mis, opt.e2e_drop, opt.gap_open, opt.gap_ext],
-        dtype=np.int32,
-    )
+    opt10 = _opt_arr(opt)
     row_len = np.zeros(n_node, dtype=np.int32)
     sz = n_node * n_col
     o64 = np.zeros((sz, 3), dtype=np.int64)
@@ -203,7 +208,7 @@ def _sw_core_native(lib, opt: SwOpt, f: DenseFMIndex, g: Dawg):
     P = ctypes.c_void_p
     lib.rb3t_sw_dp(
         P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
-        int(f.n), P(opt9.ctypes.data), n_node, P(node_c.ctypes.data), P(pre_off.ctypes.data),
+        int(f.n), P(opt10.ctypes.data), n_node, P(node_c.ctypes.data), P(pre_off.ctypes.data),
         P(pre_flat.ctypes.data), P(row_len.ctypes.data), P(o64.ctypes.data), P(o32.ctypes.data),
         P(ou32.ctypes.data), P(ou8.ctypes.data), P(best.ctypes.data),
     )
@@ -628,7 +633,85 @@ def sw_backtrack(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, rows, b
 # ---------------------------------------------------------------------------
 
 
-def rb3_sw(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> list[SwHit]:
+def _attach_positions(opt: SwOpt, f: DenseFMIndex, hits: list[SwHit]) -> None:
+    """Fill hit.pos via the sampled SA (bwa-sw.c:547-557)."""
+    if f.ssa is None:
+        return
+    from ..ssa_ops import ssa_multi
+
+    rest = opt.max_pos
+    for hit in hits:
+        n = rest if rest > 0 else 1
+        hit.pos = ssa_multi(f, f.ssa, hit.lo, hit.hi, n)
+        rest -= len(hit.pos)
+
+
+def _parse_sw_blob(buf: bytes, n_reads: int) -> list[list[SwHit]]:
+    off_table = np.frombuffer(buf, dtype=np.int64, count=n_reads + 1)
+    base = (n_reads + 1) * 8
+    mv = memoryview(buf)
+    out: list[list[SwHit]] = []
+    for r in range(n_reads):
+        o = base + int(off_table[r])
+        n_hits = int.from_bytes(mv[o : o + 8], "little")
+        o += 8
+        hits: list[SwHit] = []
+        for _ in range(n_hits):
+            score, qlen, rlen, mlen, blen, lo, hi, nc, nq, nrs, ncs = (
+                int(v) for v in np.frombuffer(mv, dtype=np.int64, count=11, offset=o)
+            )
+            o += 88
+            h = SwHit(score=score, qlen=qlen, rlen=rlen, n_cigar=nc, cs_len=ncs, blen=blen, mlen=mlen, lo=lo, hi=hi)
+            h.cigar = np.frombuffer(mv, dtype=np.uint32, count=nc, offset=o).tolist()
+            o += nc * 4
+            h.qoff = np.frombuffer(mv, dtype=np.int32, count=nq, offset=o).tolist()
+            o += nq * 4
+            h.rseq = list(mv[o : o + nrs])
+            o += nrs
+            h.cs = bytes(mv[o : o + ncs]).decode()
+            o += ncs
+            o = (o + 7) & ~7
+            hits.append(h)
+        out.append(hits)
+    return out
+
+
+def rb3_sw_batch(opt: SwOpt, f: DenseFMIndex, seqs: list[np.ndarray]) -> list[list[SwHit]]:
+    """Batch of reads through the native full-sw path (threaded); falls back
+    to per-read Python when the native core is unavailable."""
+    lib = _native_sw_lib()
+    if lib is None:
+        return [_rb3_sw_python(opt, f, s) for s in seqs]
+    import ctypes
+    import os
+
+    from ..nt6 import NT6_TABLE
+
+    n_reads = len(seqs)
+    if n_reads == 0:
+        return []
+    flat = np.ascontiguousarray(NT6_TABLE[np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs])])
+    seq_off = np.zeros(n_reads + 1, dtype=np.int64)
+    seq_off[1:] = np.cumsum([len(s) for s in seqs])
+    opt10 = _opt_arr(opt)
+    out_len = ctypes.c_int64(0)
+    P = ctypes.c_void_p
+    ptr = lib.rb3t_sw_batch(
+        P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
+        int(f.n), P(opt10.ctypes.data), P(flat.ctypes.data), P(seq_off.ctypes.data), n_reads,
+        min(os.cpu_count() or 1, n_reads), ctypes.byref(out_len),
+    )
+    try:
+        raw = ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.rb3t_buf_free(ptr)
+    hits_lists = _parse_sw_blob(raw, n_reads)
+    for hits in hits_lists:
+        _attach_positions(opt, f, hits)
+    return hits_lists
+
+
+def _rb3_sw_python(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> list[SwHit]:
     from ..ops.smem_ref import smem_present
 
     if opt.min_mem_len > 0 and opt.min_mem_len > opt.end_len:
@@ -643,15 +726,14 @@ def rb3_sw(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> list[SwHit]:
     if best_score >= opt.min_sc:
         hits, _ = sw_backtrack(opt, f, g, seq, rows, best_pos, False)
         hits = hits or []
-    if f.ssa is not None:
-        from ..ssa_ops import ssa_multi
-
-        rest = opt.max_pos
-        for hit in hits:
-            n = rest if rest > 0 else 1
-            hit.pos = ssa_multi(f, f.ssa, hit.lo, hit.hi, n)
-            rest -= len(hit.pos)
+    _attach_positions(opt, f, hits)
     return hits
+
+
+def rb3_sw(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> list[SwHit]:
+    if _native_sw_lib() is not None:
+        return rb3_sw_batch(opt, f, [seq])[0]
+    return _rb3_sw_python(opt, f, seq)
 
 
 def rb3_hapdiv(opt: SwOpt, f: DenseFMIndex, seq: np.ndarray) -> HapDiv | None:
@@ -667,15 +749,12 @@ def _hapdiv_native(lib, opt: SwOpt, f: DenseFMIndex, seqs: list[np.ndarray]) -> 
     k = len(seqs[0])
     W = len(seqs)
     buf = np.ascontiguousarray(NT6_TABLE[np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs])])
-    opt9 = np.array(
-        [opt.flag, opt.n_best, opt.min_sc, opt.end_len, opt.match, opt.mis, opt.e2e_drop, opt.gap_open, opt.gap_ext],
-        dtype=np.int32,
-    )
+    opt10 = _opt_arr(opt)
     out = np.zeros((W, 10), dtype=np.int64)
     P = ctypes.c_void_p
     lib.rb3t_hapdiv_batch(
         P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
-        int(f.n), P(opt9.ctypes.data), P(buf.ctypes.data), W, k, min(os.cpu_count() or 1, W), P(out.ctypes.data),
+        int(f.n), P(opt10.ctypes.data), P(buf.ctypes.data), W, k, min(os.cpu_count() or 1, W), P(out.ctypes.data),
     )
     res: list[HapDiv | None] = []
     for w in range(W):

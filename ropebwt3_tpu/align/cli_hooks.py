@@ -92,35 +92,65 @@ def write_all_hits(out, name: str, qlen: int, hits, strand: str, max_all_out: in
     out.write("//\n")
 
 
+def _emit_sw(out, f, sw_opts, name, q, hits, minus_hits) -> None:
+    if sw_opts["write_all"]:
+        write_all_hits(out, name, len(q), hits, "+", sw_opts["max_all_out"])
+        if sw_opts["both_dir"]:
+            write_all_hits(out, name, len(q), minus_hits, "-", sw_opts["max_all_out"])
+    else:
+        if hits:
+            for h in hits:
+                write_paf(out, f, h, name, len(q), sw_opts["keep_rs"])
+        elif sw_opts["write_unmap"]:
+            out.write(f"{name}\t{len(q)}\t*\t*\t*\t*\t*\t*\t*\t0\t0\t0\n")
+
+
 def run_sw_cli(f, files, is_line, sw_opts) -> int:
+    from . import bwasw as _bw
+
     opt = _opt_from_dict(sw_opts)
     out = sys.stdout
     if sw_opts["write_all"]:
         out.write("CC\tQS  queryName  queryLen  numHap\n")
         out.write("CC\tQH  refCount   score     editDist   cs   strand   nOut   totAln\n")
         out.write("CC\n")
+    both = sw_opts["write_all"] and sw_opts["both_dir"]
+    use_batch = _bw.native_sw_available()
+    BATCH = 512
     seq_id = 0
+
+    def flush(batch):
+        nonlocal out
+        qs = [q for _, q in batch]
+        if both:
+            allq = qs + [revcomp(q) for q in qs]
+            allh = _bw.rb3_sw_batch(opt, f, allq)
+            fwd, rev = allh[: len(qs)], allh[len(qs) :]
+        else:
+            fwd = _bw.rb3_sw_batch(opt, f, qs)
+            rev = [None] * len(qs)
+        for (name, q), hits, mh in zip(batch, fwd, rev):
+            _emit_sw(out, f, sw_opts, name, q, hits, mh)
+
+    batch: list = []
     for fn in files:
         for rec in read_seqs(fn, is_line):
             seq_id += 1
             name = rec.name if rec.name else f"seq{seq_id}"
-            from . import bwasw as _bw
-
             if _bw.dbg_flag & _bw.DBG_QNAME:
                 sys.stderr.write(f"Q\t{name}\t0\n")
             q = char2nt6(rec.seq)
-            hits = rb3_sw(opt, f, q)
-            if sw_opts["write_all"]:
-                write_all_hits(out, name, len(q), hits, "+", sw_opts["max_all_out"])
-                if sw_opts["both_dir"]:
-                    qr = revcomp(q)
-                    write_all_hits(out, name, len(q), rb3_sw(opt, f, qr), "-", sw_opts["max_all_out"])
+            if use_batch:
+                batch.append((name, q))
+                if len(batch) >= BATCH:
+                    flush(batch)
+                    batch = []
             else:
-                if hits:
-                    for h in hits:
-                        write_paf(out, f, h, name, len(q), sw_opts["keep_rs"])
-                elif sw_opts["write_unmap"]:
-                    out.write(f"{name}\t{len(q)}\t*\t*\t*\t*\t*\t*\t*\t0\t0\t0\n")
+                hits = rb3_sw(opt, f, q)
+                mh = rb3_sw(opt, f, revcomp(q)) if both else None
+                _emit_sw(out, f, sw_opts, name, q, hits, mh)
+    if batch:
+        flush(batch)
     return 0
 
 

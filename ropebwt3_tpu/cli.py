@@ -66,20 +66,23 @@ def load_index(fn: str, load_ssa: bool = False, load_sid: bool = False) -> Dense
 
     from . import log
 
-    # Optional dense-table sidecar (the analog of the reference's mmap -M):
-    # RB3TPU_CACHE=1 caches the decoded occ tables next to the index so
-    # repeated queries skip the run-length decode.
-    cache_fn = fn + ".dense.npz"
-    use_cache = os.environ.get("RB3TPU_CACHE") == "1"
+    # Dense-table sidecar (the analog of the reference's mmap -M,
+    # rld0.c:322-341): on by default, the first query load writes
+    # `<index>.dense` and later loads are a single mmap.  RB3TPU_CACHE=0
+    # disables both reading and writing it.
+    from .index.sidecar import read_sidecar, write_sidecar
+
+    cache_fn = fn + ".dense"
+    use_cache = os.environ.get("RB3TPU_CACHE", "1") != "0"
+    f = None
     if use_cache and os.path.exists(cache_fn) and os.path.getmtime(cache_fn) >= os.path.getmtime(fn):
-        z = np.load(cache_fn)
-        f = DenseFMIndex(bwt=z["bwt"], n=int(z["n"]), acc=z["acc"], occ_block=z["occ_block"], occ_super=z["occ_super"])
-    else:
+        f = read_sidecar(cache_fn)
+    if f is None:
         syms, lens = load_runs(fn)
         f = DenseFMIndex.from_runs(syms, lens)
         if use_cache:
             try:
-                np.savez(cache_fn, bwt=f.bwt, n=f.n, acc=f.acc, occ_block=f.occ_block, occ_super=f.occ_super)
+                write_sidecar(cache_fn, f)
             except OSError:
                 pass
     log.info("loaded the BWT", func="load_index")

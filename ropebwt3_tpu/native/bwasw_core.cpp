@@ -10,8 +10,11 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <string>
 #include <thread>
+#include <unordered_map>
 #include <utility>
 #include <vector>
 
@@ -25,8 +28,14 @@ constexpr int SW_FROM_H = 0, SW_FROM_E = 1, SW_FROM_F = 2;
 constexpr int SW_FROM_OPEN = 0, SW_FROM_EXT = 1;
 
 struct Opt {
-  int32_t flag, n_best, min_sc, end_len, match, mis, e2e_drop, gap_open, gap_ext;
+  int32_t flag, n_best, min_sc, end_len, match, mis, e2e_drop, gap_open, gap_ext, min_mem_len;
 };
+
+static Opt opt_from(const int32_t* o) {
+  return Opt{o[0], o[1], o[2], o[3], o[4], o[5], o[6], o[7], o[8], o[9]};
+}
+
+constexpr int RB3_SWF_E2E = 1;
 
 struct Fmi {
   const uint8_t* bwt;
@@ -606,6 +615,388 @@ static void hapdiv_one(Engine& eng, const uint8_t* seq, int64_t k, int64_t* out1
   for (int i = 0; i < 7; ++i) out10[3 + i] = n_hap[i];
 }
 
+// ---- query BWT + prefix DAWG (align/bwtl.py; dawg.c:15-255) --------------
+
+// prefix-doubling suffix array; the SA of a string is unique, so this matches
+// construct/sa.suffix_array_doubling output exactly
+static std::vector<int32_t> suffix_array(const uint8_t* s, int32_t n) {
+  std::vector<int32_t> sa(n), rank(n), tmp(n);
+  for (int32_t i = 0; i < n; ++i) {
+    sa[i] = i;
+    rank[i] = s[i];
+  }
+  for (int32_t k = 1;; k <<= 1) {
+    auto cmp = [&](int32_t a, int32_t b) {
+      if (rank[a] != rank[b]) return rank[a] < rank[b];
+      int32_t ra = a + k < n ? rank[a + k] : -1;
+      int32_t rb = b + k < n ? rank[b + k] : -1;
+      return ra < rb;
+    };
+    std::sort(sa.begin(), sa.end(), cmp);
+    tmp[sa[0]] = 0;
+    for (int32_t i = 1; i < n; ++i) tmp[sa[i]] = tmp[sa[i - 1]] + (cmp(sa[i - 1], sa[i]) ? 1 : 0);
+    rank = tmp;
+    if (rank[sa[n - 1]] == n - 1) break;
+  }
+  return sa;
+}
+
+struct Bwtl {  // align/bwtl.py Bwtl (dawg.c:15-103 rb3_bwtl_t)
+  int32_t seq_len = 0;
+  std::vector<int32_t> sa;   // [n+1], sa[0] = n
+  std::vector<uint8_t> bwt;  // [n] 2-bit symbols, $ removed
+  std::vector<int32_t> occ;  // checkpoints every 16
+  int32_t acc[5] = {0, 0, 0, 0, 0};
+  int32_t primary = 0;
+
+  void rank1a(int32_t k, int32_t cnt[4]) const {
+    if (k > primary) --k;  // $ is not in bwt
+    int32_t blk = k >> 4;
+    for (int c = 0; c < 4; ++c) cnt[c] = occ[blk * 4 + c];
+    for (int32_t i = blk << 4; i < k; ++i) ++cnt[bwt[i]];
+  }
+};
+
+static void bwtl_gen_cpp(const uint8_t* seq, int32_t n, Bwtl& q) {
+  std::vector<uint8_t> s8(n);
+  for (int32_t i = 0; i < n; ++i) s8[i] = seq[i] == 5 ? 1 : seq[i];  // ambiguous -> A
+  q.seq_len = n;
+  q.sa.assign(n + 1, 0);
+  q.sa[0] = n;
+  if (n > 0) {
+    std::vector<int32_t> sa = suffix_array(s8.data(), n);
+    for (int32_t i = 0; i < n; ++i) q.sa[i + 1] = sa[i];
+  }
+  q.primary = 0;
+  for (int32_t i = 0; i <= n; ++i)
+    if (q.sa[i] == 0) {
+      q.primary = i;
+      break;
+    }
+  std::vector<uint8_t> s(n + 1, 0);
+  for (int32_t i = 0; i <= n; ++i)
+    if (q.sa[i] != 0) s[i] = s8[q.sa[i] - 1] - 1;
+  s.erase(s.begin() + q.primary);  // drop the $ column
+  q.bwt.assign(s.begin(), s.begin() + n);
+  int32_t occ_len = (n + 16) / 16 * 4;
+  q.occ.assign(occ_len, 0);
+  int32_t c[4] = {0, 0, 0, 0};
+  for (int32_t i = 0; i < n; ++i) {
+    if (i % 16 == 0)
+      for (int j = 0; j < 4; ++j) q.occ[(i / 16) * 4 + j] = c[j];
+    ++c[s[i]];
+  }
+  if (n % 16 == 0 && (n / 16) * 4 < occ_len)
+    for (int j = 0; j < 4; ++j) q.occ[(n / 16) * 4 + j] = c[j];
+  q.acc[0] = 1;
+  for (int j = 0; j < 4; ++j) q.acc[j + 1] = q.acc[j] + c[j];
+}
+
+struct DawgOwned {
+  int32_t n_node = 0;
+  std::vector<int32_t> c;
+  std::vector<int32_t> lo, hi;  // query SA interval per node; hi = -1 for linear
+  std::vector<int32_t> pre_off, pre;
+  Dawg view() const { return Dawg{n_node, c.data(), pre_off.data(), pre.data()}; }
+};
+
+static void dawg_gen_cpp(const Bwtl& q, DawgOwned& g) {  // dawg.c:109-228
+  std::unordered_map<uint64_t, int32_t> deg;
+  const uint64_t root_key = (uint64_t)(uint32_t)(q.seq_len + 1);  // lo=0, hi=len+1
+  deg[root_key] = 0;
+  std::vector<uint64_t> stack = {root_key};
+  int32_t rlo4[4], rhi4[4];
+  // pass 1: in-degrees via DFS over distinct SA intervals
+  while (!stack.empty()) {
+    uint64_t x = stack.back();
+    stack.pop_back();
+    q.rank1a((int32_t)(x >> 32), rlo4);
+    q.rank1a((int32_t)(x & 0xFFFFFFFFu), rhi4);
+    for (int c = 3; c >= 0; --c) {
+      int32_t lo = q.acc[c] + rlo4[c], hi = q.acc[c] + rhi4[c];
+      if (lo == hi) continue;
+      uint64_t key = ((uint64_t)(uint32_t)lo << 32) | (uint32_t)hi;
+      auto it = deg.find(key);
+      if (it == deg.end()) {
+        deg.emplace(key, 1);
+        stack.push_back(key);
+      } else {
+        ++it->second;
+      }
+    }
+  }
+  // pass 2: emit nodes in topological order
+  g.c.assign(1, 0);
+  g.lo.assign(1, 0);
+  g.hi.assign(1, q.seq_len + 1);
+  std::unordered_map<uint64_t, int32_t> ids, cnt;
+  stack.assign(1, root_key);
+  while (!stack.empty()) {
+    uint64_t x = stack.back();
+    stack.pop_back();
+    q.rank1a((int32_t)(x >> 32), rlo4);
+    q.rank1a((int32_t)(x & 0xFFFFFFFFu), rhi4);
+    for (int c = 3; c >= 0; --c) {
+      int32_t lo = q.acc[c] + rlo4[c], hi = q.acc[c] + rhi4[c];
+      if (lo == hi) continue;
+      uint64_t key = ((uint64_t)(uint32_t)lo << 32) | (uint32_t)hi;
+      if (++cnt[key] == deg[key]) {
+        ids[key] = (int32_t)g.c.size();
+        g.lo.push_back(lo);
+        g.hi.push_back(hi);
+        g.c.push_back(c + 1);
+        stack.push_back(key);
+      }
+    }
+  }
+  g.n_node = (int32_t)g.c.size();
+  // predecessors, in (node, symbol) scan order like the Python spec
+  std::vector<std::vector<int32_t>> pres(g.n_node);
+  for (int32_t i = 0; i < g.n_node; ++i) {
+    q.rank1a(g.lo[i], rlo4);
+    q.rank1a(g.hi[i], rhi4);
+    for (int c = 0; c < 4; ++c) {
+      int32_t lo = q.acc[c] + rlo4[c], hi = q.acc[c] + rhi4[c];
+      if (lo == hi) continue;
+      uint64_t key = ((uint64_t)(uint32_t)lo << 32) | (uint32_t)hi;
+      pres[ids[key]].push_back(i);
+    }
+  }
+  g.pre_off.assign(g.n_node + 1, 0);
+  g.pre.clear();
+  for (int32_t i = 0; i < g.n_node; ++i) {
+    for (int32_t p : pres[i]) g.pre.push_back(p);
+    g.pre_off[i + 1] = (int32_t)g.pre.size();
+  }
+}
+
+static void dawg_linear(const uint8_t* seq, int32_t n, DawgOwned& g) {  // dawg.c:230-250
+  g.n_node = n + 1;
+  g.c.assign(n + 1, 0);
+  g.c[0] = -1;
+  g.lo.assign(n + 1, 0);
+  g.hi.assign(n + 1, -1);
+  g.lo[0] = n;
+  g.pre_off.assign(n + 2, 0);
+  g.pre.assign(n > 0 ? n : 0, 0);
+  for (int32_t j = 1; j <= n; ++j) {
+    g.lo[j] = n - j;
+    g.c[j] = seq[n - j];
+    g.pre[j - 1] = j - 1;
+    g.pre_off[j + 1] = j;
+  }
+}
+
+// ---- SMEM-present prefilter (fm-index.c:530-538; ops/smem_ref.py) --------
+
+static bool smem_present_cpp(const Fmi& f, RankCache& rc, const uint8_t* q, int32_t n, int32_t min_len) {
+  int32_t x = 0;
+  while (x < n) {
+    if (n - x < min_len) return false;
+    int c0 = q[x + min_len - 1];
+    int comp0 = (c0 >= 1 && c0 <= 4) ? 5 - c0 : c0;
+    int64_t ik_lo = f.acc[c0], ik_rc = f.acc[comp0], ik_sz = f.acc[c0 + 1] - f.acc[c0];
+    int32_t i = x + min_len - 2;
+    Ext e;
+    while (i >= x) {
+      extend_back(f, ik_lo, ik_rc, ik_sz, e, rc);
+      int c = q[i];
+      if (e.sz[c] < 1) break;
+      ik_lo = e.lo[c];
+      ik_rc = e.rc[c];
+      ik_sz = e.sz[c];
+      --i;
+    }
+    if (i >= x) {
+      x = i + 1;
+      continue;
+    }
+    return true;
+  }
+  return false;
+}
+
+// ---- full backtrack (align/bwasw.py _backtrack1*, _cs_core) --------------
+
+struct Hit {
+  int32_t score = 0, qlen = 0, rlen = 0, mlen = 0, blen = 0;
+  int64_t lo = 0, hi = 0;
+  std::vector<uint32_t> cigar;
+  std::vector<uint8_t> rseq;  // one entry per walk step (matches the Python spec)
+  std::vector<int32_t> qoff;
+  std::string cs;
+};
+
+static int backtrack1_fill(const Opt& o, const Fmi& f, const DawgOwned& g,
+                           const std::vector<std::vector<Cell>>& rows, int64_t pos, Hit& hit) {
+  int n_col = o.n_best;
+  int last = 0, last_op = -1, ed = 0;
+  hit.score = rows[pos / n_col][pos % n_col].H;
+  hit.rlen = hit.qlen = 0;
+  hit.cigar.clear();
+  hit.rseq.clear();
+  while (pos > 0) {
+    int64_t r = pos / n_col;
+    const Cell& p = rows[r][pos % n_col];
+    int x = p.H_from | (p.E_from << 2) | (p.F_from << 3);
+    int state = last == 0 ? (x & 3) : last;
+    int ext = (state == 1 || state == 2) ? (x >> (state + 1)) & 1 : 0;
+    int c = ref_base(f.acc, p.lo);
+    int op = state;
+    if (state == SW_FROM_H) {
+      op = (c == g.c[r]) ? 7 : 8;
+      pos = p.H_from_pos;
+      ed += op == 8;
+    } else if (state == SW_FROM_E) {
+      pos = p.E_from_pos;
+      ++ed;
+    } else {
+      pos = r * n_col + p.F_from_off;
+      ++ed;
+    }
+    hit.rseq.push_back((uint8_t)c);
+    if (last_op == op) hit.cigar.back() += 1u << 4;
+    else hit.cigar.push_back((1u << 4) | (uint32_t)op);
+    if (op == 7 || op == 8) {
+      ++hit.qlen;
+      ++hit.rlen;
+    } else if (op == 1) {
+      ++hit.qlen;
+    } else if (op == 2) {
+      ++hit.rlen;
+    }
+    last_op = op;
+    last = ((state == 1 || state == 2) && ext) ? state : 0;
+  }
+  return ed;
+}
+
+static const char CS_CH[] = "$acgtn";
+
+static void cs_core(Hit& hit, const uint8_t* qseq) {
+  std::string out;
+  int64_t x = 0, y = hit.qoff.empty() ? 0 : hit.qoff[0];
+  for (uint32_t cval : hit.cigar) {
+    int op = cval & 0xF;
+    int64_t ln = cval >> 4;
+    if (op == 7) {
+      out += ':';
+      out += std::to_string(ln);
+      x += ln;
+      y += ln;
+    } else if (op == 8) {
+      for (int64_t i = 0; i < ln; ++i) {
+        out += '*';
+        out += CS_CH[qseq[y + i]];
+        out += CS_CH[hit.rseq[x + i]];
+      }
+      x += ln;
+      y += ln;
+    } else if (op == 1) {
+      out += '+';
+      for (int64_t i = 0; i < ln; ++i) out += CS_CH[qseq[y + i]];
+      y += ln;
+    } else if (op == 2) {
+      out += '-';
+      for (int64_t i = 0; i < ln; ++i) out += CS_CH[hit.rseq[x + i]];
+      x += ln;
+    }
+  }
+  hit.cs = std::move(out);
+}
+
+static void backtrack1(const Opt& o, const Fmi& f, const DawgOwned& g, const Bwtl* qb,
+                       const std::vector<std::vector<Cell>>& rows, const uint8_t* qseq,
+                       int64_t pos, Hit& hit) {
+  int n_col = o.n_best;
+  int64_t r = pos / n_col;
+  const Cell& q = rows[r][pos % n_col];
+  hit.lo = q.lo;
+  hit.hi = q.hi;
+  hit.qoff.clear();
+  if (g.hi[r] >= 0)
+    for (int32_t k = g.lo[r]; k < g.hi[r]; ++k) hit.qoff.push_back(qb->sa[k]);
+  else
+    hit.qoff.push_back(g.lo[r]);
+  backtrack1_fill(o, f, g, rows, pos, hit);
+  cs_core(hit, qseq);
+  hit.mlen = hit.blen = 0;
+  for (uint32_t cval : hit.cigar) {
+    int op = cval & 0xF;
+    int32_t ln = (int32_t)(cval >> 4);
+    hit.blen += ln;
+    if (op == 7) hit.mlen += ln;
+  }
+}
+
+// ---- one full sw read (rb3_sw: prefilter + DAWG + DP + backtrack) --------
+
+static void sw_read(Engine& eng, const uint8_t* seq, int32_t n, std::vector<Hit>& hits) {
+  const Opt& o = eng.o;
+  hits.clear();
+  if (o.min_mem_len > 0 && o.min_mem_len > o.end_len &&
+      !smem_present_cpp(eng.f, eng.cache, seq, n, o.min_mem_len))
+    return;
+  DawgOwned g;
+  Bwtl qb;
+  bool e2e = (o.flag & RB3_SWF_E2E) != 0;
+  if (e2e) {
+    dawg_linear(seq, n, g);
+  } else {
+    bwtl_gen_cpp(seq, n, qb);
+    dawg_gen_cpp(qb, g);
+  }
+  eng.run(g.view());
+  if (eng.best_score < o.min_sc) return;
+  int n_col = o.n_best;
+  if (e2e) {
+    const std::vector<Cell>& prow = eng.rows[g.n_node - 1];
+    if (prow.empty()) return;
+    int32_t H0 = prow[0].H;
+    for (size_t i = 0; i < prow.size(); ++i) {
+      const Cell& q = prow[i];
+      if (q.flt || q.H_from != SW_FROM_H || q.H < o.min_sc) continue;
+      if (o.e2e_drop >= 0 && H0 - q.H > o.e2e_drop) continue;
+      hits.emplace_back();
+      backtrack1(o, eng.f, g, &qb, eng.rows, seq, (int64_t)(g.n_node - 1) * n_col + (int64_t)i,
+                 hits.back());
+    }
+  } else {
+    hits.emplace_back();
+    backtrack1(o, eng.f, g, &qb, eng.rows, seq, eng.best_pos, hits.back());
+  }
+}
+
+// ---- hit blob serialization ----------------------------------------------
+
+static void put_i64(std::string& s, int64_t v) { s.append((const char*)&v, 8); }
+static void put_bytes(std::string& s, const void* p, size_t n) { s.append((const char*)p, n); }
+static void pad8(std::string& s) {
+  while (s.size() & 7) s.push_back(0);
+}
+
+static void serialize_hits(const std::vector<Hit>& hits, std::string& b) {
+  put_i64(b, (int64_t)hits.size());
+  for (const Hit& h : hits) {
+    put_i64(b, h.score);
+    put_i64(b, h.qlen);
+    put_i64(b, h.rlen);
+    put_i64(b, h.mlen);
+    put_i64(b, h.blen);
+    put_i64(b, h.lo);
+    put_i64(b, h.hi);
+    put_i64(b, (int64_t)h.cigar.size());
+    put_i64(b, (int64_t)h.qoff.size());
+    put_i64(b, (int64_t)h.rseq.size());
+    put_i64(b, (int64_t)h.cs.size());
+    put_bytes(b, h.cigar.data(), h.cigar.size() * 4);
+    put_bytes(b, h.qoff.data(), h.qoff.size() * 4);
+    put_bytes(b, h.rseq.data(), h.rseq.size());
+    put_bytes(b, h.cs.data(), h.cs.size());
+    pad8(b);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -618,7 +1009,7 @@ void rb3t_sw_dp(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* oc
                 int32_t* row_len, int64_t* out_i64, int32_t* out_i32, uint32_t* out_u32,
                 uint8_t* out_u8, int64_t* out_best) {
   Fmi f{bwt, occ_block, occ_super, acc, n};
-  Opt o{opt9[0], opt9[1], opt9[2], opt9[3], opt9[4], opt9[5], opt9[6], opt9[7], opt9[8]};
+  Opt o = opt_from(opt9);
   Engine eng;
   eng.f = f;
   eng.o = o;
@@ -659,7 +1050,7 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
                        const int64_t* acc, int64_t n, const int32_t* opt9, const uint8_t* seqs,
                        int64_t n_win, int64_t k, int32_t n_threads, int64_t* out) {
   Fmi f{bwt, occ_block, occ_super, acc, n};
-  Opt o{opt9[0], opt9[1], opt9[2], opt9[3], opt9[4], opt9[5], opt9[6], opt9[7], opt9[8]};
+  Opt o = opt_from(opt9);
   if (n_threads < 1) n_threads = 1;
   auto work = [&](int64_t w0, int64_t w1) {
     Engine eng;
@@ -680,5 +1071,64 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
   }
   for (std::thread& t : th) t.join();
 }
+
+// Batched full sw reads (prefilter + DAWG + DP + backtrack), threaded.
+// seqs: concatenated nt6 reads, seq_off: [n_reads+1] offsets.  Returns a
+// malloc'd buffer: [n_reads+1 int64 blob offsets][per-read hit blobs]
+// (layout in serialize_hits); caller frees with rb3t_buf_free.
+uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
+                       const int64_t* acc, int64_t n, const int32_t* opt10, const uint8_t* seqs,
+                       const int64_t* seq_off, int64_t n_reads, int32_t n_threads,
+                       int64_t* out_len) {
+  Fmi f{bwt, occ_block, occ_super, acc, n};
+  Opt o = opt_from(opt10);
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::string> blobs(n_reads);
+  auto work = [&](int64_t r0, int64_t r1) {
+    Engine eng;
+    eng.f = f;
+    eng.o = o;
+    std::vector<Hit> hits;
+    for (int64_t r = r0; r < r1; ++r) {
+      sw_read(eng, seqs + seq_off[r], (int32_t)(seq_off[r + 1] - seq_off[r]), hits);
+      serialize_hits(hits, blobs[r]);
+    }
+  };
+  if (n_threads == 1 || n_reads < 2) {
+    work(0, n_reads);
+  } else {
+    std::vector<std::thread> th;
+    int64_t per = (n_reads + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t r0 = (int64_t)t * per, r1 = std::min(n_reads, r0 + per);
+      if (r0 >= r1) break;
+      th.emplace_back(work, r0, r1);
+    }
+    for (std::thread& t : th) t.join();
+  }
+  std::vector<int64_t> offs(n_reads + 1);
+  int64_t total = 0;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    offs[r] = total;
+    total += (int64_t)blobs[r].size();
+  }
+  offs[n_reads] = total;
+  int64_t head = (n_reads + 1) * 8;
+  uint8_t* buf = (uint8_t*)std::malloc((size_t)(head + total));
+  if (!buf) {
+    *out_len = 0;
+    return nullptr;
+  }
+  std::memcpy(buf, offs.data(), (size_t)head);
+  uint8_t* p = buf + head;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    std::memcpy(p, blobs[r].data(), blobs[r].size());
+    p += blobs[r].size();
+  }
+  *out_len = head + total;
+  return buf;
+}
+
+void rb3t_buf_free(void* p) { std::free(p); }
 
 }  // extern "C"

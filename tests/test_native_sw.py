@@ -1,0 +1,144 @@
+"""Native (C++) BWA-SW core equivalence: the ctypes DP must be bit-identical
+to the Python reference implementation (which the golden CLI tests pin to the
+reference binary), and the mmap dense sidecar must round-trip."""
+
+import numpy as np
+import pytest
+
+import ropebwt3_tpu.align.bwasw as bw
+from ropebwt3_tpu.align.bwtl import bwtl_gen, dawg_gen, dawg_gen_linear
+from ropebwt3_tpu.construct.sa import gsa_bwt
+from ropebwt3_tpu.index.dense import DenseFMIndex
+from ropebwt3_tpu.nt6 import char2nt6, revcomp
+
+
+def _make_index(refseqs):
+    parts = []
+    for s in refseqs:
+        q = char2nt6(s.encode())
+        parts += [q, np.array([0], np.uint8), revcomp(q), np.array([0], np.uint8)]
+    return DenseFMIndex.from_bwt(gsa_bwt(np.concatenate(parts).astype(np.uint8)))
+
+
+def _cells_key(rows):
+    return [
+        [
+            (c.lo, c.hi, c.lo_rc, c.H, c.E, c.F, c.rlen, c.qlen, c.H_from, c.E_from,
+             c.F_from, int(c.H_from_pos), int(c.E_from_pos), int(c.F_from_off), c.F_off_set, c.flt)
+            for c in row
+        ]
+        for row in rows
+    ]
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    lib = bw._native_sw_lib()
+    if lib is None:
+        pytest.skip("native sw core unavailable")
+    return lib
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_native_dp_matches_python(native_lib, trial):
+    import random
+
+    random.seed(500 + trial)
+    L = random.choice([120, 250])
+    refs = ["".join(random.choice("ACGT") for _ in range(L)) for _ in range(random.choice([1, 3]))]
+    refs.append("".join(c if random.random() > 0.02 else random.choice("ACGT") for c in refs[0]))
+    f = _make_index(refs)
+    src = list(random.choice(refs))
+    p = random.randrange(0, max(1, len(src) - 80))
+    qv = src[p : p + 70]
+    for _ in range(random.randrange(0, 5)):
+        op, i = random.random(), random.randrange(len(qv))
+        if op < 0.5:
+            qv[i] = random.choice("ACGT")
+        elif op < 0.75:
+            qv.insert(i, random.choice("ACGT"))
+        else:
+            del qv[i]
+    q = char2nt6("".join(qv).encode())
+    for mode in ("local", "e2e"):
+        opt = bw.SwOpt()
+        if mode == "e2e":
+            opt.flag |= bw.RB3_SWF_E2E
+            g = dawg_gen_linear(q)
+        else:
+            g = dawg_gen(bwtl_gen(q))
+        [(py_rows, py_pos, py_sc)] = bw.sw_core_multi(opt, f, [g])
+        nat_rows, nat_pos, nat_sc = bw._sw_core_native(native_lib, opt, f, g)
+        assert (py_pos, py_sc) == (nat_pos, nat_sc)
+        assert _cells_key(py_rows) == _cells_key(nat_rows)
+
+
+def test_native_full_sw_matches_python(native_lib, monkeypatch):
+    import random
+
+    random.seed(9)
+    refs = ["".join(random.choice("ACGT") for _ in range(400)) for _ in range(4)]
+    f = _make_index(refs)
+    seqs = []
+    for _ in range(10):
+        src = random.choice(refs)
+        p = random.randrange(0, 300)
+        s = list(src[p : p + 90])
+        for _ in range(3):
+            s[random.randrange(len(s))] = random.choice("ACGT")
+        seqs.append(char2nt6("".join(s).encode()))
+    opt = bw.SwOpt()
+    nat = bw.rb3_sw_batch(opt, f, seqs)
+    py = [bw._rb3_sw_python(opt, f, s) for s in seqs]
+
+    def hkey(h):
+        return (h.score, h.qlen, h.rlen, h.mlen, h.blen, h.lo, h.hi, tuple(h.cigar), tuple(h.qoff), tuple(h.rseq), h.cs)
+
+    assert [[hkey(h) for h in hs] for hs in nat] == [[hkey(h) for h in hs] for hs in py]
+
+
+def test_native_hapdiv_matches_python(native_lib):
+    import random
+
+    random.seed(11)
+    refs = ["".join(random.choice("ACGT") for _ in range(600)) for _ in range(2)]
+    refs += ["".join(c if random.random() > 0.01 else random.choice("ACGT") for c in refs[0]) for _ in range(3)]
+    f = _make_index(refs)
+    opt = bw.SwOpt()
+    opt.flag |= bw.RB3_SWF_E2E | bw.RB3_SWF_HAPDIV
+    opt.end_len = 1
+    q = char2nt6(refs[0][:301].encode())
+    wins = [q[j : j + 101] for j in range(0, 201, 50)]
+    nat = bw._hapdiv_native(native_lib, opt, f, wins)
+    gs = [dawg_gen_linear(s) for s in wins]
+    outs = bw.sw_core_multi(opt, f, gs)
+    py = []
+    for (rows, best_pos, best_score), g, s in zip(outs, gs, wins):
+        if best_score >= opt.min_sc:
+            _, anno = bw.sw_backtrack(opt, f, g, s, rows, best_pos, True)
+            py.append(anno)
+        else:
+            py.append(None)
+
+    def akey(a):
+        return None if a is None else (a.n_al, a.max_ed, tuple(a.n_hap))
+
+    assert [akey(a) for a in nat] == [akey(a) for a in py]
+
+
+def test_sidecar_roundtrip(tmp_path):
+    from ropebwt3_tpu.index.sidecar import read_sidecar, write_sidecar
+
+    rng = np.random.default_rng(0)
+    bwt = rng.integers(0, 6, 70000).astype(np.uint8)
+    f = DenseFMIndex.from_bwt(bwt)
+    p = str(tmp_path / "x.dense")
+    write_sidecar(p, f)
+    g = read_sidecar(p)
+    assert g is not None and g.n == f.n
+    assert np.array_equal(g.acc, f.acc)
+    assert np.array_equal(np.asarray(g.bwt), f.bwt)
+    assert np.array_equal(np.asarray(g.occ_block), f.occ_block)
+    assert np.array_equal(np.asarray(g.occ_super), f.occ_super)
+    ks = rng.integers(0, f.n + 1, 64)
+    assert np.array_equal(f.rank1a(ks), g.rank1a(ks))
