@@ -696,6 +696,14 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             if engine == "jax":
                 raise
             smem_batched = None
+    native_batch = None
+    if smem_batched is None and engine in ("auto", "native") and algo == "mem_tg":
+        from .ops.smem_native import native_smem_lib, smem_tg_batch_native
+
+        if native_smem_lib() is not None:
+            native_batch = smem_tg_batch_native
+        elif engine == "native":
+            raise RuntimeError("native SMEM engine unavailable")
 
     from .ops import smem_ref
 
@@ -708,6 +716,8 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
                 return
             if smem_batched is not None:
                 all_mems = smem_batched.run([q for _, q in batch])
+            elif native_batch is not None:
+                all_mems = native_batch(f, [q for _, q in batch], min_occ, min_len)
             else:
                 fn_algo = smem_ref.smem_tg if algo == "mem_tg" else smem_ref.smem_orig
                 all_mems = [fn_algo(f, q, min_occ, min_len) for _, q in batch]

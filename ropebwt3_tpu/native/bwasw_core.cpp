@@ -816,6 +816,69 @@ static bool smem_present_cpp(const Fmi& f, RankCache& rc, const uint8_t* q, int3
   return false;
 }
 
+// ---- SMEM-TG per read (fm-index.c:483-528; ops/smem_ref.py smem_tg) ------
+
+struct MemRec {
+  int64_t st, en, size, lo, lo_rc;
+};
+
+static int32_t smem1_tg(const Fmi& f, RankCache& rc, const uint8_t* q, int32_t n, int32_t x,
+                        int64_t min_occ, int32_t min_len, std::vector<MemRec>& mems) {
+  if (n - x < min_len) return n;
+  int c0 = q[x + min_len - 1];
+  int comp0 = (c0 >= 1 && c0 <= 4) ? 5 - c0 : c0;
+  int64_t ik_lo = f.acc[c0], ik_rc = f.acc[comp0], ik_sz = f.acc[c0 + 1] - f.acc[c0];
+  int32_t i = x + min_len - 2;
+  Ext e;
+  while (i >= x) {
+    extend_back(f, ik_lo, ik_rc, ik_sz, e, rc);
+    int c = q[i];
+    if (e.sz[c] < min_occ) break;
+    ik_lo = e.lo[c];
+    ik_rc = e.rc[c];
+    ik_sz = e.sz[c];
+    --i;
+  }
+  if (i >= x) return i + 1;  // the min_len window does not fully match
+  int32_t j = x + min_len;
+  static const int COMP[6] = {0, 4, 3, 2, 1, 5};
+  while (j < n) {
+    int c = COMP[q[j]];
+    // forward extend = backward extend on the other strand: swap coordinates
+    extend_back(f, ik_rc, ik_lo, ik_sz, e, rc);
+    if (e.sz[c] < min_occ) break;
+    ik_rc = e.lo[c];
+    ik_lo = e.rc[c];
+    ik_sz = e.sz[c];
+    ++j;
+  }
+  mems.push_back({x, j, ik_sz, ik_lo, ik_rc});
+  if (j == n) return n;
+  c0 = q[j];
+  comp0 = (c0 >= 1 && c0 <= 4) ? 5 - c0 : c0;
+  ik_lo = f.acc[c0];
+  ik_rc = f.acc[comp0];
+  ik_sz = f.acc[c0 + 1] - f.acc[c0];
+  i = j - 1;
+  while (i > x) {
+    extend_back(f, ik_lo, ik_rc, ik_sz, e, rc);
+    int c = q[i];
+    if (e.sz[c] < min_occ) break;
+    ik_lo = e.lo[c];
+    ik_rc = e.rc[c];
+    ik_sz = e.sz[c];
+    --i;
+  }
+  return i + 1;
+}
+
+static void smem_tg_read(const Fmi& f, RankCache& rc, const uint8_t* q, int32_t n,
+                         int64_t min_occ, int32_t min_len, std::vector<MemRec>& mems) {
+  mems.clear();
+  int32_t x = 0;
+  while (x < n) x = smem1_tg(f, rc, q, n, x, min_occ, min_len, mems);
+}
+
 // ---- full backtrack (align/bwasw.py _backtrack1*, _cs_core) --------------
 
 struct Hit {
@@ -1092,6 +1155,62 @@ uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
     for (int64_t r = r0; r < r1; ++r) {
       sw_read(eng, seqs + seq_off[r], (int32_t)(seq_off[r + 1] - seq_off[r]), hits);
       serialize_hits(hits, blobs[r]);
+    }
+  };
+  if (n_threads == 1 || n_reads < 2) {
+    work(0, n_reads);
+  } else {
+    std::vector<std::thread> th;
+    int64_t per = (n_reads + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t r0 = (int64_t)t * per, r1 = std::min(n_reads, r0 + per);
+      if (r0 >= r1) break;
+      th.emplace_back(work, r0, r1);
+    }
+    for (std::thread& t : th) t.join();
+  }
+  std::vector<int64_t> offs(n_reads + 1);
+  int64_t total = 0;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    offs[r] = total;
+    total += (int64_t)blobs[r].size();
+  }
+  offs[n_reads] = total;
+  int64_t head = (n_reads + 1) * 8;
+  uint8_t* buf = (uint8_t*)std::malloc((size_t)(head + total));
+  if (!buf) {
+    *out_len = 0;
+    return nullptr;
+  }
+  std::memcpy(buf, offs.data(), (size_t)head);
+  uint8_t* p = buf + head;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    std::memcpy(p, blobs[r].data(), blobs[r].size());
+    p += blobs[r].size();
+  }
+  *out_len = head + total;
+  return buf;
+}
+
+// Batched SMEM-TG (threaded CPU engine).  Returns a malloc'd buffer:
+// [n_reads+1 int64 blob offsets][per read: int64 n_mems, then n_mems x
+// (st,en,size,lo,lo_rc) int64 rows]; free with rb3t_buf_free.
+uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
+                         const int64_t* acc, int64_t n, int64_t min_occ, int32_t min_len,
+                         const uint8_t* seqs, const int64_t* seq_off, int64_t n_reads,
+                         int32_t n_threads, int64_t* out_len) {
+  Fmi f{bwt, occ_block, occ_super, acc, n};
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::string> blobs(n_reads);
+  auto work = [&](int64_t r0, int64_t r1) {
+    RankCache rc;
+    std::vector<MemRec> mems;
+    for (int64_t r = r0; r < r1; ++r) {
+      smem_tg_read(f, rc, seqs + seq_off[r], (int32_t)(seq_off[r + 1] - seq_off[r]), min_occ,
+                   min_len, mems);
+      std::string& b = blobs[r];
+      put_i64(b, (int64_t)mems.size());
+      put_bytes(b, mems.data(), mems.size() * sizeof(MemRec));
     }
   };
   if (n_threads == 1 || n_reads < 2) {

@@ -126,6 +126,34 @@ def test_native_hapdiv_matches_python(native_lib):
     assert [akey(a) for a in nat] == [akey(a) for a in py]
 
 
+def test_native_smem_matches_ref(native_lib):
+    import random
+
+    from ropebwt3_tpu.ops import smem_ref
+    from ropebwt3_tpu.ops.smem_native import smem_tg_batch_native
+
+    random.seed(21)
+    refs = ["".join(random.choice("ACGT") for _ in range(500)) for _ in range(3)]
+    refs += ["".join(c if random.random() > 0.01 else random.choice("ACGT") for c in refs[0]) for _ in range(2)]
+    f = _make_index(refs)
+    seqs = []
+    for _ in range(20):
+        src = random.choice(refs)
+        p = random.randrange(0, 350)
+        s = list(src[p : p + 120])
+        for _ in range(random.randrange(0, 4)):
+            s[random.randrange(len(s))] = random.choice("ACGT")
+        seqs.append(char2nt6("".join(s).encode()))
+    for min_occ, min_len in ((1, 19), (1, 31), (2, 25)):
+        nat = smem_tg_batch_native(f, seqs, min_occ, min_len)
+        ref = [smem_ref.smem_tg(f, s, min_occ, min_len) for s in seqs]
+
+        def key(ms):
+            return [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in ms]
+
+        assert [key(a) for a in nat] == [key(b) for b in ref]
+
+
 def test_sidecar_roundtrip(tmp_path):
     from ropebwt3_tpu.index.sidecar import read_sidecar, write_sidecar
 
