@@ -26,7 +26,7 @@ from .smem_fsm import smem_fsm
 from .smem_ref import Mem
 
 
-@partial(jax.jit, static_argnames=("min_occ", "min_len", "max_mems", "max_iters"))
+@partial(jax.jit, static_argnames=("min_occ", "min_len", "max_mems", "max_iters", "unroll", "seed_k"))
 def smem_tg_batch(
     idx: DeviceIndex,
     q: jax.Array,  # (Q, L) uint8, 0-padded
@@ -36,6 +36,9 @@ def smem_tg_batch(
     min_len: int,
     max_mems: int,
     max_iters: int,
+    unroll: int = 1,
+    seed_tab: jax.Array | None = None,
+    seed_k: int = 0,
 ):
     """Returns (mems (Q, max_mems, 5) idx_dtype, n_mem (Q,) int32, iters)."""
     return smem_fsm(
@@ -49,6 +52,9 @@ def smem_tg_batch(
         min_len=min_len,
         max_mems=max_mems,
         max_iters=max_iters,
+        unroll=unroll,
+        seed_tab=seed_tab,
+        seed_k=seed_k,
     )
 
 
@@ -62,7 +68,17 @@ class BatchedSmemTG:
     bucketed to powers of two) so each bucket compiles exactly once; large
     inputs stream through in chunks."""
 
-    def __init__(self, f: DenseFMIndex, min_occ: int = 1, min_len: int = 19, max_mems: int | None = None, lanes: int = 8192, use_pallas: bool | None = None):
+    def __init__(
+        self,
+        f: DenseFMIndex,
+        min_occ: int = 1,
+        min_len: int = 19,
+        max_mems: int | None = None,
+        lanes: int = 8192,
+        use_pallas: bool | None = None,
+        unroll: int | None = None,
+        seed_k: int | None = None,
+    ):
         self.idx = DeviceIndex.from_dense(f)
         self._dense = f  # host-side fallback for per-read overflow reruns
         self.min_occ = int(min_occ)
@@ -76,6 +92,20 @@ class BatchedSmemTG:
             # stays available (and correctness-tested) for future tuning.
             use_pallas = False
         self.use_pallas = use_pallas and self.idx.idx_dtype == jnp.int32
+        self.unroll = int(unroll) if unroll is not None else 1
+        if seed_k is None:
+            # k-mer seed table: skips k-1 backward extends per window attempt
+            # (bit-identical; see ops/seed.py).  ~12 is the memory/benefit
+            # sweet spot (4**12 rows); always bounded by min_len - 1.
+            seed_k = 12
+        self.seed_k = max(0, min(int(seed_k), self.min_len - 1))
+        self.seed_tab = None
+        if self.seed_k >= 4 and not self.use_pallas:
+            from .seed import build_seed_table
+
+            self.seed_tab = build_seed_table(self.idx, self.seed_k)
+        else:
+            self.seed_k = 0
 
     def _run_chunk(self, queries: list[np.ndarray], L: int) -> list[list[Mem]]:
         Q = len(queries)
@@ -99,6 +129,9 @@ class BatchedSmemTG:
             for t, qq in enumerate(chunk):
                 qarr[t, : len(qq)] = qq
                 qlen[t] = len(qq)
+            kw = {}
+            if not self.use_pallas:
+                kw = dict(unroll=self.unroll, seed_tab=self.seed_tab, seed_k=self.seed_k)
             mems, n_mem, _ = kernel(
                 self.idx,
                 jnp.asarray(qarr),
@@ -107,6 +140,7 @@ class BatchedSmemTG:
                 min_len=self.min_len,
                 max_mems=M,
                 max_iters=4 * L + 64,
+                **kw,
             )
             mems = np.asarray(mems[: len(chunk)])
             n_mem = np.asarray(n_mem[: len(chunk)])

@@ -31,12 +31,23 @@ def emit(mems, n_mem, lane_mask, st, en, ik):
     return mems, n_mem
 
 
-def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters):
+def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0):
     """Run the batched TG loop.
 
     extend_all(ik (Q,3), is_back (Q,)) -> (Q,6,3)
     set_intv_c(c (Q,)) -> (Q,3)
     comp: (6,) complement table; q: (Q,L) int32; qlen: (Q,) int32.
+    unroll: body steps per while-loop trip.  The body is a no-op for DONE
+    lanes, so running a few extra steps after the last lane finishes is
+    harmless; amortizing the `any(phase != DONE)` scalar reduction (a
+    device-wide sync each trip) and letting XLA fuse elementwise chains
+    across steps is a large win on TPU (see PERF_NOTES.md).
+    seed_tab/seed_k: optional (4**k, 3) k-mer bi-interval table (ops/seed.py).
+    Lanes entering BACK1 or BACK2 jump k-1 extends when the k-mer suffix of
+    the window exists with size >= min_occ; all other cases (including every
+    failure, whose position determines the restart point) run sequentially,
+    so output is bit-identical with or without the table.  Requires
+    seed_k <= min_len - 1.
     Returns (mems (Q,max_mems,5) dt, n_mem (Q,) int32, iters)."""
     Q, L = q.shape
     q_flat = q.reshape(-1)
@@ -47,6 +58,22 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         # (take_along_axis picks a much slower lowering inside loop bodies)
         p = jnp.clip(pos, 0, L - 1)
         return jnp.take(q_flat, lane_base + p)
+
+    use_seed = seed_tab is not None and seed_k > 0
+    if use_seed:
+        assert seed_k <= min_len - 1, (seed_k, min_len)
+        from .seed import seed_keys
+
+        kk, kv = seed_keys(q, qlen, seed_k)
+        keys_flat, valid_flat = kk.reshape(-1), kv.reshape(-1)
+
+        def seed_at(pos):
+            """(interval (Q,3), usable (Q,)) for the k-mer at q[pos:pos+k]."""
+            p = jnp.clip(pos, 0, L - 1)
+            key = jnp.take(keys_flat, lane_base + p)
+            ok = jnp.take(valid_flat, lane_base + p)
+            row = jnp.take(seed_tab, jnp.clip(key, 0, seed_tab.shape[0] - 1), axis=0)
+            return row, ok & (row[:, 2] >= min_occ)
 
     state = dict(
         phase=jnp.full(Q, PH_START, jnp.int32),
@@ -74,6 +101,11 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         ik = jnp.where(begin[:, None], set_intv_c(qsym(x + min_len - 1)).astype(dt), ik)
         i = jnp.where(begin, x + min_len - 2, i)
         phase = jnp.where(begin, PH_BACK1, phase)
+        if use_seed:
+            srow, sok = seed_at(x + min_len - seed_k)
+            jump = begin & sok
+            ik = jnp.where(jump[:, None], srow.astype(dt), ik)
+            i = jnp.where(jump, x + min_len - 1 - seed_k, i)
         skip = (phase == PH_BACK1) & (i < x)
         j = jnp.where(skip, x + min_len, j)
         phase = jnp.where(skip, PH_FWD, phase)
@@ -127,6 +159,14 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         ik = jnp.where(m[:, None], set_intv_c(qsym(j)).astype(dt), ik)
         i = jnp.where(m, j - 1, i)
         phase = jnp.where(m, PH_BACK2, phase)
+        if use_seed:
+            # BACK2 entry jump: safe only when the k-1 covered steps cannot
+            # hit the i <= x stop (j - k + 1 > x); intermediate extends all
+            # succeed because they are supersets of the k-mer interval
+            srow, sok = seed_at(j - seed_k + 1)
+            jump = m & sok & (j - seed_k + 1 > x)
+            ik = jnp.where(jump[:, None], srow.astype(dt), ik)
+            i = jnp.where(jump, j - seed_k, i)
 
         # BACK2
         m = b2 & succ
@@ -142,5 +182,12 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         mems, n_mem = emit(mems, n_mem, emit_mask, emit_st, emit_en, emit_ik)
         return dict(phase=phase, x=x, i=i, j=j, ik=ik, n_mem=n_mem, mems=mems, it=s["it"] + 1)
 
-    out = jax.lax.while_loop(cond, body, state)
+    if unroll > 1:
+        def outer(s):
+            for _ in range(unroll):
+                s = body(s)
+            return s
+    else:
+        outer = body
+    out = jax.lax.while_loop(cond, outer, state)
     return out["mems"], out["n_mem"], out["it"]

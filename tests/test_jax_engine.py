@@ -104,6 +104,35 @@ def test_sharded_smem(dense_index, reads):
         assert got == [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in want]
 
 
+def test_seed_table_and_unroll_match_base(dense_index, reads):
+    """The k-mer seed-table jump and loop unrolling are pure iteration savers:
+    MEM output must be bit-identical to the plain FSM for every (k, unroll)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+    from ropebwt3_tpu.ops.seed import build_seed_table
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+
+    idx = DeviceIndex.from_dense(dense_index)
+    Q, L = 128, 256
+    qarr = np.zeros((Q, L), np.uint8)
+    qlen = np.zeros(Q, np.int32)
+    for t in range(Q):
+        r = reads[t % len(reads)]
+        qarr[t, : len(r)] = r
+        qlen[t] = len(r)
+    for min_occ, min_len in ((1, 21), (3, 13)):
+        args = dict(min_occ=min_occ, min_len=min_len, max_mems=16, max_iters=4 * L + 64)
+        m1, n1, _ = smem_tg_batch(idx, jnp.asarray(qarr), jnp.asarray(qlen), **args)
+        for k in (5, min(12, min_len - 1)):
+            tab = build_seed_table(idx, k)
+            for unroll in (1, 4):
+                m2, n2, _ = smem_tg_batch(idx, jnp.asarray(qarr), jnp.asarray(qlen), seed_tab=tab, seed_k=k, unroll=unroll, **args)
+                assert np.array_equal(np.asarray(n1), np.asarray(n2)), (min_len, k, unroll)
+                assert np.array_equal(np.asarray(m1), np.asarray(m2)), (min_len, k, unroll)
+
+
 def test_pallas_fsm_matches_xla(dense_index, reads):
     """The fused Pallas loop body (interpret mode on CPU) must produce the
     exact same MEMs as the pure-XLA FSM."""
