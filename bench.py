@@ -149,22 +149,45 @@ def main():
 
     idx = DeviceIndex.from_dense(f)
     del f
-    LANES = 8192  # near-optimal on v5e; per-iter cost cliffs above ~12k lanes
-    L = 256
-    M = 16
     import jax.numpy as jnp
 
-    qlen = jnp.full(LANES, READ_LEN, jnp.int32)
+    # multi-read lane packing (ops/smem_fsm.py `segments`): per-lane iteration
+    # counts average over the lane's reads, shrinking the max-over-lanes tail
+    # that sets the while-loop trip count (+57% vs one read per lane, measured)
+    LANES = 4096
+    LBUF = 1024
+    RCAP = 16
+    NPL = LBUF // (READ_LEN + 1)  # 6 reads per lane
+    M = 64
+    per = LANES * NPL
+    so = np.zeros((LANES, RCAP), np.int32)
+    sl = np.zeros((LANES, RCAP), np.int32)
+    for r in range(NPL):
+        so[:, r] = r * (READ_LEN + 1)
+        sl[:, r] = READ_LEN
     chunks = []
-    for c0 in range(0, N_READS, LANES):
-        block = np.zeros((LANES, L), np.uint8)
-        got = reads[c0 : c0 + LANES]
-        block[: len(got), :READ_LEN] = got
-        chunks.append(jax.device_put(block))
-    jax.block_until_ready(chunks)
+    for c0 in range(0, N_READS, per):
+        got = reads[c0 : c0 + per]
+        block = np.zeros((LANES, LBUF), np.uint8)
+        ns = np.zeros(LANES, np.int32)
+        for t, rd in enumerate(got):
+            lane, slot = t % LANES, t // LANES
+            block[lane, slot * (READ_LEN + 1) : slot * (READ_LEN + 1) + READ_LEN] = rd
+            ns[lane] = max(ns[lane], slot + 1)
+        chunks.append((jax.device_put(block), jax.device_put(jnp.asarray(ns))))
+    seg_off = jax.device_put(jnp.asarray(so))
+    seg_len = jax.device_put(jnp.asarray(sl))
+    qlen = jnp.zeros(LANES, jnp.int32)
+    jax.block_until_ready([c[0] for c in chunks])
+
+    def run(ch):
+        return smem_tg_batch(
+            idx, ch[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M,
+            max_iters=RCAP * LBUF + 64, segments=(seg_off, seg_len, ch[1]),
+        )
+
     log(f"warmup/compile ({jax.devices()[0].platform}) ...")
-    r = smem_tg_batch(idx, chunks[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M, max_iters=4 * L + 64)
-    jax.block_until_ready(r)
+    jax.block_until_ready(run(chunks[0]))
     log("timing (best of 3 passes; the tunneled TPU pool's latency varies heavily) ...")
     wall = float("inf")
     tot_mems = 0
@@ -172,7 +195,7 @@ def main():
         t0 = time.time()
         tm = 0
         for ch in chunks:
-            mems, n_mem, _ = smem_tg_batch(idx, ch, qlen, min_occ=1, min_len=MIN_LEN, max_mems=M, max_iters=4 * L + 64)
+            mems, n_mem, _ = run(ch)
             # sync per chunk via host materialization: on the tunneled axon
             # backend block_until_ready returns early, and queuing many
             # dynamic while-loop programs unsynced degrades ~100x

@@ -39,8 +39,9 @@ def smem_tg_batch(
     unroll: int = 1,
     seed_tab: jax.Array | None = None,
     seed_k: int = 0,
+    segments=None,
 ):
-    """Returns (mems (Q, max_mems, 5) idx_dtype, n_mem (Q,) int32, iters)."""
+    """Returns (mems (Q, max_mems, 5|6) idx_dtype, n_mem (Q,) int32, iters)."""
     return smem_fsm(
         lambda ik, back: extend(idx, ik, back),
         lambda c: set_intv(idx, c),
@@ -55,6 +56,7 @@ def smem_tg_batch(
         unroll=unroll,
         seed_tab=seed_tab,
         seed_k=seed_k,
+        segments=segments,
     )
 
 
@@ -78,7 +80,9 @@ class BatchedSmemTG:
         use_pallas: bool | None = None,
         unroll: int | None = None,
         seed_k: int | None = None,
+        pack: bool = True,
     ):
+        self.pack = pack
         self.idx = DeviceIndex.from_dense(f)
         self._dense = f  # host-side fallback for per-read overflow reruns
         self.min_occ = int(min_occ)
@@ -153,16 +157,89 @@ class BatchedSmemTG:
                     out.append([Mem(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4])) for r in mems[t, : n_mem[t]]])
         return out
 
+    PACK_LBUF = 1024  # lane buffer for the packed kernel (one compile shape)
+    PACK_R = 16  # max reads per lane
+
+    def _run_packed(self, queries: list[np.ndarray], results: list, idxs: list[int]) -> None:
+        """Pack several reads per lane: one (Q, R, Lbuf) program covers every
+        short-read length, and per-lane iteration counts average over the
+        lane's reads, shrinking the max-over-lanes tail that sets the loop
+        trip count.  `idxs` are ascending-length positions into `results`."""
+        Lbuf, Rcap = self.PACK_LBUF, self.PACK_R
+        Q = max(256, self.lanes * 512 // Lbuf)
+        M = max(64, self.max_mems) if self.max_mems else 64
+        t = 0
+        dt_np = np.int64 if self.idx.idx_dtype == jnp.int64 else np.int32
+        while t < len(idxs):
+            # deal ascending-length reads round-robin across lanes; loads stay
+            # near-equal, rounds stop at capacity (>=1 zero separator each)
+            qarr = np.zeros((Q, Lbuf), np.uint8)
+            seg_off = np.zeros((Q, Rcap), np.int32)
+            seg_len = np.zeros((Q, Rcap), np.int32)
+            n_seg = np.zeros(Q, np.int32)
+            loads = np.zeros(Q, np.int64)
+            lane_reads: list[list[int]] = [[] for _ in range(Q)]
+            r = 0
+            while r < Rcap and t < len(idxs):
+                batch = idxs[t : t + Q]
+                longest = len(queries[batch[-1]])
+                if loads.max() + longest + 1 > Lbuf:
+                    break
+                for lane, ridx in enumerate(batch):
+                    q = queries[ridx]
+                    off = int(loads[lane])
+                    qarr[lane, off : off + len(q)] = q
+                    seg_off[lane, r] = off
+                    seg_len[lane, r] = len(q)
+                    n_seg[lane] = r + 1
+                    loads[lane] += len(q) + 1
+                    lane_reads[lane].append(ridx)
+                t += len(batch)
+                r += 1
+            mems, n_mem, _ = smem_tg_batch(
+                self.idx,
+                jnp.asarray(qarr),
+                jnp.zeros(Q, jnp.int32),
+                min_occ=self.min_occ,
+                min_len=self.min_len,
+                max_mems=M,
+                max_iters=Rcap * Lbuf + 64,
+                unroll=self.unroll,
+                seed_tab=self.seed_tab,
+                seed_k=self.seed_k,
+                segments=(jnp.asarray(seg_off), jnp.asarray(seg_len), jnp.asarray(n_seg)),
+            )
+            mems = np.asarray(mems)
+            n_mem = np.asarray(n_mem)
+            for lane in range(Q):
+                if not lane_reads[lane]:
+                    continue
+                if n_mem[lane] > M:  # lane buffer overflow: host rerun
+                    from . import smem_ref
+
+                    for ridx in lane_reads[lane]:
+                        results[ridx] = smem_ref.smem_tg(self._dense, queries[ridx], self.min_occ, self.min_len)
+                    continue
+                rows = mems[lane, : n_mem[lane]]
+                for s, ridx in enumerate(lane_reads[lane]):
+                    rsel = rows[rows[:, 5] == s]
+                    results[ridx] = [Mem(int(r0[0]), int(r0[1]), int(r0[2]), int(r0[3]), int(r0[4])) for r0 in rsel]
+
     def run(self, queries: list[np.ndarray]) -> list[list[Mem]]:
         if not queries:
             return []
         # bucket by padded length; keep original order on output
         order = sorted(range(len(queries)), key=lambda t: len(queries[t]))
+        results: list[list[Mem] | None] = [None] * len(queries)
+        if self.pack and not self.use_pallas:
+            short = [t for t in order if len(queries[t]) + 1 <= self.PACK_LBUF]
+            order = [t for t in order if len(queries[t]) + 1 > self.PACK_LBUF]
+            if short:
+                self._run_packed(queries, results, short)
         buckets: dict[int, list[int]] = {}
         for t in order:
             L = max(64, 1 << (max(1, len(queries[t]) - 1)).bit_length())
             buckets.setdefault(L, []).append(t)
-        results: list[list[Mem] | None] = [None] * len(queries)
         for L, idxs in buckets.items():
             outs = self._run_chunk([queries[t] for t in idxs], L)
             for t, o in zip(idxs, outs):

@@ -15,15 +15,18 @@ import jax.numpy as jnp
 PH_START, PH_BACK1, PH_FWD, PH_BACK2, PH_DONE = 0, 1, 2, 3, 4
 
 
-def emit(mems, n_mem, lane_mask, st, en, ik):
-    """Append (st, en, size, lo, lo_rc) to masked lanes' buffers.
+def emit(mems, n_mem, lane_mask, st, en, ik, seg=None):
+    """Append (st, en, size, lo, lo_rc[, seg]) to masked lanes' buffers.
 
     Expressed as a one-hot select over the M axis rather than a scatter — XLA
-    TPU scatters serialize, while this is a (Q, M, 5) elementwise select that
-    streams at VPU/HBM speed.  Called once per loop iteration."""
+    TPU scatters serialize, while this is a (Q, M, 5|6) elementwise select
+    that streams at VPU/HBM speed.  Called once per loop iteration."""
     Q, M, _ = mems.shape
     slot = jnp.minimum(n_mem, M - 1)
-    row = jnp.stack([st.astype(mems.dtype), en.astype(mems.dtype), ik[:, 2], ik[:, 0], ik[:, 1]], axis=-1)
+    cols = [st.astype(mems.dtype), en.astype(mems.dtype), ik[:, 2], ik[:, 0], ik[:, 1]]
+    if seg is not None:
+        cols.append(seg.astype(mems.dtype))
+    row = jnp.stack(cols, axis=-1)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (Q, M), 1) == slot[:, None]) & lane_mask[:, None]
     mems = jnp.where(sel[:, :, None], row[:, None, :], mems)
     # n_mem counts TRUE emits (may exceed M); hosts detect overflow and rerun
@@ -31,7 +34,7 @@ def emit(mems, n_mem, lane_mask, st, en, ik):
     return mems, n_mem
 
 
-def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0):
+def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None):
     """Run the batched TG loop.
 
     extend_all(ik (Q,3), is_back (Q,)) -> (Q,6,3)
@@ -48,10 +51,23 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
     failure, whose position determines the restart point) run sequentially,
     so output is bit-identical with or without the table.  Requires
     seed_k <= min_len - 1.
-    Returns (mems (Q,max_mems,5) dt, n_mem (Q,) int32, iters)."""
+    segments: optional (seg_off (Q,R) int32, seg_len (Q,R) int32, n_seg (Q,))
+    packing several reads per lane (separated by >= 1 zero symbol in q).  A
+    lane runs its reads back-to-back — per-read state fully resets at the
+    boundary, so each read's trace is identical to the single-read kernel.
+    Packing averages per-read iteration counts within a lane, shrinking the
+    max-over-lanes tail that sets the loop trip count.  `qlen` is ignored;
+    emitted rows gain a 6th column holding the segment id.
+    Returns (mems (Q,max_mems,5|6) dt, n_mem (Q,) int32, iters)."""
     Q, L = q.shape
     q_flat = q.reshape(-1)
     lane_base = jnp.arange(Q, dtype=jnp.int32) * L
+    packed = segments is not None
+    if packed:
+        seg_off, seg_len, n_seg = segments
+        R = seg_off.shape[1]
+        seg_off_flat, seg_len_flat = seg_off.reshape(-1), seg_len.reshape(-1)
+        lane_rbase = jnp.arange(Q, dtype=jnp.int32) * R
 
     def qsym(pos):
         # flat 1-D take: lowers to the fast axis-0 gather path on TPU
@@ -64,16 +80,23 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         assert seed_k <= min_len - 1, (seed_k, min_len)
         from .seed import seed_keys
 
-        kk, kv = seed_keys(q, qlen, seed_k)
+        kk, kv = seed_keys(q, jnp.full((Q,), L, jnp.int32) if packed else qlen, seed_k)
         keys_flat, valid_flat = kk.reshape(-1), kv.reshape(-1)
+        # column-major flat layout so each column is a fast 1-D take (the 2-D
+        # row gather picks a slow lowering on TPU, same trap as
+        # take_along_axis — see PERF_NOTES.md)
+        nkeys = seed_tab.shape[0]
+        tab_flat = seed_tab.T.reshape(-1)
 
         def seed_at(pos):
             """(interval (Q,3), usable (Q,)) for the k-mer at q[pos:pos+k]."""
             p = jnp.clip(pos, 0, L - 1)
             key = jnp.take(keys_flat, lane_base + p)
             ok = jnp.take(valid_flat, lane_base + p)
-            row = jnp.take(seed_tab, jnp.clip(key, 0, seed_tab.shape[0] - 1), axis=0)
-            return row, ok & (row[:, 2] >= min_occ)
+            key = jnp.clip(key, 0, nkeys - 1)
+            cols = [jnp.take(tab_flat, key + c * nkeys) for c in range(3)]
+            row = jnp.stack(cols, axis=-1)
+            return row, ok & (cols[2] >= min_occ)
 
     state = dict(
         phase=jnp.full(Q, PH_START, jnp.int32),
@@ -82,9 +105,11 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         j=jnp.zeros(Q, jnp.int32),
         ik=jnp.zeros((Q, 3), dt),
         n_mem=jnp.zeros(Q, jnp.int32),
-        mems=jnp.zeros((Q, max_mems, 5), dt),
+        mems=jnp.zeros((Q, max_mems, 6 if packed else 5), dt),
         it=jnp.zeros((), jnp.int32),
     )
+    if packed:
+        state["seg"] = jnp.zeros(Q, jnp.int32)
 
     def cond(s):
         return jnp.any(s["phase"] != PH_DONE) & (s["it"] < max_iters)
@@ -92,27 +117,49 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
     def body(s):
         phase, x, i, j, ik = s["phase"], s["x"], s["i"], s["j"], s["ik"]
         mems, n_mem = s["mems"], s["n_mem"]
+        if packed:
+            seg = s["seg"]
+            off = jnp.take(seg_off_flat, lane_rbase + seg)
+            qlen_cur = jnp.take(seg_len_flat, lane_rbase + seg)
+        else:
+            off, qlen_cur = 0, qlen
 
         # ---- resolve (no rank) ------------------------------------------
         start = phase == PH_START
-        fin = start & (qlen - x < min_len)
-        phase = jnp.where(fin, PH_DONE, phase)
+        fin = start & (qlen_cur - x < min_len)
+        if packed:
+            # advance to the lane's next read; it begins next iteration
+            # (off/qlen_cur above are stale for these lanes, but they take no
+            # other action this iteration)
+            adv = fin & (seg + 1 < n_seg)
+            seg = jnp.where(adv, seg + 1, seg)
+            x = jnp.where(adv, 0, x)
+            phase = jnp.where(fin & ~adv, PH_DONE, phase)
+        else:
+            phase = jnp.where(fin, PH_DONE, phase)
         begin = start & ~fin
-        ik = jnp.where(begin[:, None], set_intv_c(qsym(x + min_len - 1)).astype(dt), ik)
+        ik = jnp.where(begin[:, None], set_intv_c(qsym(off + x + min_len - 1)).astype(dt), ik)
         i = jnp.where(begin, x + min_len - 2, i)
         phase = jnp.where(begin, PH_BACK1, phase)
         if use_seed:
-            srow, sok = seed_at(x + min_len - seed_k)
+            srow, sok = seed_at(off + x + min_len - seed_k)
             jump = begin & sok
             ik = jnp.where(jump[:, None], srow.astype(dt), ik)
             i = jnp.where(jump, x + min_len - 1 - seed_k, i)
         skip = (phase == PH_BACK1) & (i < x)
         j = jnp.where(skip, x + min_len, j)
         phase = jnp.where(skip, PH_FWD, phase)
-        fwd_end = (phase == PH_FWD) & (j >= qlen)
+        fwd_end = (phase == PH_FWD) & (j >= qlen_cur)
         # buffered emit: at most one per lane per iteration, applied at the end
-        emit_mask, emit_st, emit_en, emit_ik = fwd_end, x, qlen, ik
+        emit_mask, emit_st, emit_en, emit_ik = fwd_end, x, qlen_cur, ik
+        emit_seg = seg if packed else None  # the emitting read's id (pre-advance)
         phase = jnp.where(fwd_end, PH_DONE, phase)
+        if packed:
+            # a finished read hands the lane back to START for the next one
+            nxt = fwd_end & (seg + 1 < n_seg)
+            seg = jnp.where(nxt, seg + 1, seg)
+            x = jnp.where(nxt, 0, x)
+            phase = jnp.where(nxt, PH_START, phase)
         b2_end = (phase == PH_BACK2) & (i <= x)
         x = jnp.where(b2_end, i + 1, x)
         phase = jnp.where(b2_end, PH_START, phase)
@@ -124,7 +171,7 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         fw = phase == PH_FWD
         active = b1 | b2 | fw
         pos = jnp.where(fw, j, i)
-        craw = qsym(pos)
+        craw = qsym(off + pos)
         c = jnp.where(fw, comp[craw], craw)
         safe_ik = jnp.where(active[:, None], ik, jnp.zeros_like(ik))
         ok_all = extend_all(safe_ik, back)
@@ -148,22 +195,27 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         m = fw & succ
         ik = jnp.where(m[:, None], ok_c, ik)
         j = jnp.where(m, j + 1, j)
-        hit_end = m & (j >= qlen)
+        hit_end = m & (j >= qlen_cur)
         phase = jnp.where(hit_end, PH_DONE, phase)
         m = fw & ~succ
         both = hit_end | m
         emit_mask = emit_mask | both
         emit_st = jnp.where(both, x, emit_st)
-        emit_en = jnp.where(hit_end, qlen, jnp.where(m, j, emit_en))
+        emit_en = jnp.where(hit_end, qlen_cur, jnp.where(m, j, emit_en))
         emit_ik = jnp.where(both[:, None], ik, emit_ik)
-        ik = jnp.where(m[:, None], set_intv_c(qsym(j)).astype(dt), ik)
+        if packed:
+            nxt = hit_end & (seg + 1 < n_seg)
+            seg = jnp.where(nxt, seg + 1, seg)
+            x = jnp.where(nxt, 0, x)
+            phase = jnp.where(nxt, PH_START, phase)
+        ik = jnp.where(m[:, None], set_intv_c(qsym(off + j)).astype(dt), ik)
         i = jnp.where(m, j - 1, i)
         phase = jnp.where(m, PH_BACK2, phase)
         if use_seed:
             # BACK2 entry jump: safe only when the k-1 covered steps cannot
             # hit the i <= x stop (j - k + 1 > x); intermediate extends all
             # succeed because they are supersets of the k-mer interval
-            srow, sok = seed_at(j - seed_k + 1)
+            srow, sok = seed_at(off + j - seed_k + 1)
             jump = m & sok & (j - seed_k + 1 > x)
             ik = jnp.where(jump[:, None], srow.astype(dt), ik)
             i = jnp.where(jump, j - seed_k, i)
@@ -179,8 +231,11 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         x = jnp.where(m, i + 1, x)
         phase = jnp.where(m, PH_START, phase)
 
-        mems, n_mem = emit(mems, n_mem, emit_mask, emit_st, emit_en, emit_ik)
-        return dict(phase=phase, x=x, i=i, j=j, ik=ik, n_mem=n_mem, mems=mems, it=s["it"] + 1)
+        mems, n_mem = emit(mems, n_mem, emit_mask, emit_st, emit_en, emit_ik, emit_seg)
+        out = dict(phase=phase, x=x, i=i, j=j, ik=ik, n_mem=n_mem, mems=mems, it=s["it"] + 1)
+        if packed:
+            out["seg"] = seg
+        return out
 
     if unroll > 1:
         def outer(s):

@@ -104,6 +104,30 @@ def test_sharded_smem(dense_index, reads):
         assert got == [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in want]
 
 
+def test_packed_lanes_match_ref(dense_index, reads):
+    """Multi-read lane packing (with per-lane MEM-buffer overflow reruns and
+    sub-min_len reads) must match the sequential reference exactly."""
+    import numpy as np
+
+    from ropebwt3_tpu.ops.smem import BatchedSmemTG
+
+    g, _ = dense_index.retrieve(2)
+    rng = np.random.default_rng(31)
+    mixed = []
+    for i in range(60):
+        ln = int(rng.integers(5, 900))  # includes sub-min_len reads
+        st = int(rng.integers(0, max(1, len(g) - ln)))
+        r = g[st : st + ln].copy()
+        mut = rng.random(ln) < 0.03
+        r[mut] = rng.integers(1, 6, int(mut.sum()))
+        mixed.append(r)
+    mixed += [r[:97] for r in reads[:40]]
+    eng = BatchedSmemTG(dense_index, min_occ=1, min_len=13, lanes=256)  # tiny lanes, heavy packing + overflows
+    got = eng.run(mixed)
+    for q, gm in zip(mixed, got):
+        assert gm == smem_ref.smem_tg(dense_index, q, 1, 13)
+
+
 def test_seed_table_and_unroll_match_base(dense_index, reads):
     """The k-mer seed-table jump and loop unrolling are pure iteration savers:
     MEM output must be bit-identical to the plain FSM for every (k, unroll)."""
