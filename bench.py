@@ -153,11 +153,11 @@ def main():
 
     # multi-read lane packing (ops/smem_fsm.py `segments`): per-lane iteration
     # counts average over the lane's reads, shrinking the max-over-lanes tail
-    # that sets the while-loop trip count (+57% vs one read per lane, measured)
-    LANES = 4096
-    LBUF = 1024
-    RCAP = 16
-    NPL = LBUF // (READ_LEN + 1)  # 6 reads per lane
+    # that sets the while-loop trip count (36.7k -> 62k reads/s measured at Q=2048, 13 reads/lane)
+    LANES = 2048
+    LBUF = 2048
+    RCAP = 32
+    NPL = LBUF // (READ_LEN + 1)  # 13 reads per lane
     M = 64
     per = LANES * NPL
     so = np.zeros((LANES, RCAP), np.int32)

@@ -30,7 +30,10 @@ def _round(rank: jax.Array, k: jax.Array):
     r_s, r2_s, sa = jax.lax.sort((rank, rank2, iota), dimension=0, is_stable=True, num_keys=2)
     neq = jnp.concatenate([jnp.zeros((1,), dt), ((r_s[1:] != r_s[:-1]) | (r2_s[1:] != r2_s[:-1])).astype(dt)])
     nr = jnp.cumsum(neq)
-    new_rank = jnp.zeros_like(rank).at[sa].set(nr)
+    # permutation inverse (new_rank[sa] = nr) as a sort rather than a scatter:
+    # XLA TPU scatters serialize (minutes at 64M elements/round), while a
+    # 2-array sort stays parallel
+    _, new_rank = jax.lax.sort((sa, nr), dimension=0, is_stable=False, num_keys=1)
     return new_rank, sa, nr[-1]
 
 

@@ -98,10 +98,11 @@ class BatchedSmemTG:
         self.use_pallas = use_pallas and self.idx.idx_dtype == jnp.int32
         self.unroll = int(unroll) if unroll is not None else 1
         if seed_k is None:
-            # k-mer seed table: skips k-1 backward extends per window attempt
-            # (bit-identical; see ops/seed.py).  ~12 is the memory/benefit
-            # sweet spot (4**12 rows); always bounded by min_len - 1.
-            seed_k = 12
+            # k-mer seed table (ops/seed.py) cuts iterations 10-15% but its
+            # ~35 extra ops/iteration cost ~2x on the dispatch-bound tunneled
+            # runtime (PERF_NOTES.md) — off by default, kept for future
+            # fused-body kernels
+            seed_k = 0
         self.seed_k = max(0, min(int(seed_k), self.min_len - 1))
         self.seed_tab = None
         if self.seed_k >= 4 and not self.use_pallas:
@@ -157,8 +158,8 @@ class BatchedSmemTG:
                     out.append([Mem(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4])) for r in mems[t, : n_mem[t]]])
         return out
 
-    PACK_LBUF = 1024  # lane buffer for the packed kernel (one compile shape)
-    PACK_R = 16  # max reads per lane
+    PACK_LBUF = 2048  # lane buffer for the packed kernel (one compile shape)
+    PACK_R = 32  # max reads per lane
 
     def _run_packed(self, queries: list[np.ndarray], results: list, idxs: list[int]) -> None:
         """Pack several reads per lane: one (Q, R, Lbuf) program covers every
@@ -211,19 +212,28 @@ class BatchedSmemTG:
             )
             mems = np.asarray(mems)
             n_mem = np.asarray(n_mem)
-            for lane in range(Q):
-                if not lane_reads[lane]:
-                    continue
-                if n_mem[lane] > M:  # lane buffer overflow: host rerun
-                    from . import smem_ref
+            # vectorized unpack: gather all valid rows at once, map (lane,
+            # seg) -> global read id, stable-sort by read id (preserving
+            # per-read emit order: lane-major then slot-ascending)
+            rid_of = np.full((Q, Rcap), -1, np.int64)
+            for lane, rds in enumerate(lane_reads):
+                for s, ridx in enumerate(rds):
+                    rid_of[lane, s] = ridx
+                    results[ridx] = []
+            ok_lane = n_mem <= M
+            nvalid = np.where(ok_lane, n_mem, 0)
+            lanes_i, slots = np.nonzero(np.arange(M)[None, :] < nvalid[:, None])
+            rows = mems[lanes_i, slots]
+            rids = rid_of[lanes_i, rows[:, 5].astype(np.int64)]
+            for k in np.argsort(rids, kind="stable"):
+                r0 = rows[k]
+                results[rids[k]].append(Mem(int(r0[0]), int(r0[1]), int(r0[2]), int(r0[3]), int(r0[4])))
+            if not ok_lane.all():  # lane MEM-buffer overflow: host rerun
+                from . import smem_ref
 
+                for lane in np.nonzero(~ok_lane)[0]:
                     for ridx in lane_reads[lane]:
                         results[ridx] = smem_ref.smem_tg(self._dense, queries[ridx], self.min_occ, self.min_len)
-                    continue
-                rows = mems[lane, : n_mem[lane]]
-                for s, ridx in enumerate(lane_reads[lane]):
-                    rsel = rows[rows[:, 5] == s]
-                    results[ridx] = [Mem(int(r0[0]), int(r0[1]), int(r0[2]), int(r0[3]), int(r0[4])) for r0 in rsel]
 
     def run(self, queries: list[np.ndarray]) -> list[list[Mem]]:
         if not queries:
