@@ -74,17 +74,59 @@ def merge_rank_plain(fa: DenseFMIndex, seq: np.ndarray, step_cb=None) -> tuple[n
     return acc2, ins
 
 
-def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Device-batched variant of merge_rank_plain: one vectorized rank gather
-    on B1 per step, all m2 sequence walks in lock-step lanes (the TPU analog
-    of kt_for(worker_cal_rank), fm-index.c:189-200)."""
+def _mg_window_fn():
+    """Module-level jitted window kernel (built lazily so importing this
+    module never touches JAX)."""
     from .. import _jax_setup
 
     _jax_setup()
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from ..ops.rank import DeviceIndex, rank1a
+    from ..ops.rank import rank1a
+
+    @functools.partial(jax.jit, static_argnames=("W",))
+    def window(idx, seq_d, lf2_d, ka, kb, alive, W):
+        m2 = ka.shape[0]
+        dt = ka.dtype
+
+        def step(t, st):
+            ka, kb, alive, kbuf, abuf = st
+            kbuf = jax.lax.dynamic_update_index_in_dim(kbuf, kb, t, 0)
+            abuf = jax.lax.dynamic_update_index_in_dim(abuf, ka, t, 0)
+            c = jnp.take(seq_d, kb)
+            oa = rank1a(idx, ka)
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (m2, 6), 1) == c[:, None]).astype(dt)
+            oc = jnp.sum(oa * sel, axis=1, dtype=dt)
+            alive2 = alive & (c != 0)
+            ka = jnp.where(alive2, jnp.take(idx.acc, c) + oc, ka)
+            kb = jnp.where(alive2, jnp.take(lf2_d, kb), kb)
+            return ka, kb, alive2, kbuf, abuf
+
+        kbuf = jnp.zeros((W, m2), kb.dtype)
+        abuf = jnp.zeros((W, m2), dt)
+        return jax.lax.fori_loop(0, W, step, (ka, kb, alive, kbuf, abuf))
+
+    return window
+
+
+def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Device-batched variant of merge_rank_plain: one vectorized rank gather
+    on B1 per step, all m2 sequence walks in lock-step lanes (the TPU analog
+    of kt_for(worker_cal_rank), fm-index.c:189-200).
+
+    The (kb, ka) trajectory is recorded into (W, m2) window buffers on device
+    and applied to `ins` with numpy fancy assignment on host — a per-step
+    device scatter would serialize on TPU.  Lanes that die keep re-recording
+    their final identical pair, which overwrites harmlessly."""
+    from .. import _jax_setup
+
+    _jax_setup()
+    import jax.numpy as jnp
+
+    from ..ops.rank import DeviceIndex
 
     acc2, lf2 = lf2_table(seq)
     n2 = len(seq)
@@ -93,30 +135,17 @@ def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray) -> tuple[np.ndarray, np
     dt = idx.idx_dtype
     seq_d = jnp.asarray(seq.astype(np.int32))
     lf2_d = jnp.asarray(lf2.astype(np.int32 if dt == jnp.int32 else np.int64))
-    acc_d = idx.acc
-
-    def body(state):
-        ka, kb, alive, ins = state
-        c = jnp.take(seq_d, kb)
-        old = jnp.take(ins, kb)
-        ins = ins.at[kb].set(jnp.where(alive, ka, old))
-        oa = rank1a(idx, ka)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (m2, 6), 1) == c[:, None]).astype(dt)
-        oc = jnp.sum(oa * sel, axis=1, dtype=dt)
-        accc = jnp.take(acc_d, c)
-        alive2 = alive & (c != 0)
-        ka = jnp.where(alive2, accc + oc, ka)
-        kb = jnp.where(alive2, jnp.take(lf2_d, kb), kb)
-        return ka, kb, alive2, ins
-
-    state = (
-        jnp.full((m2,), int(fa.acc[1]), dt),
-        jnp.arange(m2, dtype=lf2_d.dtype),
-        jnp.ones((m2,), jnp.bool_),
-        jnp.zeros((n2,), dt),
-    )
-    state = jax.lax.while_loop(lambda s: jnp.any(s[2]), body, state)
-    ins = np.asarray(state[3]).astype(np.int64)
+    window = _mg_window_fn()
+    W = int(max(256, min(65536, (16 << 20) // max(1, m2))))
+    ka = jnp.full((m2,), int(fa.acc[1]), dt)
+    kb = jnp.arange(m2, dtype=lf2_d.dtype)
+    alive = jnp.ones((m2,), jnp.bool_)
+    ins = np.zeros(n2, dtype=np.int64)
+    while True:
+        ka, kb, alive, kbuf, abuf = window(idx, seq_d, lf2_d, ka, kb, alive, W)
+        ins[np.asarray(kbuf).ravel()] = np.asarray(abuf).ravel()
+        if not bool(np.asarray(jnp.any(alive))):
+            break
     return acc2, ins
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.dense import DenseFMIndex
-from .rank import DeviceIndex, extend, set_intv
+from .rank import DeviceIndex, extend, extend_c, set_intv
 from .smem_fsm import smem_fsm
 from .smem_ref import Mem
 
@@ -57,6 +57,7 @@ def smem_tg_batch(
         seed_tab=seed_tab,
         seed_k=seed_k,
         segments=segments,
+        extend_one=lambda ik, c, back: extend_c(idx, ik, c, back),
     )
 
 
@@ -170,33 +171,49 @@ class BatchedSmemTG:
         Q = max(256, self.lanes * 512 // Lbuf)
         M = max(64, self.max_mems) if self.max_mems else 64
         t = 0
-        dt_np = np.int64 if self.idx.idx_dtype == jnp.int64 else np.int32
+        idxs_np = np.asarray(idxs, dtype=np.int64)
+        lens = np.fromiter((len(queries[i]) for i in idxs), np.int64, len(idxs))
         while t < len(idxs):
-            # deal ascending-length reads round-robin across lanes; loads stay
-            # near-equal, rounds stop at capacity (>=1 zero separator each)
+            # deal ascending-length reads round-robin across lanes (loads stay
+            # near-equal); rounds stop at capacity (>=1 zero separator each).
+            # All staging is vectorized; buffer fills group reads of equal
+            # length (contiguous, since idxs are length-sorted).
+            navail = len(idxs) - t
+            rmax = min(Rcap, (navail + Q - 1) // Q)
+            take0 = min(navail, rmax * Q)
+            occ = np.zeros((rmax, Q), np.int64)
+            occ.ravel()[:take0] = lens[t : t + take0] + 1
+            loads = np.cumsum(occ, axis=0)
+            ok = loads.max(axis=1) <= Lbuf
+            r_acc = int(np.argmin(ok)) if not ok.all() else rmax
+            assert r_acc > 0, "read longer than the packed lane buffer"
+            take = min(navail, r_acc * Q)
+            flat = np.arange(take, dtype=np.int64)
+            lane_a, rnd_a = flat % Q, flat // Q
+            offs = np.zeros((r_acc, Q), np.int64)
+            offs[1:] = loads[: r_acc - 1]
+            off_a = offs[rnd_a, lane_a]
+            len_a = lens[t : t + take]
+            rid_a = idxs_np[t : t + take]
             qarr = np.zeros((Q, Lbuf), np.uint8)
+            b0 = 0
+            while b0 < take:  # contiguous run of equal-length reads
+                b1 = b0 + int(np.searchsorted(len_a[b0:], len_a[b0] + 1))
+                ln = int(len_a[b0])
+                if ln > 0:
+                    block = np.stack([queries[r] for r in rid_a[b0:b1]])
+                    qarr[lane_a[b0:b1, None], off_a[b0:b1, None] + np.arange(ln)] = block
+                b0 = b1
             seg_off = np.zeros((Q, Rcap), np.int32)
             seg_len = np.zeros((Q, Rcap), np.int32)
             n_seg = np.zeros(Q, np.int32)
-            loads = np.zeros(Q, np.int64)
+            seg_off[lane_a, rnd_a] = off_a
+            seg_len[lane_a, rnd_a] = len_a
+            np.maximum.at(n_seg, lane_a, (rnd_a + 1).astype(np.int32))
             lane_reads: list[list[int]] = [[] for _ in range(Q)]
-            r = 0
-            while r < Rcap and t < len(idxs):
-                batch = idxs[t : t + Q]
-                longest = len(queries[batch[-1]])
-                if loads.max() + longest + 1 > Lbuf:
-                    break
-                for lane, ridx in enumerate(batch):
-                    q = queries[ridx]
-                    off = int(loads[lane])
-                    qarr[lane, off : off + len(q)] = q
-                    seg_off[lane, r] = off
-                    seg_len[lane, r] = len(q)
-                    n_seg[lane] = r + 1
-                    loads[lane] += len(q) + 1
-                    lane_reads[lane].append(ridx)
-                t += len(batch)
-                r += 1
+            for k in range(take):
+                lane_reads[int(lane_a[k])].append(int(rid_a[k]))
+            t += take
             mems, n_mem, _ = smem_tg_batch(
                 self.idx,
                 jnp.asarray(qarr),
@@ -216,10 +233,9 @@ class BatchedSmemTG:
             # seg) -> global read id, stable-sort by read id (preserving
             # per-read emit order: lane-major then slot-ascending)
             rid_of = np.full((Q, Rcap), -1, np.int64)
-            for lane, rds in enumerate(lane_reads):
-                for s, ridx in enumerate(rds):
-                    rid_of[lane, s] = ridx
-                    results[ridx] = []
+            rid_of[lane_a, rnd_a] = rid_a
+            for ridx in rid_a:
+                results[ridx] = []
             ok_lane = n_mem <= M
             nvalid = np.where(ok_lane, n_mem, 0)
             lanes_i, slots = np.nonzero(np.arange(M)[None, :] < nvalid[:, None])

@@ -34,10 +34,13 @@ def emit(mems, n_mem, lane_mask, st, en, ik, seg=None):
     return mems, n_mem
 
 
-def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None):
+def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None, extend_one=None):
     """Run the batched TG loop.
 
     extend_all(ik (Q,3), is_back (Q,)) -> (Q,6,3)
+    extend_one(ik (Q,3), c (Q,), is_back (Q,)) -> (Q,3): optional single-
+    symbol variant (ops/rank.extend_c) — bit-identical, ~3x less per-step
+    traffic; preferred when provided.
     set_intv_c(c (Q,)) -> (Q,3)
     comp: (6,) complement table; q: (Q,L) int32; qlen: (Q,) int32.
     unroll: body steps per while-loop trip.  The body is a no-op for DONE
@@ -174,10 +177,13 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         craw = qsym(off + pos)
         c = jnp.where(fw, comp[craw], craw)
         safe_ik = jnp.where(active[:, None], ik, jnp.zeros_like(ik))
-        ok_all = extend_all(safe_ik, back)
-        # per-lane symbol row select via masked sum (avoids a slow gather)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (Q, 6), 1) == c[:, None]).astype(ok_all.dtype)
-        ok_c = jnp.sum(ok_all * sel[:, :, None], axis=1, dtype=ok_all.dtype)
+        if extend_one is not None:
+            ok_c = extend_one(safe_ik, c, back)
+        else:
+            ok_all = extend_all(safe_ik, back)
+            # per-lane symbol row select via masked sum (avoids a slow gather)
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (Q, 6), 1) == c[:, None]).astype(ok_all.dtype)
+            ok_c = jnp.sum(ok_all * sel[:, :, None], axis=1, dtype=ok_all.dtype)
         succ = ok_c[:, 2] >= min_occ
 
         # BACK1
