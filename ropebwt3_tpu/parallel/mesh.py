@@ -110,6 +110,32 @@ def extend_sharded(occ_bits, occ_block, occ_super, acc, nb_local: int, ik: jax.A
     return jnp.stack([x0, x1, sz], axis=-1)
 
 
+def extend_sharded_c(occ_bits, occ_block, occ_super, acc, nb_local: int, ik: jax.Array, c: jax.Array, is_back: jax.Array):
+    """Single-symbol bidirectional extend inside shard_map (bit-identical to
+    extend_sharded row c, cf. ops/rank.extend_c): one psum over `idx`, no
+    (Q, 6, 3) candidate tensor."""
+    from ..ops.rank import _EXT_PREFIX
+
+    dt = acc.dtype
+    ik = ik.astype(dt)
+    prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
+    kl = jnp.stack([prim, prim + ik[..., 2]], 0)
+    r = rank1a_local(occ_bits, occ_block, occ_super, nb_local, kl, dt)
+    r = jax.lax.psum(r, "idx")
+    tk, tl = r[0], r[1]
+    sz = tl - tk  # (Q, 6)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, sz.shape, sz.ndim - 1) == c[..., None]).astype(dt)
+    szc = jnp.sum(sz * onehot, axis=-1, dtype=dt)
+    tkc = jnp.sum(tk * onehot, axis=-1, dtype=dt)
+    prim_out = jnp.take(acc, c) + tkc
+    sec_in = jnp.where(is_back, ik[..., 1], ik[..., 0])
+    wrow = jnp.take(jnp.asarray(_EXT_PREFIX.reshape(-1)), c[..., None] * ASIZE + jnp.arange(ASIZE, dtype=jnp.int32)).astype(dt)
+    sec_out = sec_in + jnp.sum(sz * wrow, axis=-1, dtype=dt)
+    x0 = jnp.where(is_back, prim_out, sec_out)
+    x1 = jnp.where(is_back, sec_out, prim_out)
+    return jnp.stack([x0, x1, szc], axis=-1)
+
+
 def make_mesh(dp: int, idx: int, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices()[: dp * idx])
     return Mesh(devices.reshape(dp, idx), ("dp", "idx"))

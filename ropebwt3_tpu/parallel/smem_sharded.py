@@ -13,7 +13,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ops.smem_fsm import smem_fsm
-from .mesh import ShardedIndex, extend_sharded
+from .mesh import ShardedIndex, extend_sharded, extend_sharded_c
 
 ASIZE = 6
 
@@ -42,6 +42,7 @@ def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems:
             min_len=min_len,
             max_mems=max_mems,
             max_iters=max_iters,
+            extend_one=lambda ik, c, back: extend_sharded_c(occ_bits, occ_block, occ_super, acc, nb_local, ik, c, back),
         )
         return mems, n_mem, it[None]
 
