@@ -159,17 +159,21 @@ class BatchedSmemTG:
                     out.append([Mem(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4])) for r in mems[t, : n_mem[t]]])
         return out
 
-    PACK_LBUF = 2048  # lane buffer for the packed kernel (one compile shape)
+    PACK_LBUF = 2048  # short-read lane buffer (one compile shape)
+    PACK_LBUF_LONG = 32768  # long-read lane buffer (covers HiFi-length reads)
     PACK_R = 32  # max reads per lane
 
-    def _run_packed(self, queries: list[np.ndarray], results: list, idxs: list[int]) -> None:
+    def _run_packed(self, queries: list[np.ndarray], results: list, idxs: list[int], Lbuf: int | None = None, M: int | None = None) -> None:
         """Pack several reads per lane: one (Q, R, Lbuf) program covers every
-        short-read length, and per-lane iteration counts average over the
-        lane's reads, shrinking the max-over-lanes tail that sets the loop
-        trip count.  `idxs` are ascending-length positions into `results`."""
-        Lbuf, Rcap = self.PACK_LBUF, self.PACK_R
-        Q = max(256, self.lanes * 512 // Lbuf)
-        M = max(64, self.max_mems) if self.max_mems else 64
+        read length up to Lbuf-1, and per-lane iteration counts average over
+        the lane's reads, shrinking the max-over-lanes tail that sets the
+        loop trip count.  `idxs` are ascending-length positions into
+        `results`."""
+        Lbuf = Lbuf or self.PACK_LBUF
+        Rcap = self.PACK_R
+        Q = max(256, self.lanes // 4)
+        if M is None:
+            M = max(64, self.max_mems) if self.max_mems else 64
         t = 0
         idxs_np = np.asarray(idxs, dtype=np.int64)
         lens = np.fromiter((len(queries[i]) for i in idxs), np.int64, len(idxs))
@@ -259,9 +263,14 @@ class BatchedSmemTG:
         results: list[list[Mem] | None] = [None] * len(queries)
         if self.pack and not self.use_pallas:
             short = [t for t in order if len(queries[t]) + 1 <= self.PACK_LBUF]
-            order = [t for t in order if len(queries[t]) + 1 > self.PACK_LBUF]
+            longr = [t for t in order if self.PACK_LBUF < len(queries[t]) + 1 <= self.PACK_LBUF_LONG]
+            order = [t for t in order if len(queries[t]) + 1 > self.PACK_LBUF_LONG]
             if short:
                 self._run_packed(queries, results, short)
+            if longr:
+                # long reads carry many MEMs per lane; larger buffer, fewer
+                # host rerun fallbacks
+                self._run_packed(queries, results, longr, Lbuf=self.PACK_LBUF_LONG, M=max(256, self.max_mems) if self.max_mems else 256)
         buckets: dict[int, list[int]] = {}
         for t in order:
             L = max(64, 1 << (max(1, len(queries[t]) - 1)).bit_length())
