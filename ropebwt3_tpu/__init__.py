@@ -25,7 +25,18 @@ def _jax_setup():
     global _jax_ready
     if _jax_ready:
         return
+    import os
+
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # Persistent compilation cache: identical programs recompile per process
+    # on this runtime (remote compiles run 2 s-40 min), so cache aggressively.
+    try:
+        cache_dir = os.environ.get("RB3TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "rb3tpu_xla"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or plugin without persistent-cache support
     _jax_ready = True
