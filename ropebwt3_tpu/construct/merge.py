@@ -112,7 +112,7 @@ def _mg_window_fn():
     return window
 
 
-def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray, window: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Device-batched variant of merge_rank_plain: one vectorized rank gather
     on B1 per step, all m2 sequence walks in lock-step lanes (the TPU analog
     of kt_for(worker_cal_rank), fm-index.c:189-200).
@@ -135,14 +135,14 @@ def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray) -> tuple[np.ndarray, np
     dt = idx.idx_dtype
     seq_d = jnp.asarray(seq.astype(np.int32))
     lf2_d = jnp.asarray(lf2.astype(np.int32 if dt == jnp.int32 else np.int64))
-    window = _mg_window_fn()
-    W = int(max(256, min(65536, (16 << 20) // max(1, m2))))
+    window_fn = _mg_window_fn()
+    W = int(window) if window else int(max(256, min(65536, (16 << 20) // max(1, m2))))
     ka = jnp.full((m2,), int(fa.acc[1]), dt)
     kb = jnp.arange(m2, dtype=lf2_d.dtype)
     alive = jnp.ones((m2,), jnp.bool_)
     ins = np.zeros(n2, dtype=np.int64)
     while True:
-        ka, kb, alive, kbuf, abuf = window(idx, seq_d, lf2_d, ka, kb, alive, W)
+        ka, kb, alive, kbuf, abuf = window_fn(idx, seq_d, lf2_d, ka, kb, alive, W)
         ins[np.asarray(kbuf).ravel()] = np.asarray(abuf).ravel()
         if not bool(np.asarray(jnp.any(alive))):
             break

@@ -122,6 +122,10 @@ def test_packed_lanes_match_ref(dense_index, reads):
         r[mut] = rng.integers(1, 6, int(mut.sum()))
         mixed.append(r)
     mixed += [r[:97] for r in reads[:40]]
+    # reads straddling the short/long packed-class boundary (Lbuf=2048)
+    for ln in (2046, 2047, 2048, 2049, 2100):
+        st = int(rng.integers(0, len(g) - ln))
+        mixed.append(g[st : st + ln].copy())
     eng = BatchedSmemTG(dense_index, min_occ=1, min_len=13, lanes=256)  # tiny lanes, heavy packing + overflows
     got = eng.run(mixed)
     for q, gm in zip(mixed, got):
@@ -206,6 +210,9 @@ def test_merge_rank_device_matches_host():
     a1, i1 = merge_rank_plain(fa, bwt2)
     a2, i2 = merge_rank_device(fa, bwt2)
     assert np.array_equal(a1, a2) and np.array_equal(i1, i2)
+    # small window forces the multi-window resume path
+    a3, i3 = merge_rank_device(fa, bwt2, window=64)
+    assert np.array_equal(a1, a3) and np.array_equal(i1, i3)
 
 
 def test_jax_sa_builder(corpus):
