@@ -161,6 +161,34 @@ def test_seed_table_and_unroll_match_base(dense_index, reads):
                 assert np.array_equal(np.asarray(m1), np.asarray(m2)), (min_len, k, unroll)
 
 
+def test_int64_index_dtype_matches_int32(dense_index, reads):
+    """Indexes >= 2^31 symbols use int64 device tables; force that dtype on a
+    small index and require identical MEMs through the packed kernel."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+
+    i32 = DeviceIndex.from_dense(dense_index)
+    i64 = DeviceIndex.from_dense(dense_index, idx_dtype=jnp.int64)
+    assert i64.idx_dtype == jnp.int64
+    Q, L = 64, 256
+    qarr = np.zeros((Q, L), np.uint8)
+    qlen = np.zeros(Q, np.int32)
+    for t in range(Q):
+        r = reads[t % len(reads)]
+        qarr[t, : len(r)] = r
+        qlen[t] = len(r)
+    seg = (jnp.zeros((Q, 2), jnp.int32), jnp.stack([jnp.asarray(qlen), jnp.zeros(Q, jnp.int32)], 1), jnp.ones(Q, jnp.int32))
+    args = dict(min_occ=1, min_len=21, max_mems=16, max_iters=4 * L + 64)
+    for segments in (None, seg):
+        a = smem_tg_batch(i32, jnp.asarray(qarr), jnp.asarray(qlen), segments=segments, **args)
+        b = smem_tg_batch(i64, jnp.asarray(qarr), jnp.asarray(qlen), segments=segments, **args)
+        assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        assert np.array_equal(np.asarray(a[0]).astype(np.int64), np.asarray(b[0]))
+
+
 def test_pallas_fsm_matches_xla(dense_index, reads):
     """The fused Pallas loop body (interpret mode on CPU) must produce the
     exact same MEMs as the pure-XLA FSM."""
