@@ -174,14 +174,15 @@ class BatchedSmemTG:
         Q = max(256, self.lanes // 4)
         if M is None:
             M = max(64, self.max_mems) if self.max_mems else 64
-        t = 0
         idxs_np = np.asarray(idxs, dtype=np.int64)
         lens = np.fromiter((len(queries[i]) for i in idxs), np.int64, len(idxs))
-        while t < len(idxs):
-            # deal ascending-length reads round-robin across lanes (loads stay
-            # near-equal); rounds stop at capacity (>=1 zero separator each).
-            # All staging is vectorized; buffer fills group reads of equal
-            # length (contiguous, since idxs are length-sorted).
+
+        def stage(t):
+            """Build one dispatch: deal ascending-length reads round-robin
+            across lanes (loads stay near-equal); rounds stop at capacity
+            (>= 1 zero separator each).  All staging is vectorized; buffer
+            fills group reads of equal length (contiguous, since idxs are
+            length-sorted).  Returns (next_t, descriptor)."""
             navail = len(idxs) - t
             rmax = min(Rcap, (navail + Q - 1) // Q)
             take0 = min(navail, rmax * Q)
@@ -214,13 +215,12 @@ class BatchedSmemTG:
             seg_off[lane_a, rnd_a] = off_a
             seg_len[lane_a, rnd_a] = len_a
             np.maximum.at(n_seg, lane_a, (rnd_a + 1).astype(np.int32))
-            lane_reads: list[list[int]] = [[] for _ in range(Q)]
-            for k in range(take):
-                lane_reads[int(lane_a[k])].append(int(rid_a[k]))
-            t += take
+            return t + take, dict(qarr=qarr, seg_off=seg_off, seg_len=seg_len, n_seg=n_seg, lane_a=lane_a, rnd_a=rnd_a, rid_a=rid_a)
+
+        def dispatch(d):
             mems, n_mem, _ = smem_tg_batch(
                 self.idx,
-                jnp.asarray(qarr),
+                jnp.asarray(d["qarr"]),
                 jnp.zeros(Q, jnp.int32),
                 min_occ=self.min_occ,
                 min_len=self.min_len,
@@ -229,13 +229,28 @@ class BatchedSmemTG:
                 unroll=self.unroll,
                 seed_tab=self.seed_tab,
                 seed_k=self.seed_k,
-                segments=(jnp.asarray(seg_off), jnp.asarray(seg_len), jnp.asarray(n_seg)),
+                segments=(jnp.asarray(d["seg_off"]), jnp.asarray(d["seg_len"]), jnp.asarray(d["n_seg"])),
             )
-            mems = np.asarray(mems)
-            n_mem = np.asarray(n_mem)
-            # vectorized unpack: gather all valid rows at once, map (lane,
-            # seg) -> global read id, stable-sort by read id (preserving
-            # per-read emit order: lane-major then slot-ascending)
+            d["mems_dev"], d["n_mem_dev"] = mems, n_mem
+            return d
+
+        def sync_and_prefetch(d):
+            # materialize n_mem (small) — the axon runtime needs one program
+            # synced before the next is queued — then start the bulk MEM
+            # buffer's device->host copy so it overlaps the next dispatch
+            d["n_mem"] = np.asarray(d["n_mem_dev"])
+            try:
+                d["mems_dev"].copy_to_host_async()
+            except Exception:
+                pass
+
+        def unpack(d):
+            """Vectorized unpack: gather all valid rows at once, map (lane,
+            seg) -> global read id, stable-sort by read id (preserving
+            per-read emit order: lane-major then slot-ascending)."""
+            mems = np.asarray(d["mems_dev"])
+            n_mem = d["n_mem"]
+            lane_a, rnd_a, rid_a = d["lane_a"], d["rnd_a"], d["rid_a"]
             rid_of = np.full((Q, Rcap), -1, np.int64)
             rid_of[lane_a, rnd_a] = rid_a
             for ridx in rid_a:
@@ -245,15 +260,37 @@ class BatchedSmemTG:
             lanes_i, slots = np.nonzero(np.arange(M)[None, :] < nvalid[:, None])
             rows = mems[lanes_i, slots]
             rids = rid_of[lanes_i, rows[:, 5].astype(np.int64)]
-            for k in np.argsort(rids, kind="stable"):
-                r0 = rows[k]
-                results[rids[k]].append(Mem(int(r0[0]), int(r0[1]), int(r0[2]), int(r0[3]), int(r0[4])))
+            order = np.argsort(rids, kind="stable")
+            row_l = rows[order, :5].tolist()
+            rid_l = rids[order].tolist()
+            for rid, r0 in zip(rid_l, row_l):
+                results[rid].append(Mem(*r0))
             if not ok_lane.all():  # lane MEM-buffer overflow: host rerun
                 from . import smem_ref
 
-                for lane in np.nonzero(~ok_lane)[0]:
-                    for ridx in lane_reads[lane]:
+                bad = set(np.nonzero(~ok_lane)[0].tolist())
+                for k, lane in enumerate(lane_a):
+                    if int(lane) in bad:
+                        ridx = int(rid_a[k])
                         results[ridx] = smem_ref.smem_tg(self._dense, queries[ridx], self.min_occ, self.min_len)
+
+        # software pipeline: stage i+1 and unpack i-1 while kernel i runs
+        # (exactly one program in flight at a time)
+        t, cur = stage(0)
+        cur = dispatch(cur)
+        prev = None
+        while True:
+            nxt = None
+            if t < len(idxs):
+                t, nxt = stage(t)
+            if prev is not None:
+                unpack(prev)
+            sync_and_prefetch(cur)
+            prev = cur
+            if nxt is None:
+                break
+            cur = dispatch(nxt)
+        unpack(prev)
 
     def run(self, queries: list[np.ndarray]) -> list[list[Mem]]:
         if not queries:
