@@ -19,6 +19,22 @@ def test_build_toy_two_seqs(ref_bin):
     assert run_ours(["build", "-L", "-"], input=inp) == run_ref(ref_bin, ["build", "-L", "-"], input=inp)
 
 
+def test_build_tree_golden(ref_bin, corpus):
+    """`build -T` Newick-style B+-tree dump (build.c:131, mrope.c:187-193).
+
+    Leaf boundaries reflect construction history (like FMR bytes,
+    README.md:169-171), so compare the logical BWT — concatenated leaf
+    contents — plus exact bytes on a single-leaf input."""
+    fa = str(corpus / "genomes.fa")
+
+    def strip(out):  # drop topology characters, keep the BWT symbol stream
+        return out.translate(None, b"(),\n")
+
+    assert strip(run_ours(["build", "-LT", fa])) == strip(run_ref(ref_bin, ["build", "-LT", fa]))
+    inp = b"TGAACTCTACACAACATATTTTGTCACCAAG\n"
+    assert run_ours(["build", "-LT", "-"], input=inp) == run_ref(ref_bin, ["build", "-LT", "-"], input=inp)
+
+
 def test_build_fmd_golden(ref_bin, corpus, ref_index):
     fa = str(corpus / "genomes.fa")
     assert run_ours(["build", "-d", fa]) == open(ref_index, "rb").read()
