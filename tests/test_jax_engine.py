@@ -161,6 +161,28 @@ def test_seed_table_and_unroll_match_base(dense_index, reads):
                 assert np.array_equal(np.asarray(m1), np.asarray(m2)), (min_len, k, unroll)
 
 
+def test_extend_c_matches_extend_row(dense_index):
+    """ops/rank.extend_c must equal row c of ops/rank.extend for every
+    (interval, symbol, direction) — the SMEM loop's bit-exactness rests on
+    this."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex, extend, extend_c, set_intv
+
+    idx = DeviceIndex.from_dense(dense_index)
+    rng = np.random.default_rng(11)
+    ik = np.asarray(set_intv(idx, jnp.asarray(rng.integers(0, 6, 64, dtype=np.int32))))
+    for _ in range(4):  # walk a few random extension steps
+        back = jnp.asarray(rng.random(64) < 0.5)
+        c = jnp.asarray(rng.integers(0, 6, 64, dtype=np.int32))
+        full = np.asarray(extend(idx, jnp.asarray(ik), back))
+        one = np.asarray(extend_c(idx, jnp.asarray(ik), c, back))
+        want = full[np.arange(64), np.asarray(c)]
+        assert np.array_equal(one, want)
+        ik = np.where(want[:, 2:3] > 0, want, ik)  # follow non-empty results
+
+
 def test_int64_index_dtype_matches_int32(dense_index, reads):
     """Indexes >= 2^31 symbols use int64 device tables; force that dtype on a
     small index and require identical MEMs through the packed kernel."""
