@@ -634,16 +634,26 @@ def sw_backtrack(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, rows, b
 
 
 def _attach_positions(opt: SwOpt, f: DenseFMIndex, hits: list[SwHit]) -> None:
-    """Fill hit.pos via the sampled SA (bwa-sw.c:547-557)."""
+    """Fill hit.pos via the sampled SA (bwa-sw.c:547-557).
+
+    len(ssa_multi(lo, hi, n)) == min(n, hi - lo) deterministically (every
+    suffix locates), so the reference's sequential `rest` budget can be
+    computed upfront and the lookups batched through the native core."""
     if f.ssa is None:
         return
-    from ..ssa_ops import ssa_multi
+    from ..ssa_ops import ssa_multi_batch, ssa_multi_py
 
     rest = opt.max_pos
+    reqs = []
     for hit in hits:
         n = rest if rest > 0 else 1
-        hit.pos = ssa_multi(f, f.ssa, hit.lo, hit.hi, n)
-        rest -= len(hit.pos)
+        reqs.append((hit.lo, hit.hi, n))
+        rest -= min(n, hit.hi - hit.lo)
+    got = ssa_multi_batch(f, f.ssa, reqs)
+    if got is None:
+        got = [ssa_multi_py(f, f.ssa, *r) for r in reqs]
+    for hit, pos in zip(hits, got):
+        hit.pos = pos
 
 
 def _parse_sw_blob(buf: bytes, n_reads: int) -> list[list[SwHit]]:

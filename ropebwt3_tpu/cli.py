@@ -721,6 +721,15 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             else:
                 fn_algo = smem_ref.smem_tg if algo == "mem_tg" else smem_ref.smem_orig
                 all_mems = [fn_algo(f, q, min_occ, min_len) for _, q in batch]
+            pos_iter = None
+            if max_pos > 0 and min_gap_len == 0 and not write_cov:
+                # batch every MEM's multi-locate through the native core
+                from .ssa_ops import ssa_multi_batch
+
+                reqs = [(m.lo, m.lo + m.size, max_pos) for mems in all_mems for m in mems]
+                got = ssa_multi_batch(f, f.ssa, reqs)
+                if got is not None:
+                    pos_iter = iter(got)
             for (name, q), mems in zip(batch, all_mems):
                 seq_id += 1
                 nm = name if name else f"seq{seq_id}"
@@ -754,9 +763,12 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
                     for m in mems:
                         line = f"{nm}\t{m.start}\t{m.end}\t{m.size}"
                         if max_pos > 0:
-                            from .ssa_ops import ssa_multi
+                            if pos_iter is not None:
+                                pos = next(pos_iter)
+                            else:
+                                from .ssa_ops import ssa_multi
 
-                            pos = ssa_multi(f, f.ssa, m.lo, m.lo + m.size, max_pos)
+                                pos = ssa_multi(f, f.ssa, m.lo, m.lo + m.size, max_pos)
                             line += f"\t{len(pos)}"
                             for sid, p in pos:
                                 rlen = int(f.sid.lens[sid >> 1])

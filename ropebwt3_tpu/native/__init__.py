@@ -81,6 +81,8 @@ def get_sw_lib():
         lib.rb3t_smem_batch.argtypes = [V, V, V, V, I64, I64, I32, V, V, I64, I32, ctypes.POINTER(I64)]
         lib.rb3t_buf_free.restype = None
         lib.rb3t_buf_free.argtypes = [V]
+        lib.rb3t_ssa_multi_batch.restype = None
+        lib.rb3t_ssa_multi_batch.argtypes = [V, V, V, V, I64, I32, I32, V, V, I64, V, V, V, V, V, V, V, I32]
         _sw_lib = lib
     except Exception:
         _sw_lib = None

@@ -1250,4 +1250,156 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
 
 void rb3t_buf_free(void* p) { std::free(p); }
 
+// ---- sampled-SA multi-locate (ssa_ops.ssa_multi / rb3_ssa_multi,
+// ssa.c:138-192) ------------------------------------------------------------
+// Exact transcription of the Python spec in ssa_ops.py, including the klib
+// max-heap's swap sequence, so the reported positions and their order match
+// the reference byte-for-byte.  Requests are independent and threaded.
+
+namespace ssa_multi_detail {
+
+struct Intv {
+  int64_t lo, hi, off;
+};
+
+static inline bool intv_lt(const Intv& a, const Intv& b) { return a.hi - a.lo < b.hi - b.lo; }
+
+static void iheapup(std::vector<Intv>& h) {
+  size_t k = h.size() - 1;
+  Intv tmp = h[k];
+  while (k) {
+    size_t i = (k - 1) >> 1;
+    if (intv_lt(tmp, h[i])) break;
+    h[k] = h[i];
+    k = i;
+  }
+  h[k] = tmp;
+}
+
+static void iheapdown(std::vector<Intv>& h, size_t i, size_t n) {
+  size_t k = i;
+  Intv tmp = h[i];
+  for (;;) {
+    k = (k << 1) + 1;
+    if (k >= n) break;
+    if (k != n - 1 && intv_lt(h[k], h[k + 1])) ++k;
+    if (intv_lt(h[k], tmp)) break;
+    h[i] = h[k];
+    i = k;
+  }
+  h[i] = tmp;
+}
+
+struct Ctx {
+  const Fmi* f;
+  int32_t ss, ms;
+  const uint64_t* r2i;
+  const uint64_t* ssa;
+  int64_t n0;
+  uint64_t msk_sid;
+  std::vector<Intv> heap;
+  int64_t* out_sid;
+  int64_t* out_pos;
+  int64_t n_out, max_sa;
+
+  bool add_intv(int64_t lo, int64_t hi, int64_t off) {
+    if (n_out == max_sa) return false;
+    int64_t k = (((lo - n0) >> ss) << ss) + n0;
+    while (k < hi) {
+      if (k >= lo) {
+        uint64_t e = ssa[(k - n0) >> ss];
+        out_sid[n_out] = (int64_t)(e & msk_sid);
+        out_pos[n_out] = off + (int64_t)(e >> ms);
+        if (++n_out == max_sa) return false;
+        if (lo < k) {
+          heap.push_back(Intv{lo, k, off});
+          iheapup(heap);
+        }
+        lo = k + 1;
+      }
+      k += (int64_t)1 << ss;
+    }
+    heap.push_back(Intv{lo, hi, off});
+    iheapup(heap);
+    return true;
+  }
+};
+
+static void one(const Fmi& f, RankCache& rc, int32_t ss, int32_t ms, const uint64_t* r2i,
+                const uint64_t* ssa, int64_t lo, int64_t hi, int64_t max_sa,
+                int64_t* out_sid, int64_t* out_pos, int64_t* n_out) {
+  *n_out = 0;
+  if (max_sa == 0 || lo >= hi) return;
+  Ctx c;
+  c.f = &f;
+  c.ss = ss;
+  c.ms = ms;
+  c.r2i = r2i;
+  c.ssa = ssa;
+  c.n0 = f.acc[1];
+  c.msk_sid = ((uint64_t)1 << ms) - 1;
+  c.out_sid = out_sid;
+  c.out_pos = out_pos;
+  c.n_out = 0;
+  c.max_sa = max_sa < hi - lo ? max_sa : hi - lo;
+  c.add_intv(lo, hi, 0);
+  while (!c.heap.empty() && c.n_out < c.max_sa) {
+    Intv x = c.heap[0];
+    Intv last = c.heap.back();
+    c.heap.pop_back();
+    if (!c.heap.empty()) {
+      c.heap[0] = last;
+      iheapdown(c.heap, 0, c.heap.size());
+    }
+    int64_t ok[6], ol[6];
+    rank1a(f, x.lo, ok, rc);
+    rank1a(f, x.hi, ol, rc);
+    for (int64_t l = ok[0]; l < ol[0]; ++l) {  // sentinels reached
+      c.out_sid[c.n_out] = (int64_t)c.r2i[l];
+      c.out_pos[c.n_out] = x.off;
+      if (++c.n_out == c.max_sa) {
+        *n_out = c.n_out;
+        return;
+      }
+    }
+    for (int cc = 1; cc < 6; ++cc)
+      if (ok[cc] < ol[cc])
+        if (!c.add_intv(f.acc[cc] + ok[cc], f.acc[cc] + ol[cc], x.off + 1)) {
+          *n_out = c.n_out;
+          return;
+        }
+  }
+  *n_out = c.n_out;
+}
+
+}  // namespace ssa_multi_detail
+
+void rb3t_ssa_multi_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
+                          const int64_t* acc, int64_t n, int32_t ss, int32_t ms,
+                          const uint64_t* r2i, const uint64_t* ssa, int64_t n_req,
+                          const int64_t* lo, const int64_t* hi, const int64_t* max_sa,
+                          const int64_t* out_off, int64_t* out_sid, int64_t* out_pos,
+                          int64_t* n_out, int32_t n_threads) {
+  Fmi f{bwt, occ_block, occ_super, acc, n};
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t r0, int64_t r1) {
+    RankCache rc;
+    for (int64_t r = r0; r < r1; ++r)
+      ssa_multi_detail::one(f, rc, ss, ms, r2i, ssa, lo[r], hi[r], max_sa[r],
+                            out_sid + out_off[r], out_pos + out_off[r], &n_out[r]);
+  };
+  if (n_threads == 1 || n_req < 64) {
+    work(0, n_req);
+    return;
+  }
+  std::vector<std::thread> th;
+  int64_t per = (n_req + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t r0 = t * per, r1 = r0 + per < n_req ? r0 + per : n_req;
+    if (r0 >= r1) break;
+    th.emplace_back(work, r0, r1);
+  }
+  for (auto& x : th) x.join();
+}
+
 }  // extern "C"

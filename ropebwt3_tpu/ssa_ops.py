@@ -151,9 +151,55 @@ def ssa_lookup1(f: DenseFMIndex, sa: SSA, k: int) -> tuple[int, int]:
     return x + (e >> sa.ms), sid
 
 
+def ssa_multi_batch(f: DenseFMIndex, sa: SSA, reqs: list[tuple[int, int, int]], n_threads: int = 0) -> list[list[tuple[int, int]]] | None:
+    """Native batched multi-locate: reqs = [(lo, hi, max_sa), ...] -> per-req
+    (sid, pos) lists, byte-identical to ssa_multi.  None if the native
+    library is unavailable (callers fall back to the Python path)."""
+    from .native import get_sw_lib
+
+    lib = get_sw_lib()
+    if lib is None or not reqs:
+        return None if lib is None else []
+    import ctypes
+    import os
+
+    n_req = len(reqs)
+    lo = np.fromiter((r[0] for r in reqs), np.int64, n_req)
+    hi = np.fromiter((r[1] for r in reqs), np.int64, n_req)
+    cap = np.fromiter((max(0, min(r[2], r[1] - r[0])) for r in reqs), np.int64, n_req)
+    off = np.zeros(n_req + 1, np.int64)
+    np.cumsum(cap, out=off[1:])
+    out_sid = np.empty(int(off[-1]), np.int64)
+    out_pos = np.empty(int(off[-1]), np.int64)
+    n_out = np.zeros(n_req, np.int64)
+    P = ctypes.c_void_p
+    lib.rb3t_ssa_multi_batch(
+        P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
+        int(f.n), int(sa.ss), int(sa.ms), P(sa.r2i.ctypes.data), P(sa.ssa.ctypes.data), n_req,
+        P(lo.ctypes.data), P(hi.ctypes.data), P(cap.ctypes.data), P(off.ctypes.data),
+        P(out_sid.ctypes.data), P(out_pos.ctypes.data), P(n_out.ctypes.data),
+        int(n_threads) or (os.cpu_count() or 1),
+    )
+    out = []
+    sid_l, pos_l = out_sid.tolist(), out_pos.tolist()
+    for r in range(n_req):
+        o0, o1 = int(off[r]), int(off[r]) + int(n_out[r])
+        out.append(list(zip(sid_l[o0:o1], pos_l[o0:o1])))
+    return out
+
+
 def ssa_multi(f: DenseFMIndex, sa: SSA, lo: int, hi: int, max_sa: int) -> list[tuple[int, int]]:
     """Positions of up to max_sa suffixes in SA interval [lo, hi): list of
-    (sid, pos). Mirrors rb3_ssa_multi including its traversal order."""
+    (sid, pos). Mirrors rb3_ssa_multi including its traversal order.
+    Dispatches to the native batched core when available."""
+    got = ssa_multi_batch(f, sa, [(lo, hi, max_sa)])
+    if got is not None:
+        return got[0]
+    return ssa_multi_py(f, sa, lo, hi, max_sa)
+
+
+def ssa_multi_py(f: DenseFMIndex, sa: SSA, lo: int, hi: int, max_sa: int) -> list[tuple[int, int]]:
+    """Pure-Python reference implementation of rb3_ssa_multi."""
     if max_sa == 0 or lo >= hi:
         return []
     out: list[tuple[int, int]] = []
