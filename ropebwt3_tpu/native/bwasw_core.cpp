@@ -18,6 +18,10 @@
 #include <utility>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int BLOCK_SHIFT = 6;   // index/dense.py BLOCK = 64
@@ -250,6 +254,30 @@ struct RankCache {  // direct-mapped pos -> occ[6]; pure speed, no output effect
   RankCache() : pos(CSZ, -1), occ((size_t)CSZ * 6) {}
 };
 
+// In-block symbol counts over positions < off of a 64-byte block (the bwt
+// buffer is zero-padded one full block past n, index/dense.py:43-49, so the
+// full-width load never runs off the end).
+static inline void inblock_add(const uint8_t* blk, int off, int64_t out[6]) {
+#if defined(__AVX512BW__)
+  __m512i v = _mm512_loadu_si512((const void*)blk);
+  __mmask64 m = off >= 64 ? ~(__mmask64)0 : (((__mmask64)1 << off) - 1);
+  for (int c = 0; c < 6; ++c)
+    out[c] += (int64_t)_mm_popcnt_u64(_mm512_mask_cmpeq_epi8_mask(m, v, _mm512_set1_epi8((char)c)));
+#elif defined(__AVX2__)
+  __m256i v0 = _mm256_loadu_si256((const __m256i*)blk);
+  __m256i v1 = _mm256_loadu_si256((const __m256i*)(blk + 32));
+  uint64_t m = off >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << off) - 1);
+  for (int c = 0; c < 6; ++c) {
+    __m256i t = _mm256_set1_epi8((char)c);
+    uint64_t bits = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(v0, t)) |
+                    ((uint64_t)(uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(v1, t)) << 32);
+    out[c] += (int64_t)_mm_popcnt_u64(bits & m);
+  }
+#else
+  for (int i = 0; i < off; ++i) ++out[blk[i]];
+#endif
+}
+
 static void rank1a(const Fmi& f, int64_t k, int64_t out[6], RankCache& rc) {
   if (k > f.n) k = f.n;
   uint32_t slot = kh_hash_u64((uint64_t)k) & (RankCache::CSZ - 1);
@@ -260,9 +288,19 @@ static void rank1a(const Fmi& f, int64_t k, int64_t out[6], RankCache& rc) {
   const int64_t* sup = f.occ_super + (size_t)(k >> SUPER_SHIFT) * 6;
   const uint16_t* blk = f.occ_block + (size_t)(k >> BLOCK_SHIFT) * 6;
   for (int c = 0; c < 6; ++c) out[c] = sup[c] + blk[c];
-  for (int64_t i = (k >> BLOCK_SHIFT) << BLOCK_SHIFT; i < k; ++i) ++out[f.bwt[i]];
+  inblock_add(f.bwt + ((k >> BLOCK_SHIFT) << BLOCK_SHIFT), (int)(k & ((1 << BLOCK_SHIFT) - 1)), out);
   rc.pos[slot] = k;
   std::memcpy(&rc.occ[(size_t)slot * 6], out, 6 * sizeof(int64_t));
+}
+
+// Prefetch the three cache-line streams rank1a(k) will touch.
+static inline void prefetch_rank(const Fmi& f, int64_t k) {
+  if (k > f.n) k = f.n;
+  __builtin_prefetch(f.occ_super + (size_t)(k >> SUPER_SHIFT) * 6);
+  __builtin_prefetch(f.occ_block + (size_t)(k >> BLOCK_SHIFT) * 6);
+  const uint8_t* b = f.bwt + ((k >> BLOCK_SHIFT) << BLOCK_SHIFT);
+  __builtin_prefetch(b);
+  __builtin_prefetch(b + 63);  // 64-byte blocks may straddle two lines
 }
 
 struct Ext {
@@ -1325,52 +1363,88 @@ struct Ctx {
   }
 };
 
-static void one(const Fmi& f, RankCache& rc, int32_t ss, int32_t ms, const uint64_t* r2i,
-                const uint64_t* ssa, int64_t lo, int64_t hi, int64_t max_sa,
-                int64_t* out_sid, int64_t* out_pos, int64_t* n_out) {
-  *n_out = 0;
-  if (max_sa == 0 || lo >= hi) return;
+// One request as a resumable state machine so a thread can interleave G
+// independent requests: the two rank1a streams of the NEXT heap pop are
+// prefetched while the other G-1 requests compute, hiding the random-access
+// DRAM latency that dominates the sequential walk.  Per-request pop order —
+// and therefore the reported positions and their order — is untouched.
+struct SM {
   Ctx c;
-  c.f = &f;
-  c.ss = ss;
-  c.ms = ms;
-  c.r2i = r2i;
-  c.ssa = ssa;
-  c.n0 = f.acc[1];
-  c.msk_sid = ((uint64_t)1 << ms) - 1;
-  c.out_sid = out_sid;
-  c.out_pos = out_pos;
-  c.n_out = 0;
-  c.max_sa = max_sa < hi - lo ? max_sa : hi - lo;
-  c.add_intv(lo, hi, 0);
-  while (!c.heap.empty() && c.n_out < c.max_sa) {
-    Intv x = c.heap[0];
+  Intv cur;
+  bool live = false;
+  int64_t* n_fin = nullptr;
+
+  void finish() {
+    *n_fin = c.n_out;
+    live = false;
+  }
+
+  void pop_next(const Fmi& f) {
+    if (c.heap.empty() || c.n_out >= c.max_sa) {
+      finish();
+      return;
+    }
+    cur = c.heap[0];
     Intv last = c.heap.back();
     c.heap.pop_back();
     if (!c.heap.empty()) {
       c.heap[0] = last;
       iheapdown(c.heap, 0, c.heap.size());
     }
+    prefetch_rank(f, cur.lo);
+    prefetch_rank(f, cur.hi);
+  }
+
+  void start(const Fmi& f, int32_t ss, int32_t ms, const uint64_t* r2i, const uint64_t* ssa,
+             int64_t lo, int64_t hi, int64_t max_sa, int64_t* out_sid, int64_t* out_pos,
+             int64_t* n_out) {
+    n_fin = n_out;
+    *n_out = 0;
+    if (max_sa == 0 || lo >= hi) {
+      live = false;
+      return;
+    }
+    live = true;
+    c.heap.clear();
+    c.f = &f;
+    c.ss = ss;
+    c.ms = ms;
+    c.r2i = r2i;
+    c.ssa = ssa;
+    c.n0 = f.acc[1];
+    c.msk_sid = ((uint64_t)1 << ms) - 1;
+    c.out_sid = out_sid;
+    c.out_pos = out_pos;
+    c.n_out = 0;
+    c.max_sa = max_sa < hi - lo ? max_sa : hi - lo;
+    if (!c.add_intv(lo, hi, 0)) {
+      finish();
+      return;
+    }
+    pop_next(f);
+  }
+
+  void step(const Fmi& f, RankCache& rc) {
     int64_t ok[6], ol[6];
-    rank1a(f, x.lo, ok, rc);
-    rank1a(f, x.hi, ol, rc);
+    rank1a(f, cur.lo, ok, rc);
+    rank1a(f, cur.hi, ol, rc);
     for (int64_t l = ok[0]; l < ol[0]; ++l) {  // sentinels reached
       c.out_sid[c.n_out] = (int64_t)c.r2i[l];
-      c.out_pos[c.n_out] = x.off;
+      c.out_pos[c.n_out] = cur.off;
       if (++c.n_out == c.max_sa) {
-        *n_out = c.n_out;
+        finish();
         return;
       }
     }
     for (int cc = 1; cc < 6; ++cc)
       if (ok[cc] < ol[cc])
-        if (!c.add_intv(f.acc[cc] + ok[cc], f.acc[cc] + ol[cc], x.off + 1)) {
-          *n_out = c.n_out;
+        if (!c.add_intv(f.acc[cc] + ok[cc], f.acc[cc] + ol[cc], cur.off + 1)) {
+          finish();
           return;
         }
+    pop_next(f);
   }
-  *n_out = c.n_out;
-}
+};
 
 }  // namespace ssa_multi_detail
 
@@ -1384,9 +1458,24 @@ void rb3t_ssa_multi_batch(const uint8_t* bwt, const uint16_t* occ_block, const i
   if (n_threads < 1) n_threads = 1;
   auto work = [&](int64_t r0, int64_t r1) {
     RankCache rc;
-    for (int64_t r = r0; r < r1; ++r)
-      ssa_multi_detail::one(f, rc, ss, ms, r2i, ssa, lo[r], hi[r], max_sa[r],
-                            out_sid + out_off[r], out_pos + out_off[r], &n_out[r]);
+    constexpr int G = 16;  // requests interleaved per thread (latency hiding)
+    ssa_multi_detail::SM sm[G];
+    int64_t next = r0;
+    for (;;) {
+      bool any = false;
+      for (int i = 0; i < G; ++i) {
+        while (!sm[i].live && next < r1) {
+          int64_t r = next++;
+          sm[i].start(f, ss, ms, r2i, ssa, lo[r], hi[r], max_sa[r],
+                      out_sid + out_off[r], out_pos + out_off[r], &n_out[r]);
+        }
+        if (sm[i].live) {
+          any = true;
+          sm[i].step(f, rc);
+        }
+      }
+      if (!any && next >= r1) break;
+    }
   };
   if (n_threads == 1 || n_req < 64) {
     work(0, n_req);
