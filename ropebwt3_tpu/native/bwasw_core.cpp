@@ -917,6 +917,132 @@ static void smem_tg_read(const Fmi& f, RankCache& rc, const uint8_t* q, int32_t 
   while (x < n) x = smem1_tg(f, rc, q, n, x, min_occ, min_len, mems);
 }
 
+// smem_tg_read as a resumable state machine: one extend_back (= two rank1a)
+// per step, with the NEXT extend's rank streams prefetched as soon as its
+// interval is known, so a thread can interleave G independent reads and hide
+// the random-access DRAM latency of the dependent LF chain.  Transition
+// order is exactly smem1_tg's, so per-read output is bit-identical.
+struct SmemSM {
+  static constexpr int PH_B1 = 1, PH_FWD = 2, PH_B2 = 3;
+  const uint8_t* q = nullptr;
+  int32_t n = 0, x = 0, i = 0, j = 0;
+  int64_t ik_lo = 0, ik_rc = 0, ik_sz = 0;
+  int phase = 0;
+  bool live = false;
+  std::vector<MemRec>* mems = nullptr;
+
+  void init_ik(const Fmi& f, int c0) {
+    int comp0 = (c0 >= 1 && c0 <= 4) ? 5 - c0 : c0;
+    ik_lo = f.acc[c0];
+    ik_rc = f.acc[comp0];
+    ik_sz = f.acc[c0 + 1] - f.acc[c0];
+  }
+  void pf_back(const Fmi& f) {
+    prefetch_rank(f, ik_lo);
+    prefetch_rank(f, ik_lo + ik_sz);
+  }
+  void pf_fwd(const Fmi& f) {
+    prefetch_rank(f, ik_rc);
+    prefetch_rank(f, ik_rc + ik_sz);
+  }
+
+  // Enter the TG window at x0 (smem1_tg preamble, rank-free): leaves either
+  // an extend pending (live) or the read finished (!live).
+  void start_window(const Fmi& f, int32_t min_len, int32_t x0) {
+    x = x0;
+    live = true;
+    if (n - x < min_len) {
+      live = false;
+      return;
+    }
+    init_ik(f, q[x + min_len - 1]);
+    i = x + min_len - 2;
+    if (i >= x) {
+      phase = PH_B1;
+      pf_back(f);
+      return;
+    }
+    j = x + min_len;  // min_len == 1: BACK1 loop is empty
+    if (j < n) {
+      phase = PH_FWD;
+      pf_fwd(f);
+      return;
+    }
+    mems->push_back({x, j, ik_sz, ik_lo, ik_rc});
+    live = false;
+  }
+
+  void step(const Fmi& f, RankCache& rc, int64_t min_occ, int32_t min_len) {
+    static const int COMP[6] = {0, 4, 3, 2, 1, 5};
+    Ext e;
+    if (phase == PH_FWD) {
+      extend_back(f, ik_rc, ik_lo, ik_sz, e, rc);
+      int c = COMP[q[j]];
+      if (e.sz[c] < min_occ) {
+        mems->push_back({x, j, ik_sz, ik_lo, ik_rc});
+        init_ik(f, q[j]);  // BACK2 preamble (j < n on this path)
+        i = j - 1;
+        if (i > x) {
+          phase = PH_B2;
+          pf_back(f);
+          return;
+        }
+        start_window(f, min_len, i + 1);
+        return;
+      }
+      ik_rc = e.lo[c];
+      ik_lo = e.rc[c];
+      ik_sz = e.sz[c];
+      ++j;
+      if (j < n) {
+        pf_fwd(f);
+        return;
+      }
+      mems->push_back({x, j, ik_sz, ik_lo, ik_rc});
+      live = false;
+      return;
+    }
+    extend_back(f, ik_lo, ik_rc, ik_sz, e, rc);
+    int c = q[i];
+    bool ok = e.sz[c] >= min_occ;
+    if (phase == PH_B1) {
+      if (!ok) {
+        start_window(f, min_len, i + 1);
+        return;
+      }
+      ik_lo = e.lo[c];
+      ik_rc = e.rc[c];
+      ik_sz = e.sz[c];
+      --i;
+      if (i >= x) {
+        pf_back(f);
+        return;
+      }
+      j = x + min_len;
+      if (j < n) {
+        phase = PH_FWD;
+        pf_fwd(f);
+        return;
+      }
+      mems->push_back({x, j, ik_sz, ik_lo, ik_rc});
+      live = false;
+      return;
+    }
+    // PH_B2
+    if (ok) {
+      ik_lo = e.lo[c];
+      ik_rc = e.rc[c];
+      ik_sz = e.sz[c];
+      --i;
+      if (i > x) {
+        pf_back(f);
+        return;
+      }
+    }
+    start_window(f, min_len, i + 1);
+  }
+};
+
 // ---- full backtrack (align/bwasw.py _backtrack1*, _cs_core) --------------
 
 struct Hit {
@@ -1242,13 +1368,36 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
   std::vector<std::string> blobs(n_reads);
   auto work = [&](int64_t r0, int64_t r1) {
     RankCache rc;
-    std::vector<MemRec> mems;
-    for (int64_t r = r0; r < r1; ++r) {
-      smem_tg_read(f, rc, seqs + seq_off[r], (int32_t)(seq_off[r + 1] - seq_off[r]), min_occ,
-                   min_len, mems);
-      std::string& b = blobs[r];
-      put_i64(b, (int64_t)mems.size());
-      put_bytes(b, mems.data(), mems.size() * sizeof(MemRec));
+    constexpr int G = 16;  // reads interleaved per thread (latency hiding)
+    SmemSM sm[G];
+    std::vector<MemRec> memv[G];
+    int64_t rid[G];
+    auto flush = [&](int gi) {
+      std::string& b = blobs[rid[gi]];
+      put_i64(b, (int64_t)memv[gi].size());
+      put_bytes(b, memv[gi].data(), memv[gi].size() * sizeof(MemRec));
+    };
+    int64_t next = r0;
+    for (;;) {
+      bool any = false;
+      for (int gi = 0; gi < G; ++gi) {
+        while (!sm[gi].live && next < r1) {
+          int64_t r = next++;
+          rid[gi] = r;
+          memv[gi].clear();
+          sm[gi].q = seqs + seq_off[r];
+          sm[gi].n = (int32_t)(seq_off[r + 1] - seq_off[r]);
+          sm[gi].mems = &memv[gi];
+          sm[gi].start_window(f, min_len, 0);
+          if (!sm[gi].live) flush(gi);
+        }
+        if (sm[gi].live) {
+          any = true;
+          sm[gi].step(f, rc, min_occ, min_len);
+          if (!sm[gi].live) flush(gi);
+        }
+      }
+      if (!any && next >= r1) break;
     }
   };
   if (n_threads == 1 || n_reads < 2) {
