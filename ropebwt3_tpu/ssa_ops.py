@@ -199,7 +199,12 @@ def ssa_multi(f: DenseFMIndex, sa: SSA, lo: int, hi: int, max_sa: int) -> list[t
 
 
 def ssa_multi_py(f: DenseFMIndex, sa: SSA, lo: int, hi: int, max_sa: int) -> list[tuple[int, int]]:
-    """Pure-Python reference implementation of rb3_ssa_multi."""
+    """Pure-Python reference implementation of rb3_ssa_multi.
+
+    Precondition (as in the reference, ssa.c:158-192): lo >= acc[1] — SA
+    intervals of non-empty queries never start in the sentinel rows, and the
+    recursion only produces lo = acc[c] + ok[c] with c >= 1.  Below that the
+    sampled-entry index (k - n0) >> ss goes negative (UB in the C twins)."""
     if max_sa == 0 or lo >= hi:
         return []
     out: list[tuple[int, int]] = []

@@ -154,6 +154,39 @@ def test_native_smem_matches_ref(native_lib):
         assert [key(a) for a in nat] == [key(b) for b in ref]
 
 
+def test_native_smem_edge_reads(native_lib):
+    """Interleaved SM engine vs the host spec on pathological read mixes:
+    empty reads, reads shorter than min_len, exact-min_len reads, reads with
+    N, min_len=1, and enough reads (150) to force SM slot refill (G=16)."""
+    import random
+
+    from ropebwt3_tpu.ops import smem_ref
+    from ropebwt3_tpu.ops.smem_native import smem_tg_batch_native
+
+    random.seed(77)
+    refs = ["".join(random.choice("ACGT") for _ in range(400)) for _ in range(2)]
+    f = _make_index(refs)
+    seqs = [
+        char2nt6(b""),
+        char2nt6(b"A"),
+        char2nt6(b"ACGTACGTACGTACGTACG"),  # == min_len for (1, 19)
+        char2nt6(refs[0][50:69].encode()),
+        char2nt6((refs[0][100:150] + "N" + refs[1][20:70]).encode()),
+        char2nt6(b"NNNNNNNNNNNNNNNNNNNNNNNNN"),
+    ]
+    for _ in range(150):
+        p = random.randrange(0, 300)
+        seqs.append(char2nt6(refs[random.randrange(2)][p : p + random.randrange(0, 100)].encode()))
+    for min_occ, min_len in ((1, 19), (1, 1), (2, 12)):
+        nat = smem_tg_batch_native(f, seqs, min_occ, min_len)
+        ref = [smem_ref.smem_tg(f, s, min_occ, min_len) for s in seqs]
+
+        def key(ms):
+            return [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in ms]
+
+        assert [key(a) for a in nat] == [key(b) for b in ref], (min_occ, min_len)
+
+
 def test_sidecar_roundtrip(tmp_path):
     from ropebwt3_tpu.index.sidecar import read_sidecar, write_sidecar
 

@@ -52,6 +52,29 @@ def test_ssa_multi_matches_single(tiny):
         assert sorted(got) == sorted(want), (lo, hi)
 
 
+def test_ssa_multi_batch_matches_py(tiny):
+    """Native interleaved batched locate == Python spec, including cap
+    truncation order and degenerate intervals (exercises the G=16 state-
+    machine refill with > 64 requests on one thread and > 64 threaded)."""
+    from ropebwt3_tpu.ssa_ops import ssa_multi_batch, ssa_multi_py
+
+    f, _ = tiny
+    sa = ssa_gen(f, ssa_shift=3)
+    rng = np.random.default_rng(5)
+    n0 = int(f.acc[1])  # valid domain: lo >= acc[1] (see ssa_multi_py)
+    reqs = [(n0, n0, 5), (n0 + 3, n0 + 4, 5), (n0, int(f.n), 0), (n0, int(f.n), 7)]
+    for _ in range(200):
+        lo = int(rng.integers(n0, f.n - 1))
+        hi = int(rng.integers(lo, min(f.n, lo + 40)))
+        reqs.append((lo, hi, int(rng.integers(0, 12))))
+    for n_threads in (1, 3):
+        got = ssa_multi_batch(f, sa, reqs, n_threads=n_threads)
+        if got is None:
+            pytest.skip("native library unavailable")
+        want = [ssa_multi_py(f, sa, *r) for r in reqs]
+        assert got == want
+
+
 def test_ssa_roundtrip(tiny):
     f, _ = tiny
     sa = ssa_gen(f, ssa_shift=4)
