@@ -149,12 +149,48 @@ def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray, window: int | None = No
     return acc2, ins
 
 
+def merge_rank_native(fa: DenseFMIndex, seq: np.ndarray, n_threads: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Native (C++) merge_rank_plain: interleaved prefetching LF-walk state
+    machines over the dense tables (rb3t_merge_rank in bwasw_core.cpp), the
+    host analog of kt_for(worker_cal_rank) fm-index.c:189-200.  Bit-identical
+    to merge_rank_plain."""
+    import ctypes
+    import os
+
+    from ..native import get_sw_lib
+
+    lib = get_sw_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    acc2, lf2 = lf2_table(seq)
+    n2 = len(seq)
+    m2 = int(acc2[1])
+    ins = np.zeros(n2, dtype=np.int64)
+    if n2:
+        P = ctypes.c_void_p
+        nt = n_threads or min(os.cpu_count() or 1, max(1, m2))
+        lib.rb3t_merge_rank(
+            P(fa.bwt.ctypes.data), P(fa.occ_block.ctypes.data), P(fa.occ_super.ctypes.data),
+            P(fa.acc.ctypes.data), int(fa.n), P(seq.ctypes.data), P(lf2.ctypes.data),
+            n2, m2, P(ins.ctypes.data), int(nt),
+        )
+    return acc2, ins
+
+
 def merge_plain(fa: DenseFMIndex, seq: np.ndarray, engine: str = "auto") -> DenseFMIndex:
     """Merge a plain partial BWT `seq` (B2) into dense index `fa` (B1) and
     return the merged dense index. Stable counting merge replaces the rope
     insertion of rb3_fmi_merge_plain (fm-index.c:279-303)."""
-    seq = np.asarray(seq, dtype=np.uint8)
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
     m2 = int(np.count_nonzero(seq == 0))
+    if engine in ("auto", "native"):
+        from ..native import get_sw_lib
+
+        if get_sw_lib() is not None:
+            _, ins = merge_rank_native(fa, seq)
+            return _merge_apply(fa, seq, ins)
+        if engine == "native":
+            raise RuntimeError("native engine unavailable")
     use_device = engine == "device" or (engine == "auto" and m2 >= 2048 and fa.n < (1 << 31) - (1 << 20))
     if use_device:
         try:
@@ -165,6 +201,10 @@ def merge_plain(fa: DenseFMIndex, seq: np.ndarray, engine: str = "auto") -> Dens
             _, ins = merge_rank_plain(fa, seq)
     else:
         _, ins = merge_rank_plain(fa, seq)
+    return _merge_apply(fa, seq, ins)
+
+
+def _merge_apply(fa: DenseFMIndex, seq: np.ndarray, ins: np.ndarray) -> DenseFMIndex:
     n1, n2 = fa.n, len(seq)
     merged = np.empty(n1 + n2, dtype=np.uint8)
     pos2 = ins + np.arange(n2, dtype=np.int64)  # merged positions of B2 symbols

@@ -59,8 +59,21 @@ def gsa_bwt(seq: np.ndarray, backend: str = "auto") -> np.ndarray:
     if n == 0:
         return seq.copy()
     assert seq[-1] == 0, "batch must end with a separator"
-    # Small batches are faster on host than paying device attach + per-round
-    # dispatch (and on this machine attaching to the TPU serializes processes).
+    # Preferred host path: native SA-IS (linear time, no device attach; the
+    # analog of the reference's libsais batch step, sais-ss.c:50-56).
+    if backend in ("auto", "native"):
+        from ..native import get_sais_lib
+
+        lib = get_sais_lib()
+        if lib is not None:
+            out = np.empty(n, dtype=np.uint8)
+            rc = lib.rb3t_gsa_bwt(seq.ctypes.data, n, out.ctypes.data)
+            if rc == 0:
+                return out
+        if backend == "native":
+            raise RuntimeError("native SA-IS unavailable")
+    # Device prefix-doubling: pays off only on large batches (device attach +
+    # per-round dispatch overheads; attaching to the TPU serializes processes).
     if backend == "jax" or (backend == "auto" and n >= 8_000_000):
         try:
             from .sa_jax import gsa_bwt_jax

@@ -16,10 +16,15 @@ _SO = os.path.join(_DIR, "_rld_codec.so")
 _SW_SRC = os.path.join(_DIR, "bwasw_core.cpp")
 _SW_SO = os.path.join(_DIR, "_bwasw_core.so")
 
+_SAIS_SRC = os.path.join(_DIR, "sais.cpp")
+_SAIS_SO = os.path.join(_DIR, "_sais.so")
+
 _lib = None
 _tried = False
 _sw_lib = None
 _sw_tried = False
+_sais_lib = None
+_sais_tried = False
 
 
 def _build(src: str, so: str) -> None:
@@ -83,7 +88,26 @@ def get_sw_lib():
         lib.rb3t_buf_free.argtypes = [V]
         lib.rb3t_ssa_multi_batch.restype = None
         lib.rb3t_ssa_multi_batch.argtypes = [V, V, V, V, I64, I32, I32, V, V, I64, V, V, V, V, V, V, V, I32]
+        lib.rb3t_merge_rank.restype = None
+        lib.rb3t_merge_rank.argtypes = [V, V, V, V, I64, V, V, I64, I64, V, I32]
         _sw_lib = lib
     except Exception:
         _sw_lib = None
     return _sw_lib
+
+
+def get_sais_lib():
+    """Native SA-IS batch BWT builder (sais.cpp); None if unavailable."""
+    global _sais_lib, _sais_tried
+    if _sais_lib is not None or _sais_tried:
+        return _sais_lib
+    _sais_tried = True
+    try:
+        _build(_SAIS_SRC, _SAIS_SO)
+        lib = ctypes.CDLL(_SAIS_SO)
+        lib.rb3t_gsa_bwt.restype = ctypes.c_int
+        lib.rb3t_gsa_bwt.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        _sais_lib = lib
+    except Exception:
+        _sais_lib = None
+    return _sais_lib

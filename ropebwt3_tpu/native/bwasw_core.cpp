@@ -9,6 +9,7 @@
 // when debug streams are requested.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -1224,9 +1225,102 @@ static void serialize_hits(const std::vector<Hit>& hits, std::string& b) {
   }
 }
 
+// ---- batched merge-rank (Algorithm 2 phase 1, fm-index.c:160-175) --------
+// One state machine per B2 sequence: walk its LF-loop writing, for each B2
+// position, how many B1 symbols precede it in the merged BWT
+// (construct/merge.merge_rank_plain is the Python spec).  Each worker thread
+// round-robins G interleaved walks, prefetching the next rank's cache lines
+// while the other walks compute — same structure as the locate/SMEM engines.
+
+// occ of a single symbol c before position k (rank1a restricted to one row).
+static inline int64_t rank1c(const Fmi& f, int64_t k, int c) {
+  if (k > f.n) k = f.n;
+  int64_t out = f.occ_super[(size_t)(k >> SUPER_SHIFT) * 6 + c] +
+                f.occ_block[(size_t)(k >> BLOCK_SHIFT) * 6 + c];
+  const uint8_t* b = f.bwt + ((k >> BLOCK_SHIFT) << BLOCK_SHIFT);
+  int off = (int)(k & ((1 << BLOCK_SHIFT) - 1));
+#if defined(__AVX512BW__)
+  __m512i v = _mm512_loadu_si512((const void*)b);
+  __mmask64 m = off >= 64 ? ~(__mmask64)0 : (((__mmask64)1 << off) - 1);
+  out += (int64_t)_mm_popcnt_u64(_mm512_mask_cmpeq_epi8_mask(m, v, _mm512_set1_epi8((char)c)));
+#elif defined(__AVX2__)
+  __m256i v0 = _mm256_loadu_si256((const __m256i*)b);
+  __m256i v1 = _mm256_loadu_si256((const __m256i*)(b + 32));
+  uint64_t m = off >= 64 ? ~(uint64_t)0 : (((uint64_t)1 << off) - 1);
+  __m256i t = _mm256_set1_epi8((char)c);
+  uint64_t bits = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(v0, t)) |
+                  ((uint64_t)(uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(v1, t)) << 32);
+  out += (int64_t)_mm_popcnt_u64(bits & m);
+#else
+  for (int i = 0; i < off; ++i) out += b[i] == c;
+#endif
+  return out;
+}
+
+static void merge_rank_worker(const Fmi* f, const uint8_t* seq2, const int64_t* lf2,
+                              int64_t m2, int64_t* ins, std::atomic<int64_t>* next_lane) {
+  constexpr int G = 16;
+  int64_t ka[G], kb[G];
+  int n_act = 0;
+  auto refill = [&](int g) -> bool {
+    int64_t j = next_lane->fetch_add(1);
+    if (j >= m2) return false;
+    ka[g] = f->acc[1];  // all B1 sentinels precede B2's (fm-index.c:166)
+    kb[g] = j;          // sentinel rank j in B2
+    prefetch_rank(*f, ka[g]);
+    __builtin_prefetch(seq2 + kb[g]);
+    __builtin_prefetch(lf2 + kb[g]);
+    return true;
+  };
+  for (int g = 0; g < G; ++g)
+    if (refill(g)) ++n_act;
+    else break;
+  // slots [0, n_act) are live; a finished walk is refilled in place or the
+  // last live slot swaps in
+  while (n_act > 0) {
+    for (int g = 0; g < n_act;) {
+      int c = seq2[kb[g]];
+      ins[kb[g]] = ka[g];
+      if (c != 0) {
+        kb[g] = lf2[kb[g]];
+        ka[g] = f->acc[c] + rank1c(*f, ka[g], c);
+        prefetch_rank(*f, ka[g]);
+        __builtin_prefetch(seq2 + kb[g]);
+        __builtin_prefetch(lf2 + kb[g]);
+        ++g;
+      } else if (refill(g)) {
+        ++g;
+      } else {
+        --n_act;
+        ka[g] = ka[n_act];
+        kb[g] = kb[n_act];
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// ins[i] = number of B1 symbols preceding B2 position i in the merged BWT.
+// lf2 is the B2-internal LF table (construct/merge.lf2_table); m2 = number of
+// B2 sentinels (= sequences).
+void rb3t_merge_rank(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
+                     const int64_t* acc, int64_t n1, const uint8_t* seq2, const int64_t* lf2,
+                     int64_t n2, int64_t m2, int64_t* ins, int32_t n_threads) {
+  (void)n2;
+  Fmi f{bwt, occ_block, occ_super, acc, n1};
+  std::atomic<int64_t> next_lane{0};
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt == 1) {
+    merge_rank_worker(&f, seq2, lf2, m2, ins, &next_lane);
+    return;
+  }
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; ++t) th.emplace_back(merge_rank_worker, &f, seq2, lf2, m2, ins, &next_lane);
+  for (auto& t : th) t.join();
+}
 
 // Full DP for one DAWG; rows exported for the Python backtrack.
 // opt9 = [flag, n_best, min_sc, end_len, match, mis, e2e_drop, gap_open, gap_ext]

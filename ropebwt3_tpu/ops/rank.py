@@ -30,19 +30,29 @@ ASIZE = 6
 # bidirectional-extend complement order: the secondary coordinate accumulates
 # sizes in the order 0,4,3,2,1,5 (rld_extend, rld0.c:495-500)
 _EXT_ORDER = (0, 4, 3, 2, 1, 5)
+# KEY[sym] = position of sym in the complement order.  Bit-planes are packed
+# on KEY[sym] rather than sym, so "count of symbols preceding c in the extend
+# order" (the secondary-coordinate prefix sum) is a single bit-parallel
+# less-than circuit — see extend_c.
+KEY = np.zeros(ASIZE, dtype=np.uint8)
+for _pos, _c in enumerate(_EXT_ORDER):
+    KEY[_c] = _pos
 
 
 def pack_bitplanes(bwt_blocks: np.ndarray) -> np.ndarray:
-    """(nb, 64) uint8 symbols -> (nb, 6) uint32 bit-planes.
+    """(nb, 64) uint8 symbols -> (nb, 6) uint32 bit-planes of KEY[sym].
 
     Column layout: [p0_lo, p0_hi, p1_lo, p1_hi, p2_lo, p2_hi] where plane i
-    holds bit i of each 3-bit symbol, lo = block positions 0..31, hi = 32..63.
-    In-block rank for any symbol is then 6 xors/ands + 2 popcounts instead of
-    a (BLOCK, 6) one-hot reduction — far less VPU work and HBM traffic."""
+    holds bit i of the 3-bit keyed symbol, lo = block positions 0..31,
+    hi = 32..63.  In-block rank for any symbol is then 6 xors/ands + 2
+    popcounts instead of a (BLOCK, 6) one-hot reduction — far less VPU work
+    and HBM traffic — and the keyed order additionally gives extend_c its
+    one-comparison prefix count."""
     nb = bwt_blocks.shape[0]
+    keyed = KEY[bwt_blocks]
     out = np.zeros((nb, 6), dtype=np.uint32)
     for plane in range(3):
-        bits = (bwt_blocks >> plane) & 1
+        bits = (keyed >> plane) & 1
         words = np.packbits(bits, axis=1, bitorder="little").view("<u4")  # (nb, 2)
         out[:, plane * 2] = words[:, 0]
         out[:, plane * 2 + 1] = words[:, 1]
@@ -100,10 +110,11 @@ def _inblock_counts(bits: jax.Array, off: jax.Array) -> jax.Array:
     p = [bits[..., i] for i in range(6)]
     outs = []
     for c in range(ASIZE):
+        kc = int(KEY[c])  # planes hold keyed symbols
         eq_lo = mask_lo
         eq_hi = mask_hi
         for plane in range(3):
-            if (c >> plane) & 1:
+            if (kc >> plane) & 1:
                 eq_lo = eq_lo & p[plane * 2]
                 eq_hi = eq_hi & p[plane * 2 + 1]
             else:
@@ -165,6 +176,36 @@ for _pos, _c in enumerate(_EXT_ORDER):
         _EXT_PREFIX[_c, _p] = 1
 
 
+def _inblock_c_and_prefix(bits: jax.Array, off: jax.Array, kc: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """bits: (..., 6) uint32 keyed planes; off: (...,) int32 in [0, 64];
+    kc: (...,) int32 keyed symbol.  Returns (occ, pre) int32 counts below off
+    of positions whose keyed symbol is == kc and < kc respectively."""
+    off = off.astype(jnp.uint32)
+    one = jnp.uint32(1)
+    full = jnp.uint32(0xFFFFFFFF)
+    off_lo = jnp.minimum(off, 32)
+    off_hi = jnp.where(off > 32, off - 32, 0)
+    masks = (
+        jnp.where(off_lo >= 32, full, (one << off_lo) - one),
+        jnp.where(off_hi >= 32, full, (one << off_hi) - one),
+    )
+    kcu = kc.astype(jnp.uint32)
+    m = [jnp.uint32(0) - ((kcu >> i) & one) for i in range(3)]  # all-ones iff bit set
+    occ = pre = None
+    for h in range(2):
+        x = [bits[..., p * 2 + h] ^ m[p] for p in range(3)]
+        # per-plane: differs-and-kc-bit-set means value-bit < kc-bit
+        lt0, lt1, lt2 = x[0] & m[0], x[1] & m[1], x[2] & m[2]
+        eq1, eq2 = ~x[1], ~x[2]
+        lt = (lt2 | (eq2 & (lt1 | (eq1 & lt0)))) & masks[h]
+        eq = (eq2 & eq1 & ~x[0]) & masks[h]
+        oc = jax.lax.population_count(eq)
+        pc = jax.lax.population_count(lt)
+        occ = oc if occ is None else occ + oc
+        pre = pc if pre is None else pre + pc
+    return occ.astype(jnp.int32), pre.astype(jnp.int32)
+
+
 def extend_c(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) -> jax.Array:
     """Bidirectional extension by ONE symbol per lane.
 
@@ -185,6 +226,42 @@ def extend_c(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) 
     sec_in = jnp.where(is_back, ik[..., 1], ik[..., 0])
     wrow = jnp.take(jnp.asarray(_EXT_PREFIX.reshape(-1)), c[..., None] * ASIZE + jnp.arange(ASIZE, dtype=jnp.int32)).astype(dt)
     sec_out = sec_in + jnp.sum(sz * wrow, axis=-1, dtype=dt)
+    x0 = jnp.where(is_back, prim_out, sec_out)
+    x1 = jnp.where(is_back, sec_out, prim_out)
+    return jnp.stack([x0, x1, szc], axis=-1)
+
+
+def extend_c_circuit(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) -> jax.Array:
+    """extend_c via eq/lt bit-circuits on the keyed planes — bit-identical.
+
+    Because the planes hold KEY[sym] (complement-order position, rld_extend's
+    accumulation order rld0.c:495-500), the two quantities the extension needs
+    per endpoint — occ_c and the complement-order prefix sum over symbols
+    preceding c — are one equality circuit and one less-than circuit on the
+    gathered plane words, skipping the per-symbol (Q, 6) count tensors.
+    MEASURED ~3% SLOWER than extend_c on the tunneled v5e (1.60s vs 1.55s per
+    bench pass, scripts/ab_extend.py): the lt mux tree is a serial dependency
+    chain while XLA pipelines the independent 6-symbol popcounts well.  Kept
+    in-tree (equivalence-tested) for future fused-body kernels where op count
+    matters more than ILP."""
+    dt = idx.idx_dtype
+    ik = ik.astype(dt)
+    prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
+    kl = jnp.stack([prim, prim + ik[..., 2]], axis=0)  # (2, Q)
+    bi = (kl // BLOCK).astype(jnp.int32) if dt == jnp.int32 else kl // BLOCK
+    si = bi // BLOCKS_PER_SUPER
+    base6 = idx.occ_super[si] + idx.occ_block[bi].astype(dt)  # (2, Q, 6)
+    off = (kl % BLOCK).astype(jnp.int32)
+    kc = jnp.take(jnp.asarray(KEY.astype(np.int32)), c)  # (Q,)
+    occ_in, pre_in = _inblock_c_and_prefix(idx.occ_bits[bi], off, kc)  # (2, Q)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, base6.shape, base6.ndim - 1) == c[None, ..., None]).astype(dt)
+    occ = jnp.sum(base6 * onehot, axis=-1, dtype=dt) + occ_in.astype(dt)  # (2, Q)
+    wrow = jnp.take(jnp.asarray(_EXT_PREFIX.reshape(-1)), c[..., None] * ASIZE + jnp.arange(ASIZE, dtype=jnp.int32)).astype(dt)
+    pre = jnp.sum(base6 * wrow[None], axis=-1, dtype=dt) + pre_in.astype(dt)  # (2, Q)
+    szc = occ[1] - occ[0]
+    prim_out = jnp.take(idx.acc, c) + occ[0]
+    sec_in = jnp.where(is_back, ik[..., 1], ik[..., 0])
+    sec_out = sec_in + (pre[1] - pre[0])
     x0 = jnp.where(is_back, prim_out, sec_out)
     x1 = jnp.where(is_back, sec_out, prim_out)
     return jnp.stack([x0, x1, szc], axis=-1)

@@ -62,12 +62,15 @@ def _inblock6(bits, off):
     # clamped to 31 and discarded by the where
     mask_lo = jnp.where(off_lo >= 32, full, (one << jnp.minimum(off_lo, np.int32(31))) - one)
     mask_hi = jnp.where(off_hi >= 32, full, (one << jnp.minimum(off_hi, np.int32(31))) - one)
+    from .rank import KEY
+
     out = []
     for c in range(6):
+        kc = int(KEY[c])  # planes hold keyed (complement-order) symbols
         eq_lo = mask_lo
         eq_hi = mask_hi
         for plane in range(3):
-            if (c >> plane) & 1:
+            if (kc >> plane) & 1:
                 eq_lo = eq_lo & bits[plane * 2]
                 eq_hi = eq_hi & bits[plane * 2 + 1]
             else:

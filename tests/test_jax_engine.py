@@ -168,7 +168,7 @@ def test_extend_c_matches_extend_row(dense_index):
     import jax.numpy as jnp
     import numpy as np
 
-    from ropebwt3_tpu.ops.rank import DeviceIndex, extend, extend_c, set_intv
+    from ropebwt3_tpu.ops.rank import DeviceIndex, extend, extend_c, extend_c_circuit, set_intv
 
     idx = DeviceIndex.from_dense(dense_index)
     rng = np.random.default_rng(11)
@@ -178,8 +178,10 @@ def test_extend_c_matches_extend_row(dense_index):
         c = jnp.asarray(rng.integers(0, 6, 64, dtype=np.int32))
         full = np.asarray(extend(idx, jnp.asarray(ik), back))
         one = np.asarray(extend_c(idx, jnp.asarray(ik), c, back))
+        circ = np.asarray(extend_c_circuit(idx, jnp.asarray(ik), c, back))
         want = full[np.arange(64), np.asarray(c)]
         assert np.array_equal(one, want)
+        assert np.array_equal(circ, want)
         ik = np.where(want[:, 2:3] > 0, want, ik)  # follow non-empty results
 
 
@@ -289,3 +291,78 @@ def test_graft_entry():
     r = subprocess.run([sys.executable, "/root/repo/__graft_entry__.py", "8"], capture_output=True, env=dict(os.environ))
     assert r.returncode == 0, r.stderr.decode()
     assert b"dryrun_multichip OK" in r.stdout
+
+
+def test_native_sais_matches_doubling():
+    """native/sais.cpp (SA-IS) must produce the exact multi-string BWT of the
+    prefix-doubling spec (construct/sa.py) — same gsa semantics as the
+    reference's libsais path (sais-ss.c:50-56) — on edge cases and random
+    multi-string corpora, including highly repetitive input that exercises
+    the recursion."""
+    import pytest
+
+    from ropebwt3_tpu.construct.sa import _initial_ranks, suffix_array_doubling
+    from ropebwt3_tpu.native import get_sais_lib
+
+    lib = get_sais_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+
+    def numpy_bwt(seq):
+        sa = suffix_array_doubling(_initial_ranks(seq))
+        return seq[np.where(sa == 0, len(seq) - 1, sa - 1)]
+
+    def native_bwt(seq):
+        seq = np.ascontiguousarray(seq, np.uint8)
+        out = np.empty(len(seq), np.uint8)
+        assert lib.rb3t_gsa_bwt(seq.ctypes.data, len(seq), out.ctypes.data) == 0
+        return out
+
+    rng = np.random.default_rng(0)
+    rep = np.tile(np.array([1, 2, 1, 2, 2, 1], np.uint8), 300)
+    cases = [
+        np.array([0], np.uint8),
+        np.array([1, 0], np.uint8),
+        np.array([0, 0, 0], np.uint8),
+        np.array([1, 1, 1, 1, 0], np.uint8),
+        np.array([1, 2, 3, 4, 5, 0, 1, 2, 3, 4, 5, 0], np.uint8),
+        np.concatenate([rep, [0], rep, [0]]).astype(np.uint8),
+    ]
+    for _ in range(30):
+        parts = []
+        for _ in range(int(rng.integers(1, 8))):
+            L = int(rng.integers(1, 80))
+            parts += [rng.integers(1, 6, L).astype(np.uint8), np.zeros(1, np.uint8)]
+        cases.append(np.concatenate(parts))
+    for i, s in enumerate(cases):
+        assert np.array_equal(numpy_bwt(s), native_bwt(s)), i
+
+
+def test_merge_rank_native_matches_host():
+    """rb3t_merge_rank (interleaved prefetching LF-walk SMs) must equal the
+    numpy spec exactly, across lane counts that under- and over-fill the
+    per-thread state-machine groups."""
+    import pytest
+
+    from ropebwt3_tpu.construct.merge import merge_rank_native, merge_rank_plain
+    from ropebwt3_tpu.construct.sa import gsa_bwt
+    from ropebwt3_tpu.index.dense import DenseFMIndex
+    from ropebwt3_tpu.native import get_sw_lib
+
+    if get_sw_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(21)
+
+    def mkbatch(n_seq, lo, hi):
+        parts = []
+        for _ in range(n_seq):
+            L = int(rng.integers(lo, hi))
+            parts += [rng.integers(1, 6, L).astype(np.uint8), np.zeros(1, np.uint8)]
+        return np.concatenate(parts)
+
+    fa = DenseFMIndex.from_bwt(gsa_bwt(mkbatch(40, 20, 400)))
+    for n_seq in (1, 3, 17, 200):
+        b2 = gsa_bwt(mkbatch(n_seq, 1, 300))
+        a1, i1 = merge_rank_plain(fa, b2)
+        a2, i2 = merge_rank_native(fa, b2)
+        assert np.array_equal(a1, a2) and np.array_equal(i1, i2), n_seq
