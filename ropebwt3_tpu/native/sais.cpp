@@ -26,9 +26,11 @@
 
 namespace {
 
-template <typename I>
+template <typename I, typename CT>
 struct SaisLevel {
-  const I *s;
+  const CT *s;  // string values in [0, K); CT is uint8/uint16 at the top
+                // level when the alphabet permits (the big bandwidth lever:
+                // induce passes random-read s[j] for every SA entry)
   I *SA;
   I n;  // length including the level's sentinel at s[n-1]
   I K;  // alphabet size; values in [0, K), s[n-1] == 0 unique
@@ -122,7 +124,7 @@ struct SaisLevel {
     // ---- step 3: recurse if names are not yet unique
     I *s1 = SA + n - n1;
     if (name < n1) {
-      SaisLevel<I> sub;
+      SaisLevel<I, I> sub;
       sub.s = s1;
       sub.SA = SA;
       sub.n = n1;
@@ -148,20 +150,16 @@ struct SaisLevel {
   }
 };
 
-template <typename I>
-static int gsa_bwt_impl(const uint8_t *seq, int64_t n, uint8_t *out) {
+template <typename I, typename CT>
+static int gsa_bwt_top(const uint8_t *seq, int64_t n, int64_t m, uint8_t *out) {
   // remap: separator #j -> 1+j, regular c -> 1+m-1+c; append sentinel 0
-  int64_t m = 0;
-  for (int64_t i = 0; i < n; i++)
-    if (seq[i] == 0) m++;
-  if (m == 0 || seq[n - 1] != 0) return -1;
-  std::vector<I> s(n + 1);
+  std::vector<CT> s(n + 1);
   int64_t j = 0;
   for (int64_t i = 0; i < n; i++)
-    s[i] = seq[i] == 0 ? (I)(1 + j++) : (I)(m + seq[i]);
+    s[i] = seq[i] == 0 ? (CT)(1 + j++) : (CT)(m + seq[i]);
   s[n] = 0;
   std::vector<I> SA(n + 1);
-  SaisLevel<I> top;
+  SaisLevel<I, CT> top;
   top.s = s.data();
   top.SA = SA.data();
   top.n = (I)(n + 1);
@@ -173,6 +171,18 @@ static int gsa_bwt_impl(const uint8_t *seq, int64_t n, uint8_t *out) {
     out[i] = seq[p == 0 ? n - 1 : p - 1];
   }
   return 0;
+}
+
+template <typename I>
+static int gsa_bwt_impl(const uint8_t *seq, int64_t n, uint8_t *out) {
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; i++)
+    if (seq[i] == 0) m++;
+  if (m == 0 || seq[n - 1] != 0) return -1;
+  // narrowest character type that fits the remapped alphabet m+6
+  if (m + 6 <= 256) return gsa_bwt_top<I, uint8_t>(seq, n, m, out);
+  if (m + 6 <= 65536) return gsa_bwt_top<I, uint16_t>(seq, n, m, out);
+  return gsa_bwt_top<I, I>(seq, n, m, out);
 }
 
 }  // namespace
