@@ -32,6 +32,114 @@ def _err(msg: str) -> int:
     return 1
 
 
+# Per-command option help mirroring the reference's usage text (main.c:380-450,
+# build.c:108-134, search.c:507-550); descriptions and defaults are kept
+# identical where the flag is honored, with rb3tpu-specific options appended.
+_SEARCH_COMMON = """\
+  -t INT      number of threads [4]
+  -p INT      output up to INT positions [0]
+  -L          one sequence per line in the input
+  -K NUM      query batch size [100m]
+  -M          use mmap to load FMD"""
+
+_SW_SCORING = """\
+  -N INT      keep up to INT hits per DAWG node [25]
+  -m INT      min alignment score [30]
+  -A INT      match score [1]
+  -B INT      mismatch penalty [3]
+  -O INT      gap open penalty [5]
+  -E INT      gap extension penalty; a k-long gap costs O+k*E [2]
+  -C NUM      size of the ranking cache [65536]
+  -y INT      ignore secondary hits scored INT lower than the best [-1]"""
+
+_USAGE = {
+    "build": """Usage: rb3tpu build [options] <in.fa> [...]
+Options:
+  Algorithm:
+    -m NUM      batch size [7G]
+    -t INT      total number of threads [4]
+    -p INT      #threads for sais and run sais and merge together (more RAM) [0]
+    -l INT      leaf block size in B+-tree [512]
+    -n INT      max number children per internal node [64]
+    -2          use the ropebwt2 algorithm (libsais by default)
+    -s          build BWT in the reverse lexicographical order (RLO; force -2)
+    -r          build BWT in RCLO (force -2)
+  Input:
+    -i FILE     read existing index from FILE []
+    -L          one sequence per line in the input
+    -F          no forward strand
+    -R          no reverse strand
+  Output:
+    -o FILE     output to FILE [stdout]
+    -d          dump in the fermi-delta format (FMD)
+    -b          dump in the ropebwt format (FMR)
+    -e          dump in the BRE format
+    -T          output the index in the Newick format (for debugging)
+    -S FILE     save the current index to FILE after each input file []""",
+    "mem": f"""Usage: rb3tpu mem [options] <idx.fmr> <seq.fa> [...]
+Options:
+  -l INT      min MEM length [19]
+  -c INT      min interval size [1]
+  --old-mem   use the original MEM algorithm (for testing)
+  --gap=NUM   output regions >=NUM that are not covered by MEMs [0]
+  --cov       output breadth of coverage
+{_SEARCH_COMMON}
+  --engine=STR  SMEM engine: auto, jax (TPU), native, py [auto]""",
+    "sw": f"""Usage: rb3tpu sw [options] <idx.fmr> <seq.fa> [...]
+Options:
+{_SW_SCORING}
+  -e          end-to-end mode (forcing -k to 1)
+  -j INT      min MEM length to initiate alignment [0]
+  -k INT      require INT-mer match at the end of alignment [11]
+  -b          align both strands (effective with --all-e2e)
+  -u          write unmapped queries to PAF
+  --seq       write reference sequence to the rs tag
+  --all-e2e   write all end-to-end hits in a compact format (forcing -e)
+  -g INT      cap the number of --all-e2e output to INT (forcing --all-e2e)
+  --no-ssa    ignore the sampled suffix array
+{_SEARCH_COMMON}""",
+    "hapdiv": f"""Usage: rb3tpu hapdiv [options] <idx.fmr> <seq.fa> [...]
+Options:
+  -a INT      annotate sliding INT-mers [101]
+  -w INT      k-mer step size for annotation [50]
+{_SW_SCORING}
+{_SEARCH_COMMON}""",
+    "search": "Usage: rb3tpu search [options] <idx.fmr> <seq.fa> [...]",
+    "merge": """Usage: rb3tpu merge [options] <base.fmr> <other1.fmr> [...]
+Options:
+  -t INT     number of threads [1]
+  -o FILE    output FMR to FILE [stdout]
+  -S FILE    save the current index to FILE after each input file []""",
+    "ssa": """Usage: rb3tpu ssa [options] <in.fmd>
+Options:
+  -t INT     number of threads [4]
+  -s INT     sample rate one SA per 2**INT bases [8]
+  -o FILE    output to file [stdout]""",
+    "plain2fmd": "Usage: rb3tpu plain2fmd [-o output.fmd] <in.txt>",
+    "get": "Usage: rb3tpu get <idx.fmr> <int> [...]",
+    "stat": "Usage: rb3tpu stat [-M] <idx.fmd>",
+    "suffix": """Usage: rb3tpu suffix [options] <idx.fmr> <seq.fa> [...]
+Options:
+  -L        one sequence per line in the input""",
+    "kount": """Usage: rb3tpu kount [options] <in1.fmd> [in2.fmd [...]]
+Options:
+  -k INT       k-mer length [51]
+  -m INT       min k-mer occurrence [100]""",
+    "fa2line": """Usage: rb3tpu fa2line [options] <seq.fa> [...]
+Options:
+  -R        no reverse strand""",
+    "fa2kmer": """Usage: rb3tpu fa2kmer [options] <seq.fa> [...]
+Options:
+  -k INT      k-mer size [151]
+  -w INT      step size [50]""",
+}
+
+
+def _usage(cmd: str) -> int:
+    print(_USAGE[cmd], file=sys.stderr)
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # Index loading
 # ---------------------------------------------------------------------------
@@ -155,8 +263,7 @@ def main_build(argv: list[str]) -> int:
         elif o == "-S":
             fn_tmp = a
     if not args and fn_in is None:
-        print("Usage: rb3tpu build [options] <in.fa> [...]", file=sys.stderr)
-        return 1
+        return _usage("build")
     del use_rb2  # the sais path and the rb2 IO-order path produce the same BWT
 
     f: DenseFMIndex | None = None
@@ -305,8 +412,7 @@ def main_merge(argv: list[str]) -> int:
         elif o == "-S":
             fn_tmp = a
     if len(args) < 2:
-        print("Usage: rb3tpu merge [options] <base.fmr> <other1.fmr> [...]", file=sys.stderr)
-        return 1
+        return _usage("merge")
     f = load_index(args[0])
     from .formats.fmr import write_fmr
 
@@ -339,8 +445,7 @@ def main_ssa(argv: list[str]) -> int:
         elif o == "-o":
             out_fn = a
     if not args:
-        print("Usage: rb3tpu ssa [options] <in.fmd>", file=sys.stderr)
-        return 1
+        return _usage("ssa")
     f = load_index(args[0])
     if int(f.acc[1]) >= 2048 and f.n < (1 << 31) - (1 << 20):
         from .ssa_ops import ssa_gen_device
@@ -369,8 +474,7 @@ def main_plain2fmd(argv: list[str]) -> int:
         if o == "-o":
             out_fn = a
     if not args:
-        print("Usage: rb3tpu plain2fmd [-o output.fmd] <in.txt>", file=sys.stderr)
-        return 1
+        return _usage("plain2fmd")
     enc = FMDEncoder()
     for fn in args:
         fp = sys.stdin.buffer if fn == "-" else open(fn, "rb")
@@ -403,7 +507,7 @@ def main_plain2fmd(argv: list[str]) -> int:
 def main_get(argv: list[str]) -> int:
     opts, args = getopt.gnu_getopt(argv, "")
     if len(args) < 2:
-        print("Usage: rb3tpu get <idx.fmr> <int> [...]")
+        _usage("get")
         return 0
     f = load_index(args[0])
     for s in args[1:]:
@@ -418,7 +522,7 @@ def main_get(argv: list[str]) -> int:
 def main_stat(argv: list[str]) -> int:
     opts, args = getopt.gnu_getopt(argv, "M")
     if not args:
-        print("Usage: rb3tpu stat [-M] <idx.fmd>")
+        _usage("stat")
         return 0
     f = load_index(args[0])
     a = f.acc
@@ -437,7 +541,7 @@ def main_suffix(argv: list[str]) -> int:
     opts, args = getopt.gnu_getopt(argv, "L")
     is_line = any(o == "-L" for o, _ in opts)
     if len(args) < 2:
-        print("Usage: rb3tpu suffix [options] <idx.fmr> <seq.fa> [...]")
+        _usage("suffix")
         return 0
     f = load_index(args[0])
     rec_num = 0
@@ -472,8 +576,7 @@ def main_kount(argv: list[str]) -> int:
         elif o == "-m":
             min_occ = int(a)
     if not args:
-        print("Usage: rb3tpu kount [options] <in1.fmd> [in2.fmd [...]]", file=sys.stderr)
-        return 1
+        return _usage("kount")
     idx = [load_index(fn) for fn in args]
     n = len(idx)
     CH = "$ACGTN"
@@ -512,7 +615,7 @@ def main_fa2line(argv: list[str]) -> int:
     opts, args = getopt.gnu_getopt(argv, "R")
     no_rev = any(o == "-R" for o, _ in opts)
     if not args:
-        print("Usage: rb3tpu fa2line [options] <seq.fa> [...]")
+        _usage("fa2line")
         return 0
     tab = np.frombuffer(b"\nACGTX", dtype=np.uint8)
     for fn in args:
@@ -533,7 +636,7 @@ def main_fa2kmer(argv: list[str]) -> int:
         elif o == "-w":
             step = int(a)
     if not args:
-        print("Usage: rb3tpu fa2kmer [options] <seq.fa> [...]")
+        _usage("fa2kmer")
         return 0
     for fn in args:
         for rec in read_seqs(fn, False):
@@ -663,8 +766,7 @@ def main_search(argv: list[str], cmd: str) -> int:
         load_all = load_all or not no_ssa
 
     if len(args) < 2:
-        print(f"Usage: rb3tpu {cmd} [options] <idx.fmr> <seq.fa> [...]", file=sys.stderr)
-        return 1
+        return _usage(cmd)
 
     f = load_index(args[0], load_ssa=load_all, load_sid=load_all)
     if max_pos > 0 and (f.ssa is None or f.sid is None):
@@ -812,11 +914,25 @@ def main(argv: list[str] | None = None) -> int:
 
 def _dispatch(argv: list[str]) -> int:
     if not argv:
-        print("Usage: rb3tpu <command> <arguments>")
-        print("Commands:")
-        print("  Search:    sw mem hapdiv suffix")
-        print("  Construct: build merge plain2fmd ssa")
-        print("  Misc:      get stat kount fa2line fa2kmer version")
+        print("""Usage: rb3tpu <command> <arguments>
+Commands:
+  Search:
+    sw         find local alignment
+    mem        find maximal exact matches
+    hapdiv     haplotype diversity with sliding k-mers
+    suffix     find the longest matching suffix
+  Construction:
+    build      construct a BWT
+    merge      merge BWTs
+    plain2fmd  convert BWT in plain text to FMD
+    ssa        generate sampled suffix array
+  Miscellaneous:
+    get        retrieve the i-th sequence from BWT
+    stat       basic statistics of BWT
+    kount      count (high-occurrence) k-mers
+    fa2line    convert FASTX to lines
+    fa2kmer    extract k-mers from FASTX
+    version    print the version number""")
         return 0
     cmd, rest = argv[0], argv[1:]
     if cmd in ("search", "sw", "mem", "hapdiv"):
