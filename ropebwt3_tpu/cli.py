@@ -135,8 +135,29 @@ Options:
 }
 
 
+# Number of leading help lines the reference prints to STDOUT (the rest go to
+# stderr): search-family/suffix/fa2line/fa2kmer print the Usage line on stdout
+# (search.c:508, main.c:179/227/269), merge prints everything except -S on
+# stdout (main.c:98-102), get/stat/plain2fmd are stdout-only, and
+# build/ssa/kount are stderr-only (build.c:170, ssa.c:261, main.c:360).
+_UNKNOWN_CMD = 127  # sentinel: the only case where the reference exits nonzero
+
+_USAGE_STDOUT_LINES = {
+    "build": 0, "ssa": 0, "kount": 0,
+    "mem": 1, "sw": 1, "hapdiv": 1, "search": 1,
+    "suffix": 1, "fa2line": 1, "fa2kmer": 1,
+    "merge": 4,
+    "get": 1, "stat": 1, "plain2fmd": 1,
+}
+
+
 def _usage(cmd: str) -> int:
-    print(_USAGE[cmd], file=sys.stderr)
+    lines = _USAGE[cmd].split("\n")
+    n_out = _USAGE_STDOUT_LINES[cmd]
+    if n_out:
+        print("\n".join(lines[:n_out]))
+    if lines[n_out:]:
+        print("\n".join(lines[n_out:]), file=sys.stderr)
     return 1
 
 
@@ -787,25 +808,33 @@ def main_search(argv: list[str], cmd: str) -> int:
 def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size) -> int:
     out = sys.stdout
     seq_id = 0
-    use_jax = engine in ("auto", "jax") and algo == "mem_tg"
-    smem_batched = None
-    if use_jax:
-        try:
-            from .ops.smem import BatchedSmemTG
-
-            smem_batched = BatchedSmemTG(f, min_occ=min_occ, min_len=min_len)
-        except Exception:
-            if engine == "jax":
-                raise
-            smem_batched = None
     native_batch = None
-    if smem_batched is None and engine in ("auto", "native") and algo == "mem_tg":
+    if engine in ("auto", "native") and algo == "mem_tg":
         from .ops.smem_native import native_smem_lib, smem_tg_batch_native
 
         if native_smem_lib() is not None:
             native_batch = smem_tg_batch_native
         elif engine == "native":
             raise RuntimeError("native SMEM engine unavailable")
+    # TPU engine, created lazily on the first short-read batch: the while-loop
+    # kernel's fixed per-iteration cost loses to the prefetching host engine on
+    # long dependent chains (measured 3.2 vs 9.6 Mbp/s on 2k x 10kb HiFi-like
+    # reads), so auto routes long-read batches native and never attaches the
+    # TPU for a pure long-read workload.
+    LR_NATIVE_THRESH = 1000  # mean bp per batch
+    _jax_state: dict = {"eng": None, "failed": engine not in ("auto", "jax") or algo != "mem_tg"}
+
+    def jax_engine():
+        if _jax_state["eng"] is None and not _jax_state["failed"]:
+            try:
+                from .ops.smem import BatchedSmemTG
+
+                _jax_state["eng"] = BatchedSmemTG(f, min_occ=min_occ, min_len=min_len)
+            except Exception:
+                if engine == "jax":
+                    raise
+                _jax_state["failed"] = True
+        return _jax_state["eng"]
 
     from .ops import smem_ref
 
@@ -816,10 +845,15 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             nonlocal seq_id
             if not batch:
                 return
-            if smem_batched is not None:
-                all_mems = smem_batched.run([q for _, q in batch])
+            qs = [q for _, q in batch]
+            mean_len = sum(len(q) for q in qs) / len(qs)
+            long_reads = engine == "auto" and mean_len > LR_NATIVE_THRESH
+            if native_batch is not None and (engine == "native" or long_reads or _jax_state["failed"]):
+                all_mems = native_batch(f, qs, min_occ, min_len)
+            elif jax_engine() is not None:
+                all_mems = jax_engine().run(qs)
             elif native_batch is not None:
-                all_mems = native_batch(f, [q for _, q in batch], min_occ, min_len)
+                all_mems = native_batch(f, qs, min_occ, min_len)
             else:
                 fn_algo = smem_ref.smem_tg if algo == "mem_tg" else smem_ref.smem_orig
                 all_mems = [fn_algo(f, q, min_occ, min_len) for _, q in batch]
@@ -903,13 +937,21 @@ def main(argv: list[str] | None = None) -> int:
             from . import log
 
             log.footer(argv, REF_VERSION)
-        return ret
     except IndexLoadError as e:
-        return _err(str(e))
+        ret = _err(str(e))
     except BrokenPipeError:
-        return 0
+        ret = 0
     except getopt.GetoptError as e:
-        return _err(str(e))
+        ret = _err(str(e))
+    # The reference's main() discards the subcommand's return value and exits 0
+    # for every known command, errors included (main.c:46-82: only "unknown
+    # command" returns 1); command failures are signalled on stderr alone.
+    # Mirror that unless RB3TPU_STRICT_EXIT=1 asks for real exit codes.
+    import os
+
+    if os.environ.get("RB3TPU_STRICT_EXIT") == "1":
+        return ret
+    return 0 if ret != _UNKNOWN_CMD else 1
 
 
 def _dispatch(argv: list[str]) -> int:
@@ -961,7 +1003,7 @@ Commands:
         print(REF_VERSION)
         return 0
     print(f"ERROR: unknown command '{cmd}'", file=sys.stderr)
-    return 1
+    return _UNKNOWN_CMD
 
 
 if __name__ == "__main__":
