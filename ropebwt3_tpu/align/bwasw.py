@@ -527,7 +527,14 @@ def _backtrack1_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, rows, pos: int, hit: 
             ed += 1
         # push state
         if not len_only:
-            rseq.append(c)
+            # sw_push_state writes rseq[rlen] BEFORE bumping rlen
+            # (bwa-sw.c:63): an insertion (op 1) leaves rlen unchanged, so its
+            # base is overwritten by the next reference-consuming op and never
+            # appears in rseq
+            if hit.rlen == len(rseq):
+                rseq.append(c)
+            else:
+                rseq[hit.rlen] = c
             if last_op == op:
                 cig[-1] += 1 << 4
             else:
@@ -545,7 +552,7 @@ def _backtrack1_core(opt: SwOpt, f: DenseFMIndex, g: Dawg, rows, pos: int, hit: 
         last = state if (state in (1, 2) and ext) else 0
     if not len_only:
         hit.cigar = cig
-        hit.rseq = rseq
+        hit.rseq = rseq[: hit.rlen]  # drop a trailing insertion's write
         hit.n_cigar = len(cig)
     return ed
 

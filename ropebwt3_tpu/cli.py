@@ -905,7 +905,8 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
                                 from .ssa_ops import ssa_multi
 
                                 pos = ssa_multi(f, f.ssa, m.lo, m.lo + m.size, max_pos)
-                            line += f"\t{len(pos)}"
+                            if pos:  # n_pos column only when > 0 (search.c:305)
+                                line += f"\t{len(pos)}"
                             for sid, p in pos:
                                 rlen = int(f.sid.lens[sid >> 1])
                                 pp = rlen - (p + (m.end - m.start)) if sid & 1 else p

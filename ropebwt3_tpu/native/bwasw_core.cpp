@@ -1050,7 +1050,7 @@ struct Hit {
   int32_t score = 0, qlen = 0, rlen = 0, mlen = 0, blen = 0;
   int64_t lo = 0, hi = 0;
   std::vector<uint32_t> cigar;
-  std::vector<uint8_t> rseq;  // one entry per walk step (matches the Python spec)
+  std::vector<uint8_t> rseq;  // one entry per reference-consuming step (rlen total)
   std::vector<int32_t> qoff;
   std::string cs;
 };
@@ -1082,7 +1082,11 @@ static int backtrack1_fill(const Opt& o, const Fmi& f, const DawgOwned& g,
       pos = r * n_col + p.F_from_off;
       ++ed;
     }
-    hit.rseq.push_back((uint8_t)c);
+    // sw_push_state writes rseq[rlen] BEFORE bumping rlen (bwa-sw.c:63): an
+    // insertion (op 1) leaves rlen unchanged, so its base is overwritten by
+    // the next reference-consuming op and never lands in rseq
+    if ((int64_t)hit.rseq.size() == hit.rlen) hit.rseq.push_back((uint8_t)c);
+    else hit.rseq[hit.rlen] = (uint8_t)c;
     if (last_op == op) hit.cigar.back() += 1u << 4;
     else hit.cigar.push_back((1u << 4) | (uint32_t)op);
     if (op == 7 || op == 8) {
@@ -1096,6 +1100,7 @@ static int backtrack1_fill(const Opt& o, const Fmi& f, const DawgOwned& g,
     last_op = op;
     last = ((state == 1 || state == 2) && ext) ? state : 0;
   }
+  hit.rseq.resize(hit.rlen);  // drop a trailing insertion's write
   return ed;
 }
 

@@ -113,6 +113,20 @@ class BatchedSmemTG:
         else:
             self.seed_k = 0
 
+    def _host_rerun(self, q: np.ndarray) -> list[Mem]:
+        """Recompute one read on the host (lane MEM-buffer overflow): the
+        threaded native engine when available, else the Python reference."""
+        try:
+            from .smem_native import native_smem_lib, smem_tg_batch_native
+
+            if native_smem_lib() is not None:
+                return smem_tg_batch_native(self._dense, [q], self.min_occ, self.min_len)[0]
+        except Exception:
+            pass
+        from . import smem_ref
+
+        return smem_ref.smem_tg(self._dense, q, self.min_occ, self.min_len)
+
     def _run_chunk(self, queries: list[np.ndarray], L: int) -> list[list[Mem]]:
         Q = len(queries)
         # scale lanes down for long reads so q + mems stay within HBM budget;
@@ -152,9 +166,7 @@ class BatchedSmemTG:
             n_mem = np.asarray(n_mem[: len(chunk)])
             for t in range(len(chunk)):
                 if n_mem[t] > M:  # buffer overflow: recompute this read on host
-                    from . import smem_ref
-
-                    out.append(smem_ref.smem_tg(self._dense, chunk[t], self.min_occ, self.min_len))
+                    out.append(self._host_rerun(chunk[t]))
                 else:
                     out.append([Mem(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4])) for r in mems[t, : n_mem[t]]])
         return out
@@ -169,9 +181,11 @@ class BatchedSmemTG:
         the lane's reads, shrinking the max-over-lanes tail that sets the
         loop trip count.  `idxs` are ascending-length positions into
         `results`."""
+        import os
+
         Lbuf = Lbuf or self.PACK_LBUF
         Rcap = self.PACK_R
-        Q = max(256, self.lanes // 4)
+        Q = int(os.environ.get("RB3TPU_PACK_Q", 0)) or max(256, self.lanes // 4)
         if M is None:
             M = max(64, self.max_mems) if self.max_mems else 64
         idxs_np = np.asarray(idxs, dtype=np.int64)
@@ -266,13 +280,11 @@ class BatchedSmemTG:
             for rid, r0 in zip(rid_l, row_l):
                 results[rid].append(Mem(*r0))
             if not ok_lane.all():  # lane MEM-buffer overflow: host rerun
-                from . import smem_ref
-
                 bad = set(np.nonzero(~ok_lane)[0].tolist())
                 for k, lane in enumerate(lane_a):
                     if int(lane) in bad:
                         ridx = int(rid_a[k])
-                        results[ridx] = smem_ref.smem_tg(self._dense, queries[ridx], self.min_occ, self.min_len)
+                        results[ridx] = self._host_rerun(queries[ridx])
 
         # software pipeline: stage i+1 and unpack i-1 while kernel i runs
         # (exactly one program in flight at a time)
@@ -307,7 +319,10 @@ class BatchedSmemTG:
             if longr:
                 # long reads carry many MEMs per lane; larger buffer, fewer
                 # host rerun fallbacks
-                self._run_packed(queries, results, longr, Lbuf=self.PACK_LBUF_LONG, M=max(256, self.max_mems) if self.max_mems else 256)
+                import os
+
+                lr_m = int(os.environ.get("RB3TPU_LR_M", 0)) or (max(256, self.max_mems) if self.max_mems else 256)
+                self._run_packed(queries, results, longr, Lbuf=self.PACK_LBUF_LONG, M=lr_m)
         buckets: dict[int, list[int]] = {}
         for t in order:
             L = max(64, 1 << (max(1, len(queries[t]) - 1)).bit_length())

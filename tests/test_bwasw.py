@@ -67,3 +67,13 @@ def test_sw_debug_streams(ref_bin, ref_index, sw_reads):
 
     assert dbg_lines(ours.stderr) == dbg_lines(ref.stderr)
     assert ours.stdout == ref.stdout
+
+
+def test_sw_indel_scoring_cs_golden(ref_bin, ref_index, corpus):
+    """Gap-friendly scoring (-A2 -B5 -O3) produces alignments with insertions;
+    the inserted base must not leak into rseq/cs (bwa-sw.c:63 writes rseq[rlen]
+    before bumping rlen; found by scripts/fuzz_diff.py seed 128)."""
+    args = ["sw", "-A", "2", "-B", "5", "-O", "3", "--seq", str(ref_index), str(corpus / "reads.fa")]
+    from .conftest import run_ours, run_ref
+
+    assert run_ours(args) == run_ref(ref_bin, args)

@@ -140,3 +140,35 @@ def test_plain2fmd_golden(ref_bin, corpus, tmp_path):
 
 def test_version():
     assert run_ours(["version"]).strip() == b"3.10-r281"
+
+
+def test_usage_stdout_and_exit_parity(ref_bin):
+    """No-arg invocations: the stdout portion of the usage text and the exit
+    code must match the reference for every command (main.c exits 0 for all
+    known commands, search.c:508 prints the Usage line to stdout, etc.)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    cmds = ["mem", "sw", "hapdiv", "build", "merge", "ssa", "plain2fmd",
+            "get", "stat", "suffix", "kount", "fa2line", "fa2kmer"]
+    for cmd in cmds:
+        r = subprocess.run([ref_bin, cmd], capture_output=True)
+        o = subprocess.run([sys.executable, "-m", "ropebwt3_tpu", cmd], capture_output=True, env=env)
+        assert o.returncode == r.returncode, cmd
+        ref_out = r.stdout.replace(b"ropebwt3", b"rb3tpu")
+        assert o.stdout == ref_out, (cmd, o.stdout, ref_out)
+    # unknown command: the one nonzero exit in the reference
+    r = subprocess.run([ref_bin, "bogus"], capture_output=True)
+    o = subprocess.run([sys.executable, "-m", "ropebwt3_tpu", "bogus"], capture_output=True, env=env)
+    assert o.returncode == r.returncode == 1
+
+
+def test_mem_pos_min_len1_golden(ref_bin, ref_index, corpus):
+    """-l1 -c5 -p: MEMs whose locate returns 0 positions must omit the n_pos
+    column (search.c:305; found by scripts/fuzz_diff.py seed 148)."""
+    args = ["mem", "-l", "1", "-c", "5", "-p", "7", str(ref_index), str(corpus / "reads.fa")]
+    assert run_ours(args) == run_ref(ref_bin, args)
