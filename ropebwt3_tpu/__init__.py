@@ -34,9 +34,12 @@ def _jax_setup():
     # on this runtime (remote compiles run 2 s-40 min), so cache aggressively.
     try:
         cache_dir = os.environ.get("RB3TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "rb3tpu_xla"))
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        if cache_dir.lower() in ("", "0", "off", "none"):  # RB3TPU_CACHE=0 disables
+            cache_dir = None
+        if cache_dir is not None:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax or plugin without persistent-cache support
     _jax_ready = True

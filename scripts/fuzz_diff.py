@@ -172,6 +172,52 @@ def scenarios(rng: random.Random, fmd: str, fa: str, reads: str):
         yield ["build", "-LR" if rng.random() < 0.5 else "-L", fa]  # plain BWT out (fa here is multi-line: use -L only on reads)
 
 
+def build_scenarios(rng: random.Random, d: str, fa: str, reads: str):
+    """Construction invocations (exercise OUR builder, not just queries)."""
+    strand = rng.choice(["", "-F", "-R"])
+    base = ["build"] + ([strand] if strand else [])
+    yield base + [fa]  # plain BWT to stdout
+    if rng.random() < 0.5:
+        yield base + ["-m", str(rng.choice([100, 500, 2000])), fa]  # multi-batch merge path
+    if rng.random() < 0.4:
+        # legacy sort orders: ours -s/-r must match reference -2s/-2r
+        o = rng.choice(["-s", "-r"])
+        ours_fmd = os.path.join(d, "o_sort.fmd")
+        ref_fmd = os.path.join(d, "r_sort.fmd")
+        rc_o, _, err_o = run_ours(["build", o, "-do", ours_fmd, fa])
+        rc_r, _, _ = run_ref(["build", "-2" + o[1], "-do", ref_fmd, fa])
+        if rc_r == 0:
+            if rc_o != 0:
+                yield ("FAIL", f"build {o} crashed: {err_o.decode()[-500:]}")
+            elif open(ours_fmd, "rb").read() != open(ref_fmd, "rb").read():
+                yield ("FAIL", f"build {o} FMD bytes differ")
+    if rng.random() < 0.4:
+        # our FMD build + our BRE build vs reference bytes
+        for fmt, ext in (("-d", "fmd"), ("-e", "bre")):
+            ours_f = os.path.join(d, f"o.{ext}")
+            ref_f = os.path.join(d, f"r.{ext}")
+            rc_o, _, err_o = run_ours(["build", fmt + "o", ours_f, fa])
+            rc_r, _, _ = run_ref(["build", fmt + "o", ref_f, fa])
+            if rc_r == 0:
+                if rc_o != 0:
+                    yield ("FAIL", f"build {fmt} crashed: {err_o.decode()[-500:]}")
+                elif open(ours_f, "rb").read() != open(ref_f, "rb").read():
+                    yield ("FAIL", f"build {fmt} bytes differ")
+    if rng.random() < 0.3:
+        # incremental: build reads on top of fa index (ours) vs one-shot ref
+        ours_fmr = os.path.join(d, "o1.fmr")
+        rc_o, _, err_o = run_ours(["build", "-bo", ours_fmr, fa])
+        rc_o2, out_o, err_o2 = run_ours(["build", "-i", ours_fmr, reads])
+        # reference equivalent: build fa then -i reads, plain output
+        ref_fmr = os.path.join(d, "r1.fmr")
+        run_ref(["build", "-bo", ref_fmr, fa])
+        rc_r, out_r, _ = run_ref(["build", "-i", ref_fmr, reads])
+        if rc_r == 0 and (rc_o or rc_o2):
+            yield ("FAIL", f"build -i crashed: {(err_o + err_o2).decode()[-500:]}")
+        elif rc_r == 0 and out_o != out_r:
+            yield ("FAIL", "build -i plain BWT differs")
+
+
 def one_iter(seed: int) -> list[str]:
     rng = random.Random(seed)
     fails = []
@@ -179,6 +225,25 @@ def one_iter(seed: int) -> list[str]:
     try:
         fa, reads = make_corpus(rng, d)
         fmd = build_indexes(rng, d, fa)
+        for item in build_scenarios(rng, d, fa, reads):
+            if isinstance(item, tuple) and item[0] == "FAIL":
+                keep = os.path.join("/tmp", f"fuzz_fail_{seed}")
+                shutil.copytree(d, keep, dirs_exist_ok=True)
+                fails.append(f"seed={seed} {item[1]} (kept in {keep})")
+                continue
+            args = list(item)
+            rc_r, out_r, err_r = run_ref(args)
+            rc_o, out_o, err_o = run_ours(args)
+            if rc_r != 0:
+                continue
+            if rc_o != 0:
+                fails.append(f"seed={seed} OURS-CRASHED {' '.join(args)}\n{err_o.decode()[-2000:]}")
+            elif out_r != out_o:
+                keep = os.path.join("/tmp", f"fuzz_fail_{seed}")
+                shutil.copytree(d, keep, dirs_exist_ok=True)
+                open(os.path.join(keep, "ref_b.out"), "wb").write(out_r)
+                open(os.path.join(keep, "ours_b.out"), "wb").write(out_o)
+                fails.append(f"seed={seed} DIFF {' '.join(args)} (kept in {keep})")
         for args in scenarios(rng, fmd, fa, reads):
             if args[0] == "build" and "-L" in args[1]:
                 continue  # line-mode build on FASTA input is not meaningful
