@@ -16,6 +16,21 @@ commands (stat, get, format conversion, ...) must not pay that.
 
 __version__ = "0.1.0"
 
+# numpy madvise(MADV_HUGEPAGE) makes first-touch page faults ~100x slower on
+# some virtualized hosts (THP assembly under lazily-populated VM memory);
+# measured 15-170 MB/s vs ~2 GB/s fill bandwidth on this machine.  Disable it
+# for every array numpy allocates from here on (and via env for any numpy
+# imported later in subprocesses).
+import os as _os
+
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:  # pragma: no cover - numpy private API, best effort
+    import numpy as _np
+
+    _np._core.multiarray._set_madvise_hugepage(False)
+except Exception:
+    pass
+
 _jax_ready = False
 
 

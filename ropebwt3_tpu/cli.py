@@ -312,21 +312,29 @@ def main_build(argv: list[str]) -> int:
                 yield seq
             yield None  # file boundary (for -S checkpointing)
 
+    # the first batch's raw BWT is kept as-is: dense occ tables are only
+    # needed when further batches merge into it (or for -i), so a
+    # single-batch build skips the table build entirely
+    pending: np.ndarray | None = None
+
     def absorb(bwt):
-        nonlocal f
+        nonlocal f, pending
         log.info("constructed partial BWT for %d symbols", len(bwt), func="main_build")
-        if f is None:
-            f = DenseFMIndex.from_bwt(bwt)
-            log.info("encoded the partial BWT for %d symbols", len(bwt), func="main_build")
+        if f is None and pending is None:
+            pending = bwt
         else:
+            if pending is not None:
+                f = DenseFMIndex.from_bwt(pending)
+                pending = None
+                log.info("encoded the partial BWT for %d symbols", f.n, func="main_build")
             f = merge_plain(f, bwt)
             log.info("merged the partial BWT for %d symbols", len(bwt), func="main_build")
 
     def checkpoint():
-        if fn_tmp and f is not None:
+        if fn_tmp and (f is not None or pending is not None):
             from .formats.fmr import write_fmr
 
-            syms, lens = f.to_runs()
+            syms, lens = _runs_of_bwt(pending) if pending is not None else f.to_runs()
             write_fmr(fn_tmp, syms, lens)
             log.info("saved the current index to '%s'", fn_tmp, func="main_build")
 
@@ -358,9 +366,9 @@ def main_build(argv: list[str]) -> int:
                 checkpoint()
                 continue
             absorb(gsa_bwt(seq))
-    if f is None:
+    if f is None and pending is None:
         return 1
-    _dump_index(f, fmt, out_fn)
+    _dump_index(pending if pending is not None else f, fmt, out_fn)
     return 0
 
 
@@ -385,12 +393,27 @@ def _sort_units(seq: np.ndarray, sort_order: int) -> np.ndarray:
     return np.concatenate([x for t in order for x in (units[t], zero)])
 
 
-def _dump_index(f: DenseFMIndex, fmt: str, out_fn: str | None) -> None:
-    syms, lens = f.to_runs()
+def _runs_of_bwt(bwt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run-length encode a raw BWT array (same as DenseFMIndex.to_runs)."""
+    if len(bwt) == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(bwt[1:] != bwt[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(bwt)]))
+    return bwt[starts].copy(), (ends - starts).astype(np.int64)
+
+
+def _dump_index(f: "DenseFMIndex | np.ndarray", fmt: str, out_fn: str | None) -> None:
+    if isinstance(f, np.ndarray):
+        raw = f
+        syms, lens = _runs_of_bwt(raw)
+    else:
+        raw = f.bwt[: f.n]
+        syms, lens = f.to_runs()
     out = sys.stdout.buffer if out_fn is None else open(out_fn, "wb")
     try:
         if fmt == "plain":
-            out.write(nt6_to_str(f.bwt[: f.n]).encode() + b"\n")
+            out.write(nt6_to_str(raw).encode() + b"\n")
         elif fmt == "fmd":
             from .formats.fmd import encode_runs
 
