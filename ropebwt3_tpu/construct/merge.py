@@ -22,16 +22,33 @@ def lf2_table(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For a plain BWT `seq` (uint8), return (acc2[7], lf2[n]) where
     lf2[i] = acc2[seq[i]] + occ(seq[i], i) — cf. rb3_mg_rank_plain
     (fm-index.c:202-215)."""
-    seq = np.asarray(seq, dtype=np.uint8)
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
     n = len(seq)
+    try:
+        import ctypes
+
+        from ..native import get_sw_lib
+
+        lib = get_sw_lib()
+        if lib is not None:
+            acc2 = np.zeros(ASIZE + 1, dtype=np.int64)
+            lf2 = np.empty(n, dtype=np.int64)
+            lib.rb3t_lf2(
+                ctypes.c_void_p(seq.ctypes.data), n,
+                ctypes.c_void_p(acc2.ctypes.data), ctypes.c_void_p(lf2.ctypes.data),
+            )
+            return acc2, lf2
+    except Exception:
+        pass
     cnt = np.bincount(seq, minlength=ASIZE).astype(np.int64)
     acc2 = np.zeros(ASIZE + 1, dtype=np.int64)
     acc2[1:] = np.cumsum(cnt)
-    # occ-before for each position of its own symbol: stable counting via
-    # argsort (order positions by symbol, index within the symbol class)
-    order = np.argsort(seq, kind="stable")
+    # occ-before for each position of its own symbol: per-symbol counting
+    # (6 masked passes beat a 64M stable argsort by ~25x)
     within = np.empty(n, dtype=np.int64)
-    within[order] = np.arange(n, dtype=np.int64) - acc2[seq[order].astype(np.int64)]
+    for c in range(ASIZE):
+        m = np.flatnonzero(seq == c)
+        within[m] = np.arange(len(m), dtype=np.int64)
     lf2 = acc2[seq.astype(np.int64)] + within
     return acc2, lf2
 
@@ -206,6 +223,23 @@ def merge_plain(fa: DenseFMIndex, seq: np.ndarray, engine: str = "auto") -> Dens
 
 def _merge_apply(fa: DenseFMIndex, seq: np.ndarray, ins: np.ndarray) -> DenseFMIndex:
     n1, n2 = fa.n, len(seq)
+    try:
+        import ctypes
+
+        from ..native import get_sw_lib
+
+        lib = get_sw_lib()
+        if lib is not None:
+            merged = np.empty(n1 + n2, dtype=np.uint8)
+            bwt1 = np.ascontiguousarray(fa.bwt[:n1])
+            lib.rb3t_merge_apply(
+                ctypes.c_void_p(bwt1.ctypes.data), n1,
+                ctypes.c_void_p(seq.ctypes.data), ctypes.c_void_p(ins.ctypes.data),
+                n2, ctypes.c_void_p(merged.ctypes.data),
+            )
+            return DenseFMIndex.from_bwt(merged)
+    except Exception:
+        pass
     merged = np.empty(n1 + n2, dtype=np.uint8)
     pos2 = ins + np.arange(n2, dtype=np.int64)  # merged positions of B2 symbols
     mask = np.ones(n1 + n2, dtype=bool)

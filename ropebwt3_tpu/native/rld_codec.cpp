@@ -8,6 +8,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -287,8 +288,8 @@ extern "C" {
 
 // One-pass per-block symbol counts for the dense index builder:
 // out[(block+1)*6 + c] = count of symbol c in block `block` (64 symbols).
-void rb3t_block_counts(const uint8_t *bwt, int64_t n, int64_t n_blocks, int64_t *out) {
-    for (int64_t blk = 0; blk < n_blocks; ++blk) {
+static void block_counts_range(const uint8_t *bwt, int64_t n, int64_t b0, int64_t b1, int64_t *out) {
+    for (int64_t blk = b0; blk < b1; ++blk) {
         int64_t cnt[8] = {0};
         const uint8_t *p = bwt + blk * 64;
         int64_t end = (blk + 1) * 64 <= n ? 64 : n - blk * 64;
@@ -296,6 +297,19 @@ void rb3t_block_counts(const uint8_t *bwt, int64_t n, int64_t n_blocks, int64_t 
         int64_t *q = out + (blk + 1) * 6;
         for (int c = 0; c < 6; ++c) q[c] = cnt[c];
     }
+}
+
+void rb3t_block_counts(const uint8_t *bwt, int64_t n, int64_t n_blocks, int64_t *out) {
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt > 8) nt = 8;
+    if (nt < 2 || n_blocks < (int64_t)1 << 16) {
+        block_counts_range(bwt, n, 0, n_blocks, out);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (int t = 0; t < nt; ++t)
+        th.emplace_back(block_counts_range, bwt, n, n_blocks * t / nt, n_blocks * (t + 1) / nt, out);
+    for (auto &t : th) t.join();
 }
 
 }  // extern "C"
