@@ -491,15 +491,23 @@ def main_ssa(argv: list[str]) -> int:
     if not args:
         return _usage("ssa")
     f = load_index(args[0])
-    if int(f.acc[1]) >= 2048 and f.n < (1 << 31) - (1 << 20):
-        from .ssa_ops import ssa_gen_device
+    sa = None
+    try:
+        from .ssa_ops import ssa_gen_native
 
-        try:
-            sa = ssa_gen_device(f, ssa_shift)
-        except Exception:
+        sa = ssa_gen_native(f, ssa_shift)
+    except Exception:
+        pass
+    if sa is None:
+        if int(f.acc[1]) >= 2048 and f.n < (1 << 31) - (1 << 20):
+            from .ssa_ops import ssa_gen_device
+
+            try:
+                sa = ssa_gen_device(f, ssa_shift)
+            except Exception:
+                sa = ssa_gen(f, ssa_shift)
+        else:
             sa = ssa_gen(f, ssa_shift)
-    else:
-        sa = ssa_gen(f, ssa_shift)
     write_ssa(out_fn if out_fn else "-", sa)
     return 0
 

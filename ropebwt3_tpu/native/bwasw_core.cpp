@@ -1304,9 +1304,81 @@ static void merge_rank_worker(const Fmi* f, const uint8_t* seq2, const int64_t* 
   }
 }
 
+// ---- sampled-SA generation (rb3_ssa_gen, ssa.c:17-81) --------------------
+// One LF-walk per sequence from its sentinel rank; record seq id at the
+// sentinel and (offset << ms | seq id) at ranks ≡ 0 mod 2^ss.  Offsets count
+// from the sequence start, known only when the walk ends, so sampled hits
+// buffer (x, l) pairs per walk and flush on completion.  Distinct walks never
+// visit the same BWT position, so r2i/ssa writes are race-free.
+static void ssa_gen_worker(const Fmi* f, int64_t m, int32_t ss, int32_t ms, uint64_t* r2i,
+                           uint64_t* ssa, std::atomic<int64_t>* next_lane) {
+  constexpr int G = 16;
+  int64_t k[G], seq_id[G], l[G];
+  std::vector<std::pair<int64_t, int64_t>> rec[G];  // (ssa index, l at hit)
+  const int64_t mask = ((int64_t)1 << ss) - 1;
+  int n_act = 0;
+  auto refill = [&](int g) -> bool {
+    int64_t j = next_lane->fetch_add(1);
+    if (j >= m) return false;
+    k[g] = j;
+    seq_id[g] = j;
+    l[g] = 0;
+    rec[g].clear();
+    prefetch_rank(*f, k[g]);
+    return true;
+  };
+  for (int g = 0; g < G; ++g)
+    if (refill(g)) ++n_act;
+    else break;
+  while (n_act > 0) {
+    for (int g = 0; g < n_act;) {
+      int64_t kk = k[g];
+      int c = f->bwt[kk];
+      int64_t nk = f->acc[c] + rank1c(*f, kk, c);
+      l[g]++;
+      if (c == 0) {
+        // nk is the sentinel's rank within the $ bucket
+        r2i[nk] = (uint64_t)seq_id[g];
+        int64_t seq_len = l[g] - 1;
+        for (auto& pr : rec[g])
+          ssa[pr.first] = ((uint64_t)(seq_len - pr.second) << ms) | (uint64_t)seq_id[g];
+        if (refill(g)) {
+          ++g;
+        } else {
+          --n_act;
+          k[g] = k[n_act];
+          seq_id[g] = seq_id[n_act];
+          l[g] = l[n_act];
+          rec[g].swap(rec[n_act]);
+        }
+      } else {
+        if (((nk - m) & mask) == 0) rec[g].emplace_back((nk - m) >> ss, l[g]);
+        k[g] = nk;
+        prefetch_rank(*f, nk);
+        ++g;
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+void rb3t_ssa_gen(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
+                  const int64_t* acc, int64_t n, int64_t m, int32_t ss, int32_t ms,
+                  uint64_t* r2i, uint64_t* ssa, int32_t n_threads) {
+  Fmi f{bwt, occ_block, occ_super, acc, n};
+  std::atomic<int64_t> next_lane{0};
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt == 1) {
+    ssa_gen_worker(&f, m, ss, ms, r2i, ssa, &next_lane);
+    return;
+  }
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; ++t) th.emplace_back(ssa_gen_worker, &f, m, ss, ms, r2i, ssa, &next_lane);
+  for (auto& t : th) t.join();
+}
 
 // ins[i] = number of B1 symbols preceding B2 position i in the merged BWT.
 // lf2 is the B2-internal LF table (construct/merge.lf2_table); m2 = number of

@@ -18,6 +18,35 @@ from .formats.ssa import SSA
 from .index.dense import DenseFMIndex
 
 
+def ssa_gen_native(f: DenseFMIndex, ssa_shift: int = 8, n_threads: int | None = None) -> SSA:
+    """Native (C++) ssa_gen: interleaved prefetching LF-walk state machines
+    (rb3t_ssa_gen in bwasw_core.cpp), bit-identical to ssa_gen."""
+    import ctypes
+    import os
+
+    from .native import get_sw_lib
+
+    lib = get_sw_lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    m = int(f.acc[1])
+    ms = 1
+    while (1 << ms) < m:
+        ms += 1
+    n_ssa = (int(f.acc[6]) - m + (1 << ssa_shift) - 1) >> ssa_shift
+    r2i = np.zeros(m, dtype=np.uint64)
+    ssa = np.zeros(n_ssa, dtype=np.uint64)
+    if m:
+        P = ctypes.c_void_p
+        nt = n_threads or min(os.cpu_count() or 1, max(1, m))
+        lib.rb3t_ssa_gen(
+            P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data),
+            P(f.acc.ctypes.data), int(f.n), m, ssa_shift, ms,
+            P(r2i.ctypes.data), P(ssa.ctypes.data), int(nt),
+        )
+    return SSA(ssa_shift, ms, m, r2i, ssa)
+
+
 def ssa_gen(f: DenseFMIndex, ssa_shift: int = 8, batch: int = 1 << 15) -> SSA:
     m = int(f.acc[1])
     ms = 1
