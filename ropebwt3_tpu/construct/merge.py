@@ -168,9 +168,11 @@ def merge_rank_device(fa: DenseFMIndex, seq: np.ndarray, window: int | None = No
 
 def merge_rank_native(fa: DenseFMIndex, seq: np.ndarray, n_threads: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Native (C++) merge_rank_plain: interleaved prefetching LF-walk state
-    machines over the dense tables (rb3t_merge_rank in bwasw_core.cpp), the
-    host analog of kt_for(worker_cal_rank) fm-index.c:189-200.  Bit-identical
-    to merge_rank_plain."""
+    machines over the dense tables (bwasw_core.cpp), the host analog of
+    kt_for(worker_cal_rank) fm-index.c:189-200.  Uses the packed-record walk:
+    rec[i] = (lf2[i]<<3)|seq[i] is consumed exactly once per B2 position and
+    overwritten in place with the insertion rank, so the B2 side costs one
+    random cache line per step.  Bit-identical to merge_rank_plain."""
     import ctypes
     import os
 
@@ -179,19 +181,21 @@ def merge_rank_native(fa: DenseFMIndex, seq: np.ndarray, n_threads: int | None =
     lib = get_sw_lib()
     if lib is None:
         raise RuntimeError("native engine unavailable")
-    acc2, lf2 = lf2_table(seq)
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
     n2 = len(seq)
+    P = ctypes.c_void_p
+    acc2 = np.zeros(ASIZE + 1, dtype=np.int64)
+    rec = np.empty(n2, dtype=np.int64)
+    if n2 == 0:
+        return acc2, rec
+    lib.rb3t_lf2_packed(P(seq.ctypes.data), n2, P(acc2.ctypes.data), P(rec.ctypes.data))
     m2 = int(acc2[1])
-    ins = np.zeros(n2, dtype=np.int64)
-    if n2:
-        P = ctypes.c_void_p
-        nt = n_threads or min(os.cpu_count() or 1, max(1, m2))
-        lib.rb3t_merge_rank(
-            P(fa.bwt.ctypes.data), P(fa.occ_block.ctypes.data), P(fa.occ_super.ctypes.data),
-            P(fa.acc.ctypes.data), int(fa.n), P(seq.ctypes.data), P(lf2.ctypes.data),
-            n2, m2, P(ins.ctypes.data), int(nt),
-        )
-    return acc2, ins
+    nt = n_threads or min(os.cpu_count() or 1, max(1, m2))
+    lib.rb3t_merge_rank_packed(
+        P(fa.bwt.ctypes.data), P(fa.occ_block.ctypes.data), P(fa.occ_super.ctypes.data),
+        P(fa.acc.ctypes.data), int(fa.n), P(rec.ctypes.data), n2, m2, int(nt),
+    )
+    return acc2, rec
 
 
 def merge_plain(fa: DenseFMIndex, seq: np.ndarray, engine: str = "auto") -> DenseFMIndex:

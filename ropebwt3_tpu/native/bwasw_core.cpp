@@ -1262,6 +1262,50 @@ static inline int64_t rank1c(const Fmi& f, int64_t k, int c) {
   return out;
 }
 
+// Packed-record variant: rec[i] = (lf2[i] << 3) | seq2[i] on entry; the walk
+// visits each B2 position exactly once, reads its record and overwrites it
+// in place with the insertion rank — ONE random cache line per step on the
+// B2 side (read+write hit the same line) instead of three (lf2, seq2, ins).
+// On return rec holds ins.
+static void merge_rank_packed_worker(const Fmi* f, int64_t* rec, int64_t m2,
+                                     std::atomic<int64_t>* next_lane) {
+  constexpr int G = 16;
+  int64_t ka[G], kb[G];
+  int n_act = 0;
+  auto refill = [&](int g) -> bool {
+    int64_t j = next_lane->fetch_add(1);
+    if (j >= m2) return false;
+    ka[g] = f->acc[1];
+    kb[g] = j;
+    prefetch_rank(*f, ka[g]);
+    __builtin_prefetch(rec + kb[g], 1);
+    return true;
+  };
+  for (int g = 0; g < G; ++g)
+    if (refill(g)) ++n_act;
+    else break;
+  while (n_act > 0) {
+    for (int g = 0; g < n_act;) {
+      int64_t v = rec[kb[g]];
+      int c = (int)(v & 7);
+      rec[kb[g]] = ka[g];
+      if (c != 0) {
+        kb[g] = v >> 3;
+        ka[g] = f->acc[c] + rank1c(*f, ka[g], c);
+        prefetch_rank(*f, ka[g]);
+        __builtin_prefetch(rec + kb[g], 1);
+        ++g;
+      } else if (refill(g)) {
+        ++g;
+      } else {
+        --n_act;
+        ka[g] = ka[n_act];
+        kb[g] = kb[n_act];
+      }
+    }
+  }
+}
+
 static void merge_rank_worker(const Fmi* f, const uint8_t* seq2, const int64_t* lf2,
                               int64_t m2, int64_t* ins, std::atomic<int64_t>* next_lane) {
   constexpr int G = 16;
@@ -1396,6 +1440,44 @@ void rb3t_merge_rank(const uint8_t* bwt, const uint16_t* occ_block, const int64_
   }
   std::vector<std::thread> th;
   for (int t = 0; t < nt; ++t) th.emplace_back(merge_rank_worker, &f, seq2, lf2, m2, ins, &next_lane);
+  for (auto& t : th) t.join();
+}
+
+// Packed merge-rank: rec[i] = (lf2[i] << 3) | seq2[i] in, ins out (in place).
+void rb3t_merge_rank_packed(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
+                            const int64_t* acc, int64_t n1, int64_t* rec, int64_t n2, int64_t m2,
+                            int32_t n_threads) {
+  (void)n2;
+  Fmi f{bwt, occ_block, occ_super, acc, n1};
+  std::atomic<int64_t> next_lane{0};
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt == 1) {
+    merge_rank_packed_worker(&f, rec, m2, &next_lane);
+    return;
+  }
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; ++t) th.emplace_back(merge_rank_packed_worker, &f, rec, m2, &next_lane);
+  for (auto& t : th) t.join();
+}
+
+// rec[i] = (lf2[i] << 3) | seq[i] — the packed input of merge_rank_packed.
+void rb3t_lf2_packed(const uint8_t* seq, int64_t n, int64_t* acc2_out, int64_t* rec_out) {
+  int64_t cnt[6] = {0, 0, 0, 0, 0, 0};
+  for (int64_t i = 0; i < n; i++) rec_out[i] = cnt[seq[i]]++;
+  acc2_out[0] = 0;
+  for (int c = 0; c < 6; c++) acc2_out[c + 1] = acc2_out[c] + cnt[c];
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt > 8) nt = 8;
+  if (nt < 2 || n < (int64_t)1 << 22) {
+    for (int64_t i = 0; i < n; i++) rec_out[i] = ((rec_out[i] + acc2_out[seq[i]]) << 3) | seq[i];
+    return;
+  }
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; ++t)
+    th.emplace_back([=] {
+      int64_t a = n * t / nt, b = n * (t + 1) / nt;
+      for (int64_t i = a; i < b; i++) rec_out[i] = ((rec_out[i] + acc2_out[seq[i]]) << 3) | seq[i];
+    });
   for (auto& t : th) t.join();
 }
 

@@ -366,3 +366,78 @@ def test_merge_rank_native_matches_host():
         a1, i1 = merge_rank_plain(fa, b2)
         a2, i2 = merge_rank_native(fa, b2)
         assert np.array_equal(a1, a2) and np.array_equal(i1, i2), n_seq
+
+
+def test_ssa_gen_native_matches_host():
+    """rb3t_ssa_gen (interleaved LF-walk SMs) must equal the numpy batched
+    ssa_gen exactly — r2i and ssa arrays — across sampling shifts and lane
+    counts around the per-thread group size."""
+    import pytest
+
+    from ropebwt3_tpu.construct.sa import gsa_bwt
+    from ropebwt3_tpu.index.dense import DenseFMIndex
+    from ropebwt3_tpu.native import get_sw_lib
+    from ropebwt3_tpu.ssa_ops import ssa_gen, ssa_gen_native
+
+    if get_sw_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(33)
+    for n_seq in (1, 5, 40):
+        parts = []
+        for _ in range(n_seq):
+            L = int(rng.integers(1, 700))
+            s = rng.integers(1, 6, L).astype(np.uint8)
+            rc = np.where((s >= 1) & (s <= 4), 5 - s, s)[::-1].astype(np.uint8)
+            parts += [s, np.zeros(1, np.uint8), rc, np.zeros(1, np.uint8)]
+        f = DenseFMIndex.from_bwt(gsa_bwt(np.concatenate(parts)))
+        for ss in (2, 8):
+            a = ssa_gen(f, ss)
+            b = ssa_gen_native(f, ss)
+            assert (a.ss, a.ms, a.m) == (b.ss, b.ms, b.m)
+            assert np.array_equal(a.r2i, b.r2i), (n_seq, ss)
+            assert np.array_equal(a.ssa, b.ssa), (n_seq, ss)
+
+
+def test_native_lf2_and_merge_apply():
+    """rb3t_lf2 / rb3t_lf2_packed and rb3t_merge_apply against numpy specs."""
+    import ctypes
+
+    import pytest
+
+    from ropebwt3_tpu.construct.merge import lf2_table
+    from ropebwt3_tpu.native import get_sw_lib
+
+    lib = get_sw_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(44)
+    P = ctypes.c_void_p
+    for _ in range(20):
+        n = int(rng.integers(1, 6000))
+        seq = rng.integers(0, 6, n).astype(np.uint8)
+        acc2, lf2 = lf2_table(seq)  # native fast path
+        cnt = np.bincount(seq, minlength=6).astype(np.int64)
+        a2 = np.zeros(7, np.int64)
+        a2[1:] = np.cumsum(cnt)
+        order = np.argsort(seq, kind="stable")
+        within = np.empty(n, np.int64)
+        within[order] = np.arange(n) - a2[seq[order].astype(np.int64)]
+        want = a2[seq.astype(np.int64)] + within
+        assert np.array_equal(acc2, a2) and np.array_equal(lf2, want)
+        acc2p = np.zeros(7, np.int64)
+        rec = np.empty(n, np.int64)
+        lib.rb3t_lf2_packed(P(seq.ctypes.data), n, P(acc2p.ctypes.data), P(rec.ctypes.data))
+        assert np.array_equal(acc2p, a2) and np.array_equal(rec, (want << 3) | seq)
+        # merge_apply with a valid stable-merge ins (nondecreasing)
+        n1 = int(rng.integers(1, 6000))
+        bwt1 = rng.integers(0, 6, n1).astype(np.uint8)
+        ins = np.sort(rng.integers(0, n1 + 1, n)).astype(np.int64)
+        merged = np.empty(n1 + n, np.uint8)
+        lib.rb3t_merge_apply(P(bwt1.ctypes.data), n1, P(seq.ctypes.data), P(ins.ctypes.data), n, P(merged.ctypes.data))
+        pos2 = ins + np.arange(n)
+        wantm = np.empty(n1 + n, np.uint8)
+        mask = np.ones(n1 + n, bool)
+        mask[pos2] = False
+        wantm[pos2] = seq
+        wantm[mask] = bwt1
+        assert np.array_equal(merged, wantm)
