@@ -640,27 +640,40 @@ def sw_backtrack(opt: SwOpt, f: DenseFMIndex, g: Dawg, qseq: np.ndarray, rows, b
 # ---------------------------------------------------------------------------
 
 
-def _attach_positions(opt: SwOpt, f: DenseFMIndex, hits: list[SwHit]) -> None:
-    """Fill hit.pos via the sampled SA (bwa-sw.c:547-557).
+def _attach_positions_multi(opt: SwOpt, f: DenseFMIndex, hits_lists: list[list["SwHit"]]) -> None:
+    """Fill hit.pos via the sampled SA (bwa-sw.c:547-557) for many reads in
+    ONE native locate call.
 
     len(ssa_multi(lo, hi, n)) == min(n, hi - lo) deterministically (every
-    suffix locates), so the reference's sequential `rest` budget can be
-    computed upfront and the lookups batched through the native core."""
+    suffix locates), so the reference's sequential per-read `rest` budget can
+    be computed upfront and every read's lookups batched together (10k
+    per-read native calls cost more than the DP itself)."""
     if f.ssa is None:
         return
     from ..ssa_ops import ssa_multi_batch, ssa_multi_py
 
-    rest = opt.max_pos
-    reqs = []
-    for hit in hits:
-        n = rest if rest > 0 else 1
-        reqs.append((hit.lo, hit.hi, n))
-        rest -= min(n, hit.hi - hit.lo)
+    reqs: list[tuple[int, int, int]] = []
+    spans: list[tuple[int, int]] = []
+    for hits in hits_lists:
+        rest = opt.max_pos
+        start = len(reqs)
+        for hit in hits:
+            n = rest if rest > 0 else 1
+            reqs.append((hit.lo, hit.hi, n))
+            rest -= min(n, hit.hi - hit.lo)
+        spans.append((start, len(reqs)))
+    if not reqs:
+        return
     got = ssa_multi_batch(f, f.ssa, reqs)
     if got is None:
         got = [ssa_multi_py(f, f.ssa, *r) for r in reqs]
-    for hit, pos in zip(hits, got):
-        hit.pos = pos
+    for hits, (a, b) in zip(hits_lists, spans):
+        for hit, pos in zip(hits, got[a:b]):
+            hit.pos = pos
+
+
+def _attach_positions(opt: SwOpt, f: DenseFMIndex, hits: list[SwHit]) -> None:
+    _attach_positions_multi(opt, f, [hits])
 
 
 def _parse_sw_blob(buf: bytes, n_reads: int) -> list[list[SwHit]]:
@@ -723,8 +736,7 @@ def rb3_sw_batch(opt: SwOpt, f: DenseFMIndex, seqs: list[np.ndarray]) -> list[li
     finally:
         lib.rb3t_buf_free(ptr)
     hits_lists = _parse_sw_blob(raw, n_reads)
-    for hits in hits_lists:
-        _attach_positions(opt, f, hits)
+    _attach_positions_multi(opt, f, hits_lists)
     return hits_lists
 
 
