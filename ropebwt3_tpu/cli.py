@@ -6,6 +6,7 @@ get, stat, kount, fa2line, fa2kmer, version.
 from __future__ import annotations
 
 import getopt
+import re
 import sys
 
 import numpy as np
@@ -18,18 +19,114 @@ from .seqio import read_batch_nt6, read_seqs, read_sid
 REF_VERSION = "3.10-r281"  # ropebwt3 version whose formats/outputs we match
 
 
+def atoi(s: str) -> int:
+    """C atoi semantics: optional whitespace/sign, leading digits, 0 on
+    garbage — reference option values go through atoi (e.g. build.c:143),
+    so `-l -q9` must parse as 0, not crash."""
+    m = re.match(r"[ \t\n\r]*([+-]?[0-9]+)", s or "")
+    return int(m.group(1)) if m else 0
+
+
 def parse_num(s: str) -> int:
-    s = s.strip()
-    mult = 1
-    if s and s[-1] in "kKmMgG":
-        mult = {"k": 10**3, "m": 10**6, "g": 10**9}[s[-1].lower()]
-        s = s[:-1]
-    return int(float(s) * mult)
+    """rb3_parse_num (misc.c:7-16): strtod prefix + optional K/M/G suffix,
+    rounding with +0.499; garbage parses as 0."""
+    m = re.match(r"[ \t\n\r]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)(.?)", s or "")
+    if not m:
+        return 0
+    x = float(m.group(1))
+    suf = m.group(2)
+    if suf in ("G", "g"):
+        x *= 1e9
+    elif suf in ("M", "m"):
+        x *= 1e6
+    elif suf in ("K", "k"):
+        x *= 1e3
+    return int(x + 0.499)
 
 
 def _err(msg: str) -> int:
     print(f"ERROR: {msg}", file=sys.stderr)
     return 1
+
+
+class KetoptUnknown(Exception):
+    """Raised in strict mode on an unknown option / missing argument."""
+
+
+def ketopt(
+    argv: list[str], ostr: str, longopts: list[str] = (), strict: bool = False
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """ketopt.h-compatible option parsing (permuting; ketopt.h:57-121).
+
+    Unlike gnu_getopt, unknown options and options with a missing argument are
+    silently skipped — ketopt returns '?' / ':' for them and most reference
+    commands' switches ignore those — so e.g. `merge -do out` behaves as
+    `merge -o out`.  main_search (mem/sw/hapdiv/search, search.c:487-491) and
+    fa2kmer (main.c:262-266) instead print "ERROR: unknown option" and abort;
+    `strict=True` reproduces that (prints the message, raises KetoptUnknown).
+    `longopts` uses the getopt convention ("name=" = has argument);
+    unambiguous prefixes of long names are accepted like ketopt.  Returned
+    pairs use getopt's ("-x", arg) / ("--name", arg) shape."""
+
+    def bad():
+        if strict:
+            print("ERROR: unknown option", file=sys.stderr)
+            raise KetoptUnknown()
+    lo = [(s[:-1], True) if s.endswith("=") else (s, False) for s in longopts]
+    opts: list[tuple[str, str]] = []
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("-") or a == "-":
+            args.append(a)
+            i += 1
+            continue
+        if a.startswith("--"):
+            if a == "--":
+                args.extend(argv[i + 1 :])
+                break
+            j = a.find("=", 2)
+            name = a[2:] if j < 0 else a[2:j]
+            exact = [o for o in lo if o[0] == name]
+            partial = [o for o in lo if o[0].startswith(name) and o[0] != name]
+            o = exact[0] if len(exact) == 1 else (partial[0] if not exact and len(partial) == 1 else None)
+            if o is not None:
+                arg = "" if j < 0 else a[j + 1 :]
+                if o[1] and j < 0:
+                    if i + 1 < len(argv):
+                        i += 1
+                        arg = argv[i]
+                    else:
+                        o = None  # ketopt ':' (missing argument) — skipped
+                        bad()
+                if o is not None:
+                    opts.append(("--" + o[0], arg))
+            else:
+                bad()
+            i += 1
+            continue
+        pos = 1
+        while pos < len(a):
+            c = a[pos]
+            pos += 1
+            k = ostr.find(c)
+            if k < 0:
+                bad()
+                continue  # ketopt '?' (unknown option) — skipped
+            if k + 1 < len(ostr) and ostr[k + 1] == ":":
+                if pos < len(a):
+                    opts.append(("-" + c, a[pos:]))
+                elif i + 1 < len(argv):
+                    i += 1
+                    opts.append(("-" + c, argv[i]))
+                else:
+                    bad()  # ketopt ':' (missing argument) — skipped
+                pos = len(a)
+            else:
+                opts.append(("-" + c, ""))
+        i += 1
+    return opts, args
 
 
 # Per-command option help mirroring the reference's usage text (main.c:380-450,
@@ -239,7 +336,7 @@ def load_index(fn: str, load_ssa: bool = False, load_sid: bool = False) -> Dense
 def main_build(argv: list[str]) -> int:
     from .construct import gsa_bwt, merge_plain
 
-    opts, args = getopt.gnu_getopt(argv, "l:n:m:t:2sri:LFRo:dbTS:p:e")
+    opts, args = ketopt(argv, "l:n:m:t:2sri:LFRo:dbTS:p:e")
     fmt = "plain"
     batch_size = 7_000_000_000
     is_line = False
@@ -252,13 +349,13 @@ def main_build(argv: list[str]) -> int:
     sais_threads = 0
     for o, a in opts:
         if o == "-p":
-            sais_threads = int(a)
+            sais_threads = atoi(a)
         elif o == "-m":
             batch_size = parse_num(a)
         elif o == "-l":
-            block_len = int(a)
+            block_len = atoi(a)
         elif o == "-n":
-            max_nodes = int(a)
+            max_nodes = atoi(a)
         elif o == "-2":
             use_rb2 = True
         elif o in ("-s", "-r"):
@@ -448,7 +545,7 @@ def _dump_index(f: "DenseFMIndex | np.ndarray", fmt: str, out_fn: str | None) ->
 def main_merge(argv: list[str]) -> int:
     from .construct.merge import merge_plain
 
-    opts, args = getopt.gnu_getopt(argv, "t:o:S:")
+    opts, args = ketopt(argv, "t:o:S:")
     out_fn = fn_tmp = None
     for o, a in opts:
         if o == "-o":
@@ -481,11 +578,11 @@ def main_ssa(argv: list[str]) -> int:
     from .formats.ssa import write_ssa
     from .ssa_ops import ssa_gen
 
-    opts, args = getopt.gnu_getopt(argv, "t:s:o:")
+    opts, args = ketopt(argv, "t:s:o:")
     ssa_shift, out_fn = 8, None
     for o, a in opts:
         if o == "-s":
-            ssa_shift = int(a)
+            ssa_shift = atoi(a)
         elif o == "-o":
             out_fn = a
     if not args:
@@ -520,7 +617,7 @@ def main_ssa(argv: list[str]) -> int:
 def main_plain2fmd(argv: list[str]) -> int:
     from .formats.fmd import FMDEncoder
 
-    opts, args = getopt.gnu_getopt(argv, "o:")
+    opts, args = ketopt(argv, "o:")
     out_fn = None
     for o, a in opts:
         if o == "-o":
@@ -557,13 +654,13 @@ def main_plain2fmd(argv: list[str]) -> int:
 
 
 def main_get(argv: list[str]) -> int:
-    opts, args = getopt.gnu_getopt(argv, "")
+    opts, args = ketopt(argv, "")
     if len(args) < 2:
         _usage("get")
         return 0
     f = load_index(args[0])
     for s in args[1:]:
-        k = int(s)
+        k = atoi(s)  # atol in the reference (main.c:155): garbage parses as 0
         if 0 <= k < f.n:
             seq, r = f.retrieve(k)
             print(f">{k} {r}")
@@ -572,7 +669,7 @@ def main_get(argv: list[str]) -> int:
 
 
 def main_stat(argv: list[str]) -> int:
-    opts, args = getopt.gnu_getopt(argv, "M")
+    opts, args = ketopt(argv, "M")
     if not args:
         _usage("stat")
         return 0
@@ -590,7 +687,7 @@ def main_stat(argv: list[str]) -> int:
 
 
 def main_suffix(argv: list[str]) -> int:
-    opts, args = getopt.gnu_getopt(argv, "L")
+    opts, args = ketopt(argv, "L")
     is_line = any(o == "-L" for o, _ in opts)
     if len(args) < 2:
         _usage("suffix")
@@ -620,13 +717,13 @@ def main_suffix(argv: list[str]) -> int:
 
 
 def main_kount(argv: list[str]) -> int:
-    opts, args = getopt.gnu_getopt(argv, "k:m:")
+    opts, args = ketopt(argv, "k:m:")
     depth, min_occ = 51, 100
     for o, a in opts:
         if o == "-k":
-            depth = int(a)
+            depth = atoi(a)
         elif o == "-m":
-            min_occ = int(a)
+            min_occ = atoi(a)
     if not args:
         return _usage("kount")
     idx = [load_index(fn) for fn in args]
@@ -664,7 +761,7 @@ def main_kount(argv: list[str]) -> int:
 
 
 def main_fa2line(argv: list[str]) -> int:
-    opts, args = getopt.gnu_getopt(argv, "R")
+    opts, args = ketopt(argv, "R")
     no_rev = any(o == "-R" for o, _ in opts)
     if not args:
         _usage("fa2line")
@@ -680,13 +777,16 @@ def main_fa2line(argv: list[str]) -> int:
 
 
 def main_fa2kmer(argv: list[str]) -> int:
-    opts, args = getopt.gnu_getopt(argv, "k:w:")
+    try:
+        opts, args = ketopt(argv, "k:w:", strict=True)
+    except KetoptUnknown:
+        return 1
     kmer, step = 151, 50
     for o, a in opts:
         if o == "-k":
-            kmer = int(a)
+            kmer = atoi(a)
         elif o == "-w":
-            step = int(a)
+            step = atoi(a)
     if not args:
         _usage("fa2kmer")
         return 0
@@ -712,7 +812,10 @@ _LONG_OPTS = ["no-ssa", "seq", "gap=", "cov", "old-mem", "all-e2e", "no-kalloc",
 
 
 def main_search(argv: list[str], cmd: str) -> int:
-    opts, args = getopt.gnu_getopt(argv, "Ll:c:t:K:MdN:A:B:O:E:C:m:k:uj:ey:a:w:p:bg:", _LONG_OPTS)
+    try:
+        opts, args = ketopt(argv, "Ll:c:t:K:MdN:A:B:O:E:C:m:k:uj:ey:a:w:p:bg:", _LONG_OPTS, strict=True)
+    except KetoptUnknown:
+        return 1
     is_line = False
     algo = "mem_tg"
     min_len, min_occ = 19, 1
@@ -733,17 +836,17 @@ def main_search(argv: list[str], cmd: str) -> int:
         if o == "-L":
             is_line = True
         elif o == "-a":
-            algo, hapdiv_k = "hapdiv", int(a)
+            algo, hapdiv_k = "hapdiv", atoi(a)
         elif o == "-w":
-            algo, hapdiv_w = "hapdiv", int(a)
+            algo, hapdiv_w = "hapdiv", atoi(a)
         elif o == "-d":
             algo = "sw"
         elif o == "-l":
-            min_len = int(a)
+            min_len = atoi(a)
         elif o == "-c":
-            min_occ = int(a)
+            min_occ = atoi(a)
         elif o == "-g":
-            sw_opts["max_all_out"] = int(a)
+            sw_opts["max_all_out"] = atoi(a)
             sw_opts["write_all"] = True
             sw_opts["e2e"] = True
             sw_opts["end_len"] = 1
@@ -751,30 +854,30 @@ def main_search(argv: list[str], cmd: str) -> int:
         elif o == "-K":
             batch_size = parse_num(a)
         elif o == "-p":
-            max_pos = sw_opts["max_pos"] = int(a)
+            max_pos = sw_opts["max_pos"] = atoi(a)
         elif o == "-N":
-            sw_opts["n_best"] = int(a)
+            sw_opts["n_best"] = atoi(a)
         elif o == "-A":
-            sw_opts["match"] = int(a)
+            sw_opts["match"] = atoi(a)
         elif o == "-B":
-            sw_opts["mis"] = int(a)
+            sw_opts["mis"] = atoi(a)
         elif o == "-O":
-            sw_opts["gap_open"] = int(a)
+            sw_opts["gap_open"] = atoi(a)
         elif o == "-E":
-            sw_opts["gap_ext"] = int(a)
+            sw_opts["gap_ext"] = atoi(a)
         elif o == "-C":
             sw_opts["r2cache_size"] = parse_num(a)
         elif o == "-m":
-            sw_opts["min_sc"] = int(a)
+            sw_opts["min_sc"] = atoi(a)
         elif o == "-k":
-            sw_opts["end_len"] = int(a)
+            sw_opts["end_len"] = atoi(a)
         elif o == "-j":
-            sw_opts["min_mem_len"] = int(a)
+            sw_opts["min_mem_len"] = atoi(a)
         elif o == "-e":
             sw_opts["e2e"] = True
             sw_opts["end_len"] = 1
         elif o == "-y":
-            sw_opts["e2e_drop"] = int(a)
+            sw_opts["e2e_drop"] = atoi(a)
         elif o == "-u":
             sw_opts["write_unmap"] = True
         elif o == "-b":

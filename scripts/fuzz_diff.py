@@ -118,6 +118,17 @@ def build_indexes(rng: random.Random, d: str, fa: str):
     return fmd
 
 
+def _maybe_junk(rng: random.Random, argv: list[str]) -> list[str]:
+    """Occasionally inject an unknown flag: the reference's ketopt silently
+    skips unknown options in most commands but main_search/fa2kmer abort with
+    'ERROR: unknown option' — both behaviors are part of the CLI contract."""
+    if rng.random() < 0.15:
+        junk = rng.choice(["-Z", "-q9", "--bogus", "--zzz=1"])
+        pos = rng.randrange(1, len(argv))
+        argv = argv[:pos] + [junk] + argv[pos:]
+    return argv
+
+
 def scenarios(rng: random.Random, fmd: str, fa: str, reads: str):
     """Yield argv lists exercising random flag combinations."""
     mem = ["mem", "-l", str(rng.choice([1, 5, 10, 19, 31])), "-c", str(rng.choice([1, 1, 2, 5]))]
@@ -247,6 +258,7 @@ def one_iter(seed: int) -> list[str]:
         for args in scenarios(rng, fmd, fa, reads):
             if args[0] == "build" and "-L" in args[1]:
                 continue  # line-mode build on FASTA input is not meaningful
+            args = _maybe_junk(rng, args)
             rc_r, out_r, err_r = run_ref(args)
             rc_o, out_o, err_o = run_ours(args)
             if rc_r != 0:
