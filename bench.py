@@ -153,11 +153,12 @@ def main():
 
     # multi-read lane packing (ops/smem_fsm.py `segments`): per-lane iteration
     # counts average over the lane's reads, shrinking the max-over-lanes tail
-    # that sets the while-loop trip count (36.7k -> 62k reads/s measured at Q=2048, 13 reads/lane)
+    # that sets the while-loop trip count (36.7k -> 62k reads/s measured at
+    # Q=2048, 13 reads/lane; -> 72k at 27 reads/lane, scripts/pack_ab.py)
     LANES = 2048
-    LBUF = 2048
+    LBUF = 4096
     RCAP = 32
-    NPL = LBUF // (READ_LEN + 1)  # 13 reads per lane
+    NPL = LBUF // (READ_LEN + 1)  # 27 reads per lane
     M = 64
     per = LANES * NPL
     so = np.zeros((LANES, RCAP), np.int32)

@@ -175,7 +175,9 @@ class BatchedSmemTG:
                     out.append([Mem(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4])) for r in mems[t, : n_mem[t]]])
         return out
 
-    PACK_LBUF = 2048  # short-read lane buffer (one compile shape)
+    PACK_LBUF = 4096  # short-read lane buffer (one compile shape); 27x150bp
+    # reads/lane measured 72.4k vs 64.1k reads/s at Lbuf=2048 (13/lane) —
+    # deeper averaging of per-lane iteration counts; 8192 regresses (61.7k)
     PACK_LBUF_LONG = 32768  # long-read lane buffer (covers HiFi-length reads)
     PACK_R = 32  # max reads per lane
 
