@@ -134,6 +134,12 @@ def run_sw_cli(f, files, is_line, sw_opts) -> int:
 
     batch: list = []
     for fn in files:
+        from ..cli import seq_openable
+
+        if not seq_openable(fn):
+            # search.c:571-575: report and stop processing further files
+            print(f"ERROR: failed to load the sequence file '{fn}'", file=sys.stderr)
+            break
         for rec in read_seqs(fn, is_line):
             seq_id += 1
             name = rec.name if rec.name else f"seq{seq_id}"
@@ -160,6 +166,11 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
     out = sys.stdout
     seq_id = 0
     for fn in files:
+        from ..cli import seq_openable
+
+        if not seq_openable(fn):
+            print(f"ERROR: failed to load the sequence file '{fn}'", file=sys.stderr)
+            break
         # one batch at a time like the reference pipeline; window results are
         # run-length merged per sequence (search.c:327-353)
         for rec in read_seqs(fn, is_line):

@@ -49,6 +49,18 @@ def _err(msg: str) -> int:
     return 1
 
 
+def seq_openable(fn: str) -> bool:
+    """Whether rb3_seq_open would succeed (io.c:42-58): gzopen of the path, or
+    stdin for '-'.  Callers print the reference's per-command error line."""
+    if fn == "-":
+        return True
+    try:
+        open(fn, "rb").close()
+        return True
+    except OSError:
+        return False
+
+
 class KetoptUnknown(Exception):
     """Raised in strict mode on an unknown option / missing argument."""
 
@@ -395,6 +407,10 @@ def main_build(argv: list[str]) -> int:
     def batches():
         nonlocal n_batches
         for fn in args:
+            if not seq_openable(fn):
+                # build.c:209: report and move on to the next input
+                print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)
+                continue
             records = read_seqs(fn, is_line)
             while True:
                 n_seq, seq = read_batch_nt6(records, batch_size, is_for, is_rev)
@@ -695,6 +711,11 @@ def main_suffix(argv: list[str]) -> int:
     f = load_index(args[0])
     rec_num = 0
     for fn in args[1:]:
+        if not seq_openable(fn):
+            # the reference crashes here (main.c main_suffix has no NULL
+            # check); a clean error is strictly better
+            print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)
+            continue
         for rec in read_seqs(fn, is_line):
             rec_num += 1
             q = char2nt6(rec.seq)
@@ -768,6 +789,9 @@ def main_fa2line(argv: list[str]) -> int:
         return 0
     tab = np.frombuffer(b"\nACGTX", dtype=np.uint8)
     for fn in args:
+        if not seq_openable(fn):
+            print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)
+            continue
         for rec in read_seqs(fn, False):
             s = char2nt6(rec.seq)
             sys.stdout.buffer.write(tab[s].tobytes() + b"\n")
@@ -791,6 +815,9 @@ def main_fa2kmer(argv: list[str]) -> int:
         _usage("fa2kmer")
         return 0
     for fn in args:
+        if not seq_openable(fn):
+            print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)
+            continue
         for rec in read_seqs(fn, False):
             seq, L = rec.seq, len(rec.seq)
             i = 0
@@ -973,6 +1000,10 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
     from .ops import smem_ref
 
     for fn in files:
+        if not seq_openable(fn):
+            # search.c:571-575: report and stop processing further files
+            print(f"ERROR: failed to load the sequence file '{fn}'", file=sys.stderr)
+            break
         batch: list = []
 
         def flush(batch):

@@ -83,3 +83,33 @@ def test_suffix_line_mode(ref_bin, ref_index):
     inp = b"GGGGGGGGGGGGGG\nACGTACGTACGT\n"
     args = ["suffix", "-L", str(ref_index), "-"]
     assert run_ours(args, input=inp) == run_ref(ref_bin, args, input=inp)
+
+
+def test_missing_input_files(ref_bin, ref_index, tmp_path):
+    """Missing sequence/input files: stdout and the ERROR stderr line match
+    the reference (search.c:571-575 break; build.c:209 continue)."""
+    import os
+    import subprocess
+    import sys
+
+    q = tmp_path / "q.fa"
+    q.write_text(">q1\nACGTACGTACGTACGTACGTACGT\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def both(args):
+        r = subprocess.run([ref_bin] + args, capture_output=True)
+        o = subprocess.run([sys.executable, "-m", "ropebwt3_tpu"] + args, capture_output=True, env=env)
+        assert o.stdout == r.stdout, args
+        ref_err = [l for l in r.stderr.splitlines() if l.startswith(b"ERROR")]
+        our_err = [l for l in o.stderr.splitlines() if l.startswith(b"ERROR")]
+        assert our_err == ref_err, (args, our_err, ref_err)
+
+    nf = str(tmp_path / "nofile.fa")
+    # mem/sw/hapdiv: process q.fa, then report the missing file and stop
+    both(["mem", "-l5", str(ref_index), str(q), nf, str(q)])
+    both(["sw", "-m1", str(ref_index), str(q), nf])
+    both(["hapdiv", "-a11", str(ref_index), nf])
+    # build: report and continue with the remaining inputs
+    both(["build", nf, str(q)])
