@@ -62,20 +62,37 @@ def pack_bitplanes(bwt_blocks: np.ndarray) -> np.ndarray:
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceIndex:
-    occ_bits: jax.Array  # (nb, 6) uint32 bit-planes of the BWT blocks
-    occ_block: jax.Array  # (nb, 6) int32 (counts before block within superblock)
-    occ_super: jax.Array  # (ns, 6) idx
+    """int32 indexes store ONE fused row table `occf` (nb, 12) int32 —
+    columns 0:6 the uint32 bit-planes (bitcast), 6:12 absolute counts before
+    the block — so a rank is a single row gather; every gather inside the
+    SMEM loop body is an XLA fusion break and costs like a kernel dispatch
+    (PERF_NOTES.md session 5).  int64 indexes (> 2^31 symbols) keep the
+    three-table layout (occ_bits + uint16 occ_block under occ_super)."""
+
+    occ_bits: jax.Array | None  # (nb, 6) uint32 bit-planes (int64 mode)
+    occ_block: jax.Array | None  # (nb, 6) uint16 within-super counts (int64 mode)
+    occ_super: jax.Array  # (ns, 6) idx; single zero row flags fused mode
     acc: jax.Array  # (7,) idx
     n: int
     comp: jax.Array  # (6,) complement table
+    occf: jax.Array | None = None  # (nb, 12) int32 fused rows (int32 mode)
 
     def tree_flatten(self):
-        return (self.occ_bits, self.occ_block, self.occ_super, self.acc, self.comp), (self.n,)
+        return (self.occ_bits, self.occ_block, self.occ_super, self.acc, self.comp, self.occf), (self.n,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        b, ob, os_, acc, comp = children
-        return cls(b, ob, os_, acc, (aux[0]), comp)
+        b, ob, os_, acc, comp, occf = children
+        return cls(b, ob, os_, acc, (aux[0]), comp, occf)
+
+    def bits_and_base(self, bi: jax.Array, dt) -> tuple[jax.Array, jax.Array]:
+        """Gathered (., 6) uint32 planes and (., 6) dt counts-before-block for
+        block rows bi — one fused gather (int32) or block+super (int64)."""
+        if self.occf is not None:
+            row = self.occf[bi]
+            return jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32), row[..., 6:].astype(dt)
+        si = bi // BLOCKS_PER_SUPER
+        return self.occ_bits[bi], self.occ_super[si] + self.occ_block[bi].astype(dt)
 
     @property
     def idx_dtype(self):
@@ -87,13 +104,29 @@ class DeviceIndex:
             idx_dtype = jnp.int32 if f.n < (1 << 31) - (1 << 20) else jnp.int64
         nb = len(f.occ_block)
         bwt_blocks = f.bwt[: nb * BLOCK].reshape(nb, BLOCK)
+        comp = jnp.asarray(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32))
+        acc = jnp.asarray(f.acc.astype(idx_dtype))
+        if idx_dtype == jnp.int32:
+            sup = np.repeat(f.occ_super, BLOCKS_PER_SUPER, axis=0)[:nb]
+            occf = np.empty((nb, 12), np.int32)
+            occf[:, :6] = pack_bitplanes(bwt_blocks).view(np.int32)
+            occf[:, 6:] = sup + f.occ_block
+            return cls(
+                occ_bits=None,
+                occ_block=None,
+                occ_super=jnp.zeros((1, ASIZE), jnp.int32),
+                acc=acc,
+                n=f.n,
+                comp=comp,
+                occf=jnp.asarray(occf),
+            )
         return cls(
             occ_bits=jnp.asarray(pack_bitplanes(bwt_blocks)),
             occ_block=jnp.asarray(f.occ_block.astype(np.uint16)),
             occ_super=jnp.asarray(f.occ_super.astype(idx_dtype)),
-            acc=jnp.asarray(f.acc.astype(idx_dtype)),
+            acc=acc,
             n=f.n,
-            comp=jnp.asarray(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32)),
+            comp=comp,
         )
 
 
@@ -130,10 +163,9 @@ def rank1a(idx: DeviceIndex, k: jax.Array) -> jax.Array:
     dt = idx.idx_dtype
     k = k.astype(dt)
     bi = (k // BLOCK).astype(jnp.int32) if dt == jnp.int32 else k // BLOCK
-    si = bi // BLOCKS_PER_SUPER
-    base = idx.occ_super[si] + idx.occ_block[bi].astype(dt)
+    bits, base = idx.bits_and_base(bi, dt)
     off = (k % BLOCK).astype(jnp.int32)
-    add = _inblock_counts(idx.occ_bits[bi], off)
+    add = _inblock_counts(bits, off)
     return base + add.astype(dt)
 
 
@@ -212,7 +244,10 @@ def extend_c(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) 
     Same math as `extend` restricted to row c (bit-identical), but never
     materializes the (Q, 6, 3) candidate tensor — inside the SMEM loop body
     the next symbol is already known, and on TPU the loop is op/byte-count
-    bound, so the all-symbols variant wastes 3x the traffic.
+    bound, so the all-symbols variant wastes 3x the traffic.  All per-lane
+    selections from tiny tables (acc, the complement-order prefix matrix) are
+    one-hot arithmetic, not gathers: gathers break XLA fusion and the loop
+    body is dispatch-bound (PERF_NOTES.md).
     ik: (Q, 3); c: (Q,) int32; is_back: (Q,) bool.  Returns (Q, 3)."""
     dt = idx.idx_dtype
     ik = ik.astype(dt)
@@ -222,9 +257,9 @@ def extend_c(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) 
     onehot = (jax.lax.broadcasted_iota(jnp.int32, sz.shape, sz.ndim - 1) == c[..., None]).astype(dt)
     szc = jnp.sum(sz * onehot, axis=-1, dtype=dt)
     tkc = jnp.sum(tk * onehot, axis=-1, dtype=dt)
-    prim_out = jnp.take(idx.acc, c) + tkc
+    prim_out = jnp.sum(idx.acc[:ASIZE] * onehot, axis=-1, dtype=dt) + tkc
     sec_in = jnp.where(is_back, ik[..., 1], ik[..., 0])
-    wrow = jnp.take(jnp.asarray(_EXT_PREFIX.reshape(-1)), c[..., None] * ASIZE + jnp.arange(ASIZE, dtype=jnp.int32)).astype(dt)
+    wrow = jnp.sum(onehot[..., None] * jnp.asarray(_EXT_PREFIX), axis=-2).astype(dt)  # (Q, 6)
     sec_out = sec_in + jnp.sum(sz * wrow, axis=-1, dtype=dt)
     x0 = jnp.where(is_back, prim_out, sec_out)
     x1 = jnp.where(is_back, sec_out, prim_out)
@@ -249,11 +284,10 @@ def extend_c_circuit(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax
     prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
     kl = jnp.stack([prim, prim + ik[..., 2]], axis=0)  # (2, Q)
     bi = (kl // BLOCK).astype(jnp.int32) if dt == jnp.int32 else kl // BLOCK
-    si = bi // BLOCKS_PER_SUPER
-    base6 = idx.occ_super[si] + idx.occ_block[bi].astype(dt)  # (2, Q, 6)
+    bits, base6 = idx.bits_and_base(bi, dt)  # (2, Q, 6) each
     off = (kl % BLOCK).astype(jnp.int32)
     kc = jnp.take(jnp.asarray(KEY.astype(np.int32)), c)  # (Q,)
-    occ_in, pre_in = _inblock_c_and_prefix(idx.occ_bits[bi], off, kc)  # (2, Q)
+    occ_in, pre_in = _inblock_c_and_prefix(bits, off, kc)  # (2, Q)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, base6.shape, base6.ndim - 1) == c[None, ..., None]).astype(dt)
     occ = jnp.sum(base6 * onehot, axis=-1, dtype=dt) + occ_in.astype(dt)  # (2, Q)
     wrow = jnp.take(jnp.asarray(_EXT_PREFIX.reshape(-1)), c[..., None] * ASIZE + jnp.arange(ASIZE, dtype=jnp.int32)).astype(dt)
@@ -268,10 +302,16 @@ def extend_c_circuit(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax
 
 
 def set_intv(idx: DeviceIndex, c: jax.Array) -> jax.Array:
-    """Initial bi-interval of one symbol (fm-index.h:90-93); c: (...,) int32."""
+    """Initial bi-interval of one symbol (fm-index.h:90-93); c: (...,) int32.
+
+    Tiny-table lookups (acc[c], acc[comp], acc[c+1]) are one-hot sums, not
+    gathers — the SMEM loop body calls this every iteration and gathers break
+    XLA fusion; comp is arithmetic (fixed points 0 and 5, else 5-c)."""
     c = c.astype(jnp.int32)
-    comp = idx.comp[c]
-    return jnp.stack(
-        [idx.acc[c], idx.acc[comp], idx.acc[c + 1] - idx.acc[c]],
-        axis=-1,
-    )
+    oh = (jax.lax.broadcasted_iota(jnp.int32, c.shape + (ASIZE,), c.ndim) == c[..., None]).astype(idx.acc.dtype)
+    comp = jnp.where(c % 5 == 0, c, 5 - c)
+    ohc = (jax.lax.broadcasted_iota(jnp.int32, c.shape + (ASIZE,), c.ndim) == comp[..., None]).astype(idx.acc.dtype)
+    acc_c = jnp.sum(idx.acc[:ASIZE] * oh, axis=-1, dtype=idx.acc.dtype)
+    acc_c1 = jnp.sum(idx.acc[1 : ASIZE + 1] * oh, axis=-1, dtype=idx.acc.dtype)
+    acc_comp = jnp.sum(idx.acc[:ASIZE] * ohc, axis=-1, dtype=idx.acc.dtype)
+    return jnp.stack([acc_c, acc_comp, acc_c1 - acc_c], axis=-1)

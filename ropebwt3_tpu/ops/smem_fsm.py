@@ -12,7 +12,7 @@ __jx()
 import jax
 import jax.numpy as jnp
 
-PH_START, PH_BACK1, PH_FWD, PH_BACK2, PH_DONE = 0, 1, 2, 3, 4
+PH_START, PH_BACK1, PH_FWD, PH_BACK2, PH_DONE, PH_B2INIT = 0, 1, 2, 3, 4, 5
 
 
 def emit(mems, n_mem, lane_mask, st, en, ik, seg=None):
@@ -69,7 +69,9 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
     if packed:
         seg_off, seg_len, n_seg = segments
         R = seg_off.shape[1]
-        seg_off_flat, seg_len_flat = seg_off.reshape(-1), seg_len.reshape(-1)
+        # (off << 16 | len) packed per slot: ONE flat gather per iteration
+        # resolves both (off < 32768 and len < 32768 for every lane class)
+        seg_pack_flat = ((seg_off.astype(jnp.int32) << 16) | seg_len.astype(jnp.int32)).reshape(-1)
         lane_rbase = jnp.arange(Q, dtype=jnp.int32) * R
 
     def qsym(pos):
@@ -77,6 +79,14 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         # (take_along_axis picks a much slower lowering inside loop bodies)
         p = jnp.clip(pos, 0, L - 1)
         return jnp.take(q_flat, lane_base + p)
+
+    def qsym2(pa, pb):
+        # both per-iteration symbol lookups in ONE gather op — each gather is
+        # an XLA fusion break costing like a whole extra kernel dispatch
+        pa = jnp.clip(pa, 0, L - 1)
+        pb = jnp.clip(pb, 0, L - 1)
+        s = jnp.take(q_flat, jnp.concatenate([lane_base + pa, lane_base + pb]))
+        return s[:Q], s[Q:]
 
     use_seed = seed_tab is not None and seed_k > 0
     if use_seed:
@@ -122,8 +132,8 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         mems, n_mem = s["mems"], s["n_mem"]
         if packed:
             seg = s["seg"]
-            off = jnp.take(seg_off_flat, lane_rbase + seg)
-            qlen_cur = jnp.take(seg_len_flat, lane_rbase + seg)
+            sp = jnp.take(seg_pack_flat, lane_rbase + seg)
+            off, qlen_cur = sp >> 16, sp & 0xFFFF
         else:
             off, qlen_cur = 0, qlen
 
@@ -141,20 +151,42 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         else:
             phase = jnp.where(fin, PH_DONE, phase)
         begin = start & ~fin
-        ik = jnp.where(begin[:, None], set_intv_c(qsym(off + x + min_len - 1)).astype(dt), ik)
+        # one set_intv per iteration, shared by lanes starting a new window
+        # (BACK1 entry) and lanes whose FWD extension failed last iteration
+        # (PH_B2INIT, the deferred BACK2 entry: i was set to j-1 at fail time,
+        # so the failing position j is i+1).  Deferring the BACK2 set_intv to
+        # this resolve step is trace-identical — the failing iteration only
+        # did state setup after its emit — and halves the per-iteration
+        # set_intv/q-gather count.
+        b2i = phase == PH_B2INIT
+        sv_pos = jnp.where(begin, x + min_len - 1, i + 1)
+        need_sv = begin | b2i
+        phase = jnp.where(b2i, PH_BACK2, phase)
         i = jnp.where(begin, x + min_len - 2, i)
         phase = jnp.where(begin, PH_BACK1, phase)
         if use_seed:
+            # seed jumps modify ik/i before the extend, so the set_intv must
+            # be applied here (the seed path forgoes the merged qsym2 gather)
+            ik = jnp.where(need_sv[:, None], set_intv_c(qsym(off + sv_pos)).astype(dt), ik)
             srow, sok = seed_at(off + x + min_len - seed_k)
             jump = begin & sok
             ik = jnp.where(jump[:, None], srow.astype(dt), ik)
             i = jnp.where(jump, x + min_len - 1 - seed_k, i)
+            # BACK2 entry jump (deferred with the set_intv): safe only when
+            # the k-1 covered steps cannot hit the i <= x stop; intermediate
+            # extends all succeed (supersets of the k-mer interval)
+            srow2, sok2 = seed_at(off + i + 2 - seed_k)
+            jump2 = b2i & sok2 & (i - seed_k + 2 > x)
+            ik = jnp.where(jump2[:, None], srow2.astype(dt), ik)
+            i = jnp.where(jump2, i + 1 - seed_k, i)
         skip = (phase == PH_BACK1) & (i < x)
         j = jnp.where(skip, x + min_len, j)
         phase = jnp.where(skip, PH_FWD, phase)
         fwd_end = (phase == PH_FWD) & (j >= qlen_cur)
         # buffered emit: at most one per lane per iteration, applied at the end
-        emit_mask, emit_st, emit_en, emit_ik = fwd_end, x, qlen_cur, ik
+        # (emit_ik is snapshotted after the deferred set_intv below — at
+        # min_len=1 a begin lane can skip straight to FWD and emit here)
+        emit_mask, emit_st, emit_en = fwd_end, x, qlen_cur
         emit_seg = seg if packed else None  # the emitting read's id (pre-advance)
         phase = jnp.where(fwd_end, PH_DONE, phase)
         if packed:
@@ -174,8 +206,19 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         fw = phase == PH_FWD
         active = b1 | b2 | fw
         pos = jnp.where(fw, j, i)
-        craw = qsym(off + pos)
-        c = jnp.where(fw, comp[craw], craw)
+        if use_seed:
+            craw = qsym(off + pos)
+        else:
+            # the deferred set_intv (PH_B2INIT/begin) shares one gather with
+            # the extend-symbol lookup; applying it here is safe — nothing
+            # between the resolve block and this point reads ik of a need_sv
+            # lane (their phases are disjoint from the emit/skip paths)
+            craw, svsym = qsym2(off + pos, off + sv_pos)
+            ik = jnp.where(need_sv[:, None], set_intv_c(svsym).astype(dt), ik)
+        emit_ik = ik
+        # nt6 complement (= the comp table [0,4,3,2,1,5]) as arithmetic — a
+        # 6-entry table gather would break fusion inside the loop body
+        c = jnp.where(fw, jnp.where(craw % 5 == 0, craw, 5 - craw), craw)
         safe_ik = jnp.where(active[:, None], ik, jnp.zeros_like(ik))
         if extend_one is not None:
             ok_c = extend_one(safe_ik, c, back)
@@ -214,17 +257,10 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
             seg = jnp.where(nxt, seg + 1, seg)
             x = jnp.where(nxt, 0, x)
             phase = jnp.where(nxt, PH_START, phase)
-        ik = jnp.where(m[:, None], set_intv_c(qsym(off + j)).astype(dt), ik)
+        # BACK2 entry (ik = set_intv at the failing position) is deferred to
+        # the next iteration's resolve step — see PH_B2INIT above
         i = jnp.where(m, j - 1, i)
-        phase = jnp.where(m, PH_BACK2, phase)
-        if use_seed:
-            # BACK2 entry jump: safe only when the k-1 covered steps cannot
-            # hit the i <= x stop (j - k + 1 > x); intermediate extends all
-            # succeed because they are supersets of the k-mer interval
-            srow, sok = seed_at(off + j - seed_k + 1)
-            jump = m & sok & (j - seed_k + 1 > x)
-            ik = jnp.where(jump[:, None], srow.astype(dt), ik)
-            i = jnp.where(jump, j - seed_k, i)
+        phase = jnp.where(m, PH_B2INIT, phase)
 
         # BACK2
         m = b2 & succ

@@ -299,10 +299,17 @@ def smem_tg_pallas(
     lane_base = jnp.arange(Q, dtype=jnp.int32).reshape(sh) * L
     qlen = qlen_in.reshape(sh)
     # flattened tables for transpose-free (6, R, 128) gathers: row-major
-    # (nb, 6) flattens so entry (bi, p) sits at bi*6 + p
-    bits_flat = jax.lax.bitcast_convert_type(idx.occ_bits, jnp.int32).reshape(-1)
-    blk_flat = idx.occ_block.reshape(-1)
-    sup_flat = idx.occ_super.astype(dt).reshape(-1)
+    # (nb, 6) flattens so entry (bi, p) sits at bi*6 + p.  int32 indexes store
+    # the fused (nb, 12) occf row table (ops/rank.py) — slice it back out
+    # here, once, outside the loop.
+    if idx.occf is not None:
+        bits_flat = idx.occf[:, :6].reshape(-1)
+        blk_flat = idx.occf[:, 6:].reshape(-1)
+        sup_flat = jnp.zeros((6,), dt)
+    else:
+        bits_flat = jax.lax.bitcast_convert_type(idx.occ_bits, jnp.int32).reshape(-1)
+        blk_flat = idx.occ_block.reshape(-1)
+        sup_flat = idx.occ_super.astype(dt).reshape(-1)
     plane6 = jnp.arange(6, dtype=jnp.int32)[:, None, None]
 
     kernel = _make_kernel(min_occ, min_len)
@@ -338,10 +345,13 @@ def smem_tg_pallas(
         bi2 = jnp.stack([st[S_PRIMK], st[S_PRIML]], 0) // BLOCK  # (2, R, 128)
         fi = (bi2[:, None] * 6 + plane6[None]).reshape(-1)  # (2,6,R,128) flat
         bits = jnp.take(bits_flat, fi).reshape((12,) + sh)
-        base = (
-            jnp.take(sup_flat, ((bi2[:, None] // BLOCKS_PER_SUPER) * 6 + plane6[None]).reshape(-1))
-            + jnp.take(blk_flat, fi).astype(dt)
-        ).reshape((12,) + sh)
+        if idx.occf is not None:  # absolute int32 block rows
+            base = jnp.take(blk_flat, fi).astype(dt).reshape((12,) + sh)
+        else:
+            base = (
+                jnp.take(sup_flat, ((bi2[:, None] // BLOCKS_PER_SUPER) * 6 + plane6[None]).reshape(-1))
+                + jnp.take(blk_flat, fi).astype(dt)
+            ).reshape((12,) + sh)
         p = jnp.clip(st[S_POS : S_POS + 5], 0, L - 1)
         syms = jnp.take(q_flat, (lane_base[None] + p).reshape(-1)).reshape((5,) + sh)
         pack = jnp.concatenate([bits, base, syms, qlen[None]], axis=0)

@@ -28,9 +28,12 @@ PASSES = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 READ_LEN, MIN_LEN, RCAP = 150, 31, 32
 NPL = min(RCAP, LBUF // (READ_LEN + 1))
 
-z = np.load("/root/repo/.bench/dense.npz")
+import os
+
+D = os.environ.get("RB3TPU_AB_DIR", "/root/repo/.bench")  # e.g. .bench/big640
+z = np.load(f"{D}/dense.npz")
 f = DenseFMIndex(bwt=z["bwt"], n=int(z["n"]), acc=z["acc"], occ_block=z["occ_block"], occ_super=z["occ_super"])
-reads = np.load("/root/repo/.bench/reads.npy")
+reads = np.load(f"{D}/reads.npy")
 N = len(reads)
 idx = DeviceIndex.from_dense(f)
 del f
@@ -58,10 +61,14 @@ jax.block_until_ready([c[0] for c in chunks])
 print(f"[ab] Q={Q} LBUF={LBUF} NPL={NPL} M={M} chunks={len(chunks)} platform={jax.devices()[0].platform}", file=sys.stderr)
 
 
+UNROLL = int(os.environ.get("RB3TPU_AB_UNROLL", 1))
+
+
 def run(ch):
     return smem_tg_batch(
         idx, ch[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M,
-        max_iters=RCAP * LBUF + 64, segments=(seg_off, seg_len, ch[1]),
+        max_iters=RCAP * LBUF + 64, unroll=UNROLL,
+        segments=(seg_off, seg_len, ch[1]),
     )
 
 
