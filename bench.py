@@ -184,7 +184,8 @@ def main():
     def run(ch):
         return smem_tg_batch(
             idx, ch[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M,
-            max_iters=RCAP * LBUF + 64, segments=(seg_off, seg_len, ch[1]),
+            max_iters=RCAP * LBUF + 64, unroll=2,
+            segments=(seg_off, seg_len, ch[1]),
         )
 
     log(f"warmup/compile ({jax.devices()[0].platform}) ...")

@@ -97,7 +97,9 @@ class BatchedSmemTG:
             # stays available (and correctness-tested) for future tuning.
             use_pallas = False
         self.use_pallas = use_pallas and self.idx.idx_dtype == jnp.int32
-        self.unroll = int(unroll) if unroll is not None else 1
+        # unroll=2 re-measured a +3% WIN once the body dropped to 3 gathers
+        # (it was a loss at ~12 gathers/iteration: body copies dominated)
+        self.unroll = int(unroll) if unroll is not None else 2
         if seed_k is None:
             # k-mer seed table (ops/seed.py) cuts iterations 10-15% but its
             # ~35 extra ops/iteration cost ~2x on the dispatch-bound tunneled

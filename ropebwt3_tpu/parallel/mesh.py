@@ -29,16 +29,23 @@ _EXT_ORDER = (0, 4, 3, 2, 1, 5)
 
 @dataclass
 class ShardedIndex:
-    """Dense FM-index laid out for a (dp, idx) mesh."""
+    """Dense FM-index laid out for a (dp, idx) mesh.
+
+    int32 indexes use the fused (nb_pad, 12) int32 `occf` row table (bit-plane
+    columns 0:6, absolute counts 6:12 — cf. ops/rank.DeviceIndex): the local
+    rank partial is ONE row gather per shard.  int64 indexes keep the
+    three-table layout (occ_bits + uint16 occ_block under replicated
+    occ_super)."""
 
     mesh: Mesh
-    occ_bits: jax.Array  # (nb_pad, 6) uint32 bit-planes, sharded over idx rows
-    occ_block: jax.Array  # (nb_pad, 6) uint16, sharded over idx rows
-    occ_super: jax.Array  # (ns, 6) idx-dtype, replicated
+    occ_bits: jax.Array | None  # (nb_pad, 6) uint32, sharded (int64 mode)
+    occ_block: jax.Array | None  # (nb_pad, 6) uint16, sharded (int64 mode)
+    occ_super: jax.Array | None  # (ns, 6) idx-dtype, replicated (int64 mode)
     acc: jax.Array  # (7,) replicated
     comp: jax.Array  # (6,) replicated
     n: int
     nb_local: int  # blocks per idx shard
+    occf: jax.Array | None = None  # (nb_pad, 12) int32, sharded (int32 mode)
 
     @classmethod
     def from_dense(cls, f: DenseFMIndex, mesh: Mesh, idx_dtype=None) -> "ShardedIndex":
@@ -49,30 +56,54 @@ class ShardedIndex:
         n_idx = mesh.shape["idx"]
         nb = len(f.occ_block)
         nb_pad = (nb + n_idx - 1) // n_idx * n_idx
+        shard = NamedSharding(mesh, P("idx", None))
+        repl = NamedSharding(mesh, P())
+        acc = jax.device_put(f.acc.astype(idx_dtype), repl)
+        comp = jax.device_put(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32), repl)
+        if idx_dtype == jnp.int32:
+            occf = np.zeros((nb_pad, 12), dtype=np.int32)
+            occf[:nb, :6] = pack_bitplanes(f.bwt[: nb * BLOCK].reshape(nb, BLOCK)).view(np.int32)
+            occf[:nb, 6:] = np.repeat(f.occ_super, BLOCKS_PER_SUPER, axis=0)[:nb] + f.occ_block
+            return cls(
+                mesh=mesh, occ_bits=None, occ_block=None, occ_super=None,
+                acc=acc, comp=comp, n=f.n, nb_local=nb_pad // n_idx,
+                occf=jax.device_put(occf, shard),
+            )
         occ_bits = np.zeros((nb_pad, 6), dtype=np.uint32)
         occ_bits[:nb] = pack_bitplanes(f.bwt[: nb * BLOCK].reshape(nb, BLOCK))
         occ_block = np.zeros((nb_pad, ASIZE), dtype=np.uint16)
         occ_block[:nb] = f.occ_block
-        shard = NamedSharding(mesh, P("idx", None))
-        repl = NamedSharding(mesh, P())
         return cls(
             mesh=mesh,
             occ_bits=jax.device_put(occ_bits, shard),
             occ_block=jax.device_put(occ_block, shard),
             occ_super=jax.device_put(f.occ_super.astype(idx_dtype), repl),
-            acc=jax.device_put(f.acc.astype(idx_dtype), repl),
-            comp=jax.device_put(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32), repl),
+            acc=acc,
+            comp=comp,
             n=f.n,
             nb_local=nb_pad // n_idx,
         )
 
+    @property
+    def tables(self):
+        """Pytree of the sharded occ tables (mode-dependent arity)."""
+        if self.occf is not None:
+            return (self.occf,)
+        return (self.occ_bits, self.occ_block, self.occ_super)
 
-def rank1a_local(occ_bits, occ_block, occ_super, nb_local: int, k: jax.Array, dt):
+    @property
+    def table_specs(self):
+        if self.occf is not None:
+            return (P("idx", None),)
+        return (P("idx", None), P("idx", None), P())
+
+
+def rank1a_local(tables, nb_local: int, k: jax.Array, dt):
     """Masked local rank partial for positions k against THIS shard's blocks.
 
-    Inside shard_map: occ_bits/occ_block are the local (nb_local, ·) slabs;
-    the caller psums the result over the `idx` axis.  The superblock row and
-    the in-block count are only contributed by the owning shard."""
+    Inside shard_map: `tables` holds the local slabs — (occf,) fused rows or
+    (occ_bits, occ_block, occ_super); the caller psums the result over the
+    `idx` axis.  Only the owning shard contributes."""
     from ..ops.rank import _inblock_counts
 
     shard_id = jax.lax.axis_index("idx").astype(jnp.int32)
@@ -80,20 +111,27 @@ def rank1a_local(occ_bits, occ_block, occ_super, nb_local: int, k: jax.Array, dt
     owner = bi_glob // nb_local
     mine = owner == shard_id
     bi_loc = jnp.where(mine, bi_glob - shard_id * nb_local, 0)
-    si = (bi_glob // BLOCKS_PER_SUPER).astype(jnp.int32)
-    base = occ_super[si] + occ_block[bi_loc].astype(dt)
+    if len(tables) == 1:  # fused int32 rows: one gather per shard
+        row = tables[0][bi_loc]
+        bits = jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32)
+        base = row[..., 6:].astype(dt)
+    else:
+        occ_bits, occ_block, occ_super = tables
+        si = (bi_glob // BLOCKS_PER_SUPER).astype(jnp.int32)
+        base = occ_super[si] + occ_block[bi_loc].astype(dt)
+        bits = occ_bits[bi_loc]
     off = (k % BLOCK).astype(jnp.int32)
-    local = base + _inblock_counts(occ_bits[bi_loc], off).astype(dt)
+    local = base + _inblock_counts(bits, off).astype(dt)
     return jnp.where(mine[..., None], local, jnp.zeros_like(local))
 
 
-def extend_sharded(occ_bits, occ_block, occ_super, acc, nb_local: int, ik: jax.Array, is_back: jax.Array):
+def extend_sharded(tables, acc, nb_local: int, ik: jax.Array, is_back: jax.Array):
     """Bidirectional extend inside shard_map; one psum over `idx` per call."""
     dt = acc.dtype
     ik = ik.astype(dt)
     prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
     kl = jnp.stack([prim, prim + ik[..., 2]], 0)
-    r = rank1a_local(occ_bits, occ_block, occ_super, nb_local, kl, dt)
+    r = rank1a_local(tables, nb_local, kl, dt)
     r = jax.lax.psum(r, "idx")
     tk, tl = r[0], r[1]
     sz = tl - tk
@@ -110,26 +148,26 @@ def extend_sharded(occ_bits, occ_block, occ_super, acc, nb_local: int, ik: jax.A
     return jnp.stack([x0, x1, sz], axis=-1)
 
 
-def extend_sharded_c(occ_bits, occ_block, occ_super, acc, nb_local: int, ik: jax.Array, c: jax.Array, is_back: jax.Array):
+def extend_sharded_c(tables, acc, nb_local: int, ik: jax.Array, c: jax.Array, is_back: jax.Array):
     """Single-symbol bidirectional extend inside shard_map (bit-identical to
     extend_sharded row c, cf. ops/rank.extend_c): one psum over `idx`, no
-    (Q, 6, 3) candidate tensor."""
+    (Q, 6, 3) candidate tensor, tiny-table lookups as one-hot arithmetic."""
     from ..ops.rank import _EXT_PREFIX
 
     dt = acc.dtype
     ik = ik.astype(dt)
     prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
     kl = jnp.stack([prim, prim + ik[..., 2]], 0)
-    r = rank1a_local(occ_bits, occ_block, occ_super, nb_local, kl, dt)
+    r = rank1a_local(tables, nb_local, kl, dt)
     r = jax.lax.psum(r, "idx")
     tk, tl = r[0], r[1]
     sz = tl - tk  # (Q, 6)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, sz.shape, sz.ndim - 1) == c[..., None]).astype(dt)
     szc = jnp.sum(sz * onehot, axis=-1, dtype=dt)
     tkc = jnp.sum(tk * onehot, axis=-1, dtype=dt)
-    prim_out = jnp.take(acc, c) + tkc
+    prim_out = jnp.sum(acc[:ASIZE] * onehot, axis=-1, dtype=dt) + tkc
     sec_in = jnp.where(is_back, ik[..., 1], ik[..., 0])
-    wrow = jnp.take(jnp.asarray(_EXT_PREFIX.reshape(-1)), c[..., None] * ASIZE + jnp.arange(ASIZE, dtype=jnp.int32)).astype(dt)
+    wrow = jnp.sum(onehot[..., None] * jnp.asarray(_EXT_PREFIX), axis=-2).astype(dt)
     sec_out = sec_in + jnp.sum(sz * wrow, axis=-1, dtype=dt)
     x0 = jnp.where(is_back, prim_out, sec_out)
     x1 = jnp.where(is_back, sec_out, prim_out)

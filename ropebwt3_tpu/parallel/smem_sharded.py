@@ -18,10 +18,17 @@ from .mesh import ShardedIndex, extend_sharded, extend_sharded_c
 ASIZE = 6
 
 
-def _set_intv_tables(acc, comp, c):
+def _set_intv_tables(acc, c):
+    """rb3_fmd_set_intv with tiny-table lookups as one-hot arithmetic and the
+    nt6 complement as arithmetic (cf. ops/rank.set_intv)."""
     c = c.astype(jnp.int32)
-    cc = comp[c]
-    return jnp.stack([acc[c], acc[cc], acc[c + 1] - acc[c]], axis=-1)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, c.shape + (ASIZE,), c.ndim) == c[..., None]).astype(acc.dtype)
+    cc = jnp.where(c % 5 == 0, c, 5 - c)
+    ohc = (jax.lax.broadcasted_iota(jnp.int32, c.shape + (ASIZE,), c.ndim) == cc[..., None]).astype(acc.dtype)
+    acc_c = jnp.sum(acc[:ASIZE] * oh, axis=-1, dtype=acc.dtype)
+    acc_c1 = jnp.sum(acc[1 : ASIZE + 1] * oh, axis=-1, dtype=acc.dtype)
+    acc_comp = jnp.sum(acc[:ASIZE] * ohc, axis=-1, dtype=acc.dtype)
+    return jnp.stack([acc_c, acc_comp, acc_c1 - acc_c], axis=-1)
 
 
 def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems: int, max_iters: int):
@@ -30,10 +37,10 @@ def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems:
     mesh = sidx.mesh
     nb_local = sidx.nb_local
 
-    def inner(occ_bits, occ_block, occ_super, acc, comp, q, qlen):
+    def inner(tables, acc, comp, q, qlen):
         mems, n_mem, it = smem_fsm(
-            lambda ik, back: extend_sharded(occ_bits, occ_block, occ_super, acc, nb_local, ik, back),
-            lambda c: _set_intv_tables(acc, comp, c),
+            lambda ik, back: extend_sharded(tables, acc, nb_local, ik, back),
+            lambda c: _set_intv_tables(acc, c),
             comp,
             q.astype(jnp.int32),
             qlen,
@@ -42,20 +49,20 @@ def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems:
             min_len=min_len,
             max_mems=max_mems,
             max_iters=max_iters,
-            extend_one=lambda ik, c, back: extend_sharded_c(occ_bits, occ_block, occ_super, acc, nb_local, ik, c, back),
+            extend_one=lambda ik, c, back: extend_sharded_c(tables, acc, nb_local, ik, c, back),
         )
         return mems, n_mem, it[None]
 
     smapped = shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P("idx", None), P("idx", None), P(), P(), P(), P("dp", None), P("dp")),
+        in_specs=(sidx.table_specs, P(), P(), P("dp", None), P("dp")),
         out_specs=(P("dp", None, None), P("dp"), P("dp")),
         check_rep=False,
     )
 
     @jax.jit
     def step(q, qlen):
-        return smapped(sidx.occ_bits, sidx.occ_block, sidx.occ_super, sidx.acc, sidx.comp, q, qlen)
+        return smapped(sidx.tables, sidx.acc, sidx.comp, q, qlen)
 
     return step
