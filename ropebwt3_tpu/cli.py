@@ -709,7 +709,42 @@ def main_suffix(argv: list[str]) -> int:
         _usage("suffix")
         return 0
     f = load_index(args[0])
+    acc = f.acc.astype(np.int64)
+
+    def flush(batch: list[tuple[str, np.ndarray]]) -> None:
+        """Backward-search all reads lock-step (one batched rank per step for
+        the whole batch, main.c main_suffix semantics) and print per read:
+        name, start of the longest matching suffix, length, interval size."""
+        m = len(batch)
+        lens = np.fromiter((len(q) for _, q in batch), np.int64, m)
+        Lmax = int(lens.max()) if m else 0
+        qpad = np.zeros((m, max(1, Lmax)), np.uint8)
+        for t, (_, q) in enumerate(batch):
+            qpad[t, : len(q)] = q
+        k = np.zeros(m, np.int64)
+        l = np.full(m, int(f.acc[6]), np.int64)
+        i = lens - 1
+        last = np.zeros(m, np.int64)
+        active = i >= 0
+        while active.any():
+            ids = np.nonzero(active)[0]
+            r = f.rank1a_fast(np.concatenate([k[ids], l[ids]]))
+            c = qpad[ids, i[ids]].astype(np.int64)
+            na = len(ids)
+            ar = np.arange(na)
+            nk = acc[c] + r[:na][ar, c]
+            nl = acc[c] + r[na:][ar, c]
+            k[ids], l[ids] = nk, nl
+            alive = nl - nk > 0
+            last[ids[alive]] = (nl - nk)[alive]
+            i[ids[alive]] -= 1
+            active[ids[~alive]] = False
+            active &= i >= 0
+        for t, (name, q) in enumerate(batch):
+            print(f"{name}\t{i[t]+1}\t{len(q)}\t{last[t]}")
+
     rec_num = 0
+    batch: list[tuple[str, np.ndarray]] = []
     for fn in args[1:]:
         if not seq_openable(fn):
             # the reference crashes here (main.c main_suffix has no NULL
@@ -718,22 +753,11 @@ def main_suffix(argv: list[str]) -> int:
             continue
         for rec in read_seqs(fn, is_line):
             rec_num += 1
-            q = char2nt6(rec.seq)
-            k, l = 0, int(f.acc[6])
-            last_size = 0
-            i = len(q) - 1
-            while i >= 0:
-                tk = f.rank1a(np.array(k))
-                tl = f.rank1a(np.array(l))
-                c = int(q[i])
-                k = int(f.acc[c] + tk[c])
-                l = int(f.acc[c] + tl[c])
-                if l - k == 0:
-                    break
-                last_size = l - k
-                i -= 1
-            name = rec.name if rec.name else f"seq{rec_num}"
-            print(f"{name}\t{i+1}\t{len(q)}\t{last_size}")
+            batch.append((rec.name if rec.name else f"seq{rec_num}", char2nt6(rec.seq)))
+            if len(batch) >= 20000:
+                flush(batch)
+                batch = []
+    flush(batch)
     return 0
 
 
@@ -749,30 +773,49 @@ def main_kount(argv: list[str]) -> int:
         return _usage("kount")
     idx = [load_index(fn) for fn in args]
     n = len(idx)
-    CH = "$ACGTN"
-    stacks = [[(0, int(f.acc[6]), 0, 0)] for f in idx]  # (k, l, d, c)
-    buf = [" "] * depth
-    while all(st for st in stacks):
-        tops = [st.pop() for st in stacks]
-        k0, l0, d0, c0 = tops[0]
-        if d0 > 0:
-            buf[depth - d0] = CH[c0]
-        oks = []
-        ols = []
-        for f, (k, l, _, _) in zip(idx, tops):
-            oks.append(f.rank1a(np.array(k)))
-            ols.append(f.rank1a(np.array(l)))
-        for a in range(1, 5):
-            if not any(int(ols[i][a] - oks[i][a]) >= min_occ for i in range(n)):
-                continue
-            buf[depth - d0 - 1] = CH[a]
-            if d0 != depth - 1:
-                for i in range(n):
-                    f = idx[i]
-                    stacks[i].append((int(f.acc[a] + oks[i][a]), int(f.acc[a] + ols[i][a]), d0 + 1, a))
-            else:
-                counts = "\t".join(str(int(ols[i][a] - oks[i][a])) for i in range(n))
-                print("".join(buf) + "\t" + counts)
+    if depth <= 0:
+        return 0
+    # Level-order vectorized expansion of the reference's k-mer DFS: the node
+    # set is identical (a branch survives when ANY index reaches min_occ),
+    # with one batched rank per level per index instead of a scalar rank per
+    # node (~100x on pangenome-scale tries).  Emission is re-sorted into the
+    # reference's exact DFS order: children are pushed ascending and popped
+    # off a stack (descending) at every internal level, while the final level
+    # prints ascending — i.e. lexicographic with the first-chosen symbol
+    # descending down to the last-chosen ascending.
+    ks = [np.zeros(1, np.int64) for _ in idx]
+    ls = [np.full(1, int(f.acc[6]), np.int64) for f in idx]
+    chars = np.zeros((1, 0), np.uint8)  # (nodes, level) chosen symbols
+    leaf_occ = None
+    for d in range(depth):
+        rr = [f.rank1a_fast(np.concatenate([ks[i], ls[i]])) for i, f in enumerate(idx)]
+        oks = [r[: len(r) // 2] for r in rr]
+        ols = [r[len(r) // 2 :] for r in rr]
+        occ = [ol - ok for ok, ol in zip(oks, ols)]  # (nodes, 6) each
+        keep = occ[0][:, 1:5] >= min_occ
+        for i in range(1, n):
+            keep |= occ[i][:, 1:5] >= min_occ  # (nodes, 4)
+        node_i, a_i = np.nonzero(keep)
+        a = (a_i + 1).astype(np.int64)
+        chars = np.concatenate([chars[node_i], (a_i + 1).astype(np.uint8)[:, None]], axis=1)
+        if d == depth - 1:
+            leaf_occ = np.stack([occ[i][node_i, a] for i in range(n)], axis=1)
+            break
+        for i, f in enumerate(idx):
+            ks[i] = f.acc[a] + oks[i][node_i, a]
+            ls[i] = f.acc[a] + ols[i][node_i, a]
+        if len(node_i) == 0:
+            return 0
+    if leaf_occ is None or len(chars) == 0:
+        return 0
+    # np.lexsort: last key is primary -> first-chosen symbol descending, ...,
+    # last level ascending
+    keys = [chars[:, depth - 1]] + [-(chars[:, j].astype(np.int16)) for j in range(depth - 2, -1, -1)]
+    order = np.lexsort(keys)
+    strs = np.frombuffer(b"$ACGTN", np.uint8)[chars[:, ::-1]]
+    w = sys.stdout.write
+    for t in order:
+        w(strs[t].tobytes().decode() + "\t" + "\t".join(str(int(c)) for c in leaf_occ[t]) + "\n")
     return 0
 
 

@@ -148,6 +148,33 @@ class DenseFMIndex:
     def rank2a(self, k, l) -> tuple[np.ndarray, np.ndarray]:
         return self.rank1a(k), self.rank1a(l)
 
+    def rank1a_fast(self, k) -> np.ndarray:
+        """rank1a via the native threaded batch kernel (rb3t_rank_batch:
+        AVX in-block counts + distance prefetch) when available; equality
+        with the numpy golden path is property-tested.  k: (m,) int64."""
+        k = np.ascontiguousarray(np.asarray(k, dtype=np.int64))
+        if k.ndim != 1 or len(k) < 2048:
+            return self.rank1a(k)
+        try:
+            from ..native import get_sw_lib
+
+            lib = get_sw_lib()
+        except Exception:
+            lib = None
+        if lib is None:
+            return self.rank1a(k)
+        import ctypes
+        import os
+
+        out = np.empty((len(k), ASIZE), np.int64)
+        P = ctypes.c_void_p
+        lib.rb3t_rank_batch(
+            P(self.bwt.ctypes.data), P(self.occ_block.ctypes.data), P(self.occ_super.ctypes.data),
+            P(self.acc.ctypes.data), int(self.n), P(k.ctypes.data), len(k),
+            P(out.ctypes.data), int(os.cpu_count() or 1),
+        )
+        return out
+
     def symbol_at(self, k) -> np.ndarray:
         return self.bwt[np.asarray(k, dtype=np.int64)]
 

@@ -1407,7 +1407,49 @@ static void ssa_gen_worker(const Fmi* f, int64_t m, int32_t ss, int32_t ms, uint
 
 }  // namespace
 
+// Batched rank1a over independent positions: threaded chunks, each with a
+// simple prefetch-ahead pass (positions are independent so plain distance
+// prefetching saturates MLP; no state machines needed).  Serves the
+// vectorized host paths (kount k-mer trie, suffix backward search).
+static void rank_batch_worker(const Fmi* f, const int64_t* pos, int64_t m0, int64_t m1,
+                              int64_t* out) {
+  constexpr int64_t PD = 16;
+  for (int64_t i = m0; i < m1; ++i) {
+    if (i + PD < m1) {
+      int64_t kp = pos[i + PD];
+      if (kp > f->n) kp = f->n;
+      __builtin_prefetch(f->occ_super + (size_t)(kp >> SUPER_SHIFT) * 6);
+      __builtin_prefetch(f->occ_block + (size_t)(kp >> BLOCK_SHIFT) * 6);
+      __builtin_prefetch(f->bwt + ((kp >> BLOCK_SHIFT) << BLOCK_SHIFT));
+    }
+    int64_t k = pos[i];
+    if (k > f->n) k = f->n;
+    int64_t* o = out + (size_t)i * 6;
+    const int64_t* sup = f->occ_super + (size_t)(k >> SUPER_SHIFT) * 6;
+    const uint16_t* blk = f->occ_block + (size_t)(k >> BLOCK_SHIFT) * 6;
+    for (int c = 0; c < 6; ++c) o[c] = sup[c] + blk[c];
+    inblock_add(f->bwt + ((k >> BLOCK_SHIFT) << BLOCK_SHIFT), (int)(k & ((1 << BLOCK_SHIFT) - 1)), o);
+  }
+}
+
 extern "C" {
+
+void rb3t_rank_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
+                     const int64_t* acc, int64_t n, const int64_t* pos, int64_t m,
+                     int64_t* out, int32_t n_threads) {
+  Fmi f{bwt, occ_block, occ_super, acc, n};
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt == 1 || m < (int64_t)1 << 16) {
+    rank_batch_worker(&f, pos, 0, m, out);
+    return;
+  }
+  std::vector<std::thread> th;
+  for (int t = 0; t < nt; ++t) {
+    int64_t a = m * t / nt, b = m * (t + 1) / nt;
+    th.emplace_back(rank_batch_worker, &f, pos, a, b, out);
+  }
+  for (auto& t : th) t.join();
+}
 
 void rb3t_ssa_gen(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
                   const int64_t* acc, int64_t n, int64_t m, int32_t ss, int32_t ms,

@@ -43,3 +43,10 @@ def test_extend_sizes_consistent(small_index):
     assert ok[:, 2].sum() == f.n
     ok2 = f.extend(ik, False)
     assert np.array_equal(np.sort(ok[:, 2]), np.sort(ok2[:, 2]))
+
+
+def test_rank1a_fast_matches_numpy(small_index):
+    f, _ = small_index
+    rng = np.random.default_rng(7)
+    pos = rng.integers(0, f.n + 1, 5000)  # above the native-path threshold
+    assert np.array_equal(f.rank1a_fast(pos), f.rank1a(pos))
