@@ -1020,12 +1020,8 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             native_batch = smem_tg_batch_native
         elif engine == "native":
             raise RuntimeError("native SMEM engine unavailable")
-    # TPU engine, created lazily on the first short-read batch: the while-loop
-    # kernel's fixed per-iteration cost loses to the prefetching host engine on
-    # long dependent chains (measured 3.2 vs 9.6 Mbp/s on 2k x 10kb HiFi-like
-    # reads), so auto routes long-read batches native and never attaches the
-    # TPU for a pure long-read workload.
-    LR_NATIVE_THRESH = 1000  # mean bp per batch
+    # TPU engine, created lazily and only when opted into (--engine=jax) or
+    # when the native library is unavailable — see the routing note in flush()
     _jax_state: dict = {"eng": None, "failed": engine not in ("auto", "jax") or algo != "mem_tg"}
 
     def jax_engine():
@@ -1054,9 +1050,12 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             if not batch:
                 return
             qs = [q for _, q in batch]
-            mean_len = sum(len(q) for q in qs) / len(qs)
-            long_reads = engine == "auto" and mean_len > LR_NATIVE_THRESH
-            if native_batch is not None and (engine == "native" or long_reads or _jax_state["failed"]):
+            # auto = native first: the prefetching host engine is
+            # deterministic, while a fresh process pays 2 s-40 min of remote
+            # TPU compiles (and on a CPU JAX backend the lock-step FSM is
+            # ~20x slower than the native SMs).  --engine=jax opts into the
+            # TPU kernel for resident/benchmark use where programs are warm.
+            if native_batch is not None and engine in ("native", "auto"):
                 all_mems = native_batch(f, qs, min_occ, min_len)
             elif jax_engine() is not None:
                 all_mems = jax_engine().run(qs)

@@ -218,11 +218,31 @@ class DenseFMIndex:
 
     def retrieve(self, k: int) -> np.ndarray:
         """Decode the sequence whose sentinel-walk passes BWT position k
-        (fm-index.c:552-567); returns nt6 codes (no sentinel)."""
-        out = []
+        (fm-index.c:552-567); returns nt6 codes (no sentinel).  Uses the
+        native LF-walk (rb3t_retrieve) when available — the walk is a
+        dependent chain, ~50x the scalar-numpy steps."""
         k = int(k)
         if k < 0 or k >= self.n:
             return np.zeros(0, dtype=np.uint8), -1
+        try:
+            from ..native import get_sw_lib
+
+            lib = get_sw_lib()
+        except Exception:
+            lib = None
+        if lib is not None:
+            import ctypes
+
+            out = np.empty(self.n, np.uint8)
+            kend = ctypes.c_int64()
+            P = ctypes.c_void_p
+            ln = lib.rb3t_retrieve(
+                P(self.bwt.ctypes.data), P(self.occ_block.ctypes.data), P(self.occ_super.ctypes.data),
+                P(self.acc.ctypes.data), int(self.n), k, P(out.ctypes.data), int(self.n),
+                ctypes.byref(kend),
+            )
+            return out[:ln][::-1].copy(), int(kend.value)
+        out = []
         while True:
             c, nk = self.lf(np.array(k))
             c = int(c)

@@ -96,6 +96,8 @@ def get_sw_lib():
         lib.rb3t_ssa_gen.argtypes = [V, V, V, V, I64, I64, I32, I32, V, V, I32]
         lib.rb3t_rank_batch.restype = None
         lib.rb3t_rank_batch.argtypes = [V, V, V, V, I64, V, I64, V, I32]
+        lib.rb3t_retrieve.restype = I64
+        lib.rb3t_retrieve.argtypes = [V, V, V, V, I64, I64, V, I64, ctypes.POINTER(I64)]
         lib.rb3t_merge_rank_packed.restype = None
         lib.rb3t_merge_rank_packed.argtypes = [V, V, V, V, I64, V, I64, I64, I32]
         lib.rb3t_lf2_packed.restype = None

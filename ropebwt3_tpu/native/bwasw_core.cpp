@@ -1434,6 +1434,24 @@ static void rank_batch_worker(const Fmi* f, const int64_t* pos, int64_t m0, int6
 
 extern "C" {
 
+// LF-walk decode from BWT position k until the sentinel (rb3_fmi_retrieve,
+// fm-index.c:552-567): writes the sequence REVERSED into out (caller flips),
+// returns its length; *k_end = the sentinel-holding position.
+int64_t rb3t_retrieve(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
+                      const int64_t* acc, int64_t n, int64_t k, uint8_t* out, int64_t max_len,
+                      int64_t* k_end) {
+  Fmi f{bwt, occ_block, occ_super, acc, n};
+  int64_t len = 0;
+  while (len < max_len) {
+    int c = bwt[k];
+    if (c == 0) break;
+    out[len++] = (uint8_t)c;
+    k = acc[c] + rank1c(f, k, c);
+  }
+  *k_end = k;
+  return len;
+}
+
 void rb3t_rank_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
                      const int64_t* acc, int64_t n, const int64_t* pos, int64_t m,
                      int64_t* out, int32_t n_threads) {
