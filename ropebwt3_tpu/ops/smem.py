@@ -26,7 +26,7 @@ from .smem_fsm import smem_fsm
 from .smem_ref import Mem
 
 
-@partial(jax.jit, static_argnames=("min_occ", "min_len", "max_mems", "max_iters", "unroll", "seed_k"))
+@partial(jax.jit, static_argnames=("min_occ", "min_len", "max_mems", "max_iters", "unroll", "seed_k", "carry_sp"))
 def smem_tg_batch(
     idx: DeviceIndex,
     q: jax.Array,  # (Q, L) uint8, 0-padded
@@ -40,6 +40,7 @@ def smem_tg_batch(
     seed_tab: jax.Array | None = None,
     seed_k: int = 0,
     segments=None,
+    carry_sp: bool = False,
 ):
     """Returns (mems (Q, max_mems, 5|6) idx_dtype, n_mem (Q,) int32, iters)."""
     return smem_fsm(
@@ -58,6 +59,7 @@ def smem_tg_batch(
         seed_k=seed_k,
         segments=segments,
         extend_one=lambda ik, c, back: extend_c(idx, ik, c, back),
+        carry_sp=carry_sp,
     )
 
 

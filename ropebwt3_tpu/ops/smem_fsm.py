@@ -34,7 +34,7 @@ def emit(mems, n_mem, lane_mask, st, en, ik, seg=None):
     return mems, n_mem
 
 
-def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None, extend_one=None):
+def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None, extend_one=None, carry_sp=False):
     """Run the batched TG loop.
 
     extend_all(ik (Q,3), is_back (Q,)) -> (Q,6,3)
@@ -70,9 +70,19 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         seg_off, seg_len, n_seg = segments
         R = seg_off.shape[1]
         # (off << 16 | len) packed per slot: ONE flat gather per iteration
-        # resolves both (off < 32768 and len < 32768 for every lane class)
+        # resolves both (off < 32768 and len < 32768 for every lane class).
+        # carry_sp=True instead rides the record in loop state and folds the
+        # refresh into the symbol take (speculatively fetching slot seg and
+        # seg+1; after that take the only possible advance is the FWD hit_end
+        # +1, so a select suffices) — MEASURED 15% SLOWER on the v5e
+        # (scripts/sp_ab.py, same-process interleaved): the enlarged 4Q-index
+        # take + select chain costs more than the tiny 1Q take it removes.
+        # Kept (equivalence-tested) as a documented negative result.
         seg_pack_flat = ((seg_off.astype(jnp.int32) << 16) | seg_len.astype(jnp.int32)).reshape(-1)
         lane_rbase = jnp.arange(Q, dtype=jnp.int32) * R
+        if carry_sp:
+            # one flat array so q symbols and seg records share a single take
+            cat_flat = jnp.concatenate([q_flat, seg_pack_flat])
 
     def qsym(pos):
         # flat 1-D take: lowers to the fast axis-0 gather path on TPU
@@ -123,6 +133,8 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
     )
     if packed:
         state["seg"] = jnp.zeros(Q, jnp.int32)
+        if carry_sp:
+            state["sp"] = jnp.take(seg_pack_flat, lane_rbase)  # record of seg 0
 
     def cond(s):
         return jnp.any(s["phase"] != PH_DONE) & (s["it"] < max_iters)
@@ -132,7 +144,7 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         mems, n_mem = s["mems"], s["n_mem"]
         if packed:
             seg = s["seg"]
-            sp = jnp.take(seg_pack_flat, lane_rbase + seg)
+            sp = s["sp"] if carry_sp else jnp.take(seg_pack_flat, lane_rbase + seg)
             off, qlen_cur = sp >> 16, sp & 0xFFFF
         else:
             off, qlen_cur = 0, qlen
@@ -206,8 +218,23 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         fw = phase == PH_FWD
         active = b1 | b2 | fw
         pos = jnp.where(fw, j, i)
+        sp0 = sp1 = None
         if use_seed:
             craw = qsym(off + pos)
+        elif packed and carry_sp:
+            # ONE take resolves the two symbol lookups AND the seg-record
+            # refresh: seg here already includes every resolve-step advance,
+            # and the only advance still possible this iteration is the FWD
+            # hit_end +1, handled by selecting sp1 below.  (The deferred
+            # set_intv sharing is as in the unpacked branch.)
+            pa = jnp.clip(off + pos, 0, L - 1)
+            pb = jnp.clip(off + sv_pos, 0, L - 1)
+            QL = jnp.int32(Q * L)
+            seg_i = lane_rbase + seg
+            seg_i1 = lane_rbase + jnp.minimum(seg + 1, R - 1)
+            v = jnp.take(cat_flat, jnp.concatenate([lane_base + pa, lane_base + pb, QL + seg_i, QL + seg_i1]))
+            craw, svsym, sp0, sp1 = v[:Q], v[Q : 2 * Q], v[2 * Q : 3 * Q], v[3 * Q :]
+            ik = jnp.where(need_sv[:, None], set_intv_c(svsym).astype(dt), ik)
         else:
             # the deferred set_intv (PH_B2INIT/begin) shares one gather with
             # the extend-symbol lookup; applying it here is safe — nothing
@@ -257,6 +284,11 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
             seg = jnp.where(nxt, seg + 1, seg)
             x = jnp.where(nxt, 0, x)
             phase = jnp.where(nxt, PH_START, phase)
+            if carry_sp:
+                if sp0 is not None:  # refresh the carried record (fused take)
+                    sp = jnp.where(nxt, sp1, sp0)
+                else:  # seed path: plain re-gather at the final seg
+                    sp = jnp.take(seg_pack_flat, lane_rbase + seg)
         # BACK2 entry (ik = set_intv at the failing position) is deferred to
         # the next iteration's resolve step — see PH_B2INIT above
         i = jnp.where(m, j - 1, i)
@@ -277,6 +309,8 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         out = dict(phase=phase, x=x, i=i, j=j, ik=ik, n_mem=n_mem, mems=mems, it=s["it"] + 1)
         if packed:
             out["seg"] = seg
+            if carry_sp:
+                out["sp"] = sp
         return out
 
     if unroll > 1:

@@ -161,6 +161,45 @@ def test_seed_table_and_unroll_match_base(dense_index, reads):
                 assert np.array_equal(np.asarray(m1), np.asarray(m2)), (min_len, k, unroll)
 
 
+def test_carry_sp_matches_base(dense_index, reads):
+    """carry_sp=True (seg record carried in loop state, refresh folded into
+    the symbol take — a measured perf loss kept as a documented variant,
+    scripts/sp_ab.py) must be bit-identical to the default packed body."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+
+    idx = DeviceIndex.from_dense(dense_index)
+    Q, R, LBUF = 32, 8, 512
+    qarr = np.zeros((Q, LBUF), np.uint8)
+    seg_off = np.zeros((Q, R), np.int32)
+    seg_len = np.zeros((Q, R), np.int32)
+    n_seg = np.zeros(Q, np.int32)
+    rng = np.random.default_rng(7)
+    for lane in range(Q):
+        pos = 0
+        for s in range(int(rng.integers(1, R + 1))):
+            r = reads[int(rng.integers(0, len(reads)))][: int(rng.integers(8, 100))]
+            if pos + len(r) + 1 > LBUF:
+                break
+            qarr[lane, pos : pos + len(r)] = r
+            seg_off[lane, s], seg_len[lane, s] = pos, len(r)
+            n_seg[lane] = s + 1
+            pos += len(r) + 1
+    args = dict(min_occ=1, min_len=13, max_mems=32, max_iters=8 * LBUF)
+    segs = (jnp.asarray(seg_off), jnp.asarray(seg_len), jnp.asarray(n_seg))
+    outs = []
+    for carry in (False, True):
+        for unroll in (1, 2):
+            m, n, _ = smem_tg_batch(idx, jnp.asarray(qarr), jnp.zeros(Q, jnp.int32), segments=segs, unroll=unroll, carry_sp=carry, **args)
+            outs.append((np.asarray(m), np.asarray(n)))
+    for m, n in outs[1:]:
+        assert np.array_equal(n, outs[0][1])
+        assert np.array_equal(m, outs[0][0])
+
+
 def test_extend_c_matches_extend_row(dense_index):
     """ops/rank.extend_c must equal row c of ops/rank.extend for every
     (interval, symbol, direction) — the SMEM loop's bit-exactness rests on
