@@ -1,13 +1,14 @@
 """Batched rank / bidirectional-extend on device — the primitive under every
 query and construction op (cf. rld_rank2a / rld_extend, rld0.c:416-502).
 
-The dense index (index/dense.py) is uploaded as three device arrays:
-  occ_bits   : (n_blocks+1, 6) uint32 — BWT blocks as 3 bit-planes x 2 words
-  occ_block  : (n_blocks+1, 6) uint16 — counts before block, within superblock
-  occ_super  : (n_supers+1, 6) idx    — counts before superblock
-  acc        : (7,)            idx    — cumulative symbol counts
+The dense index (index/dense.py) is uploaded as one fused row table:
+  occf       : (n_blocks+1, 12) int32 — 3 bit-planes x 2 words (cols 0:6) +
+               counts before block (cols 6:12; absolute for int32 indexes,
+               uint32 megablock-relative for int64 — see DeviceIndex)
+  occ_super  : megablock base rows (int64 mode) — resolved one-hot, tiny
+  acc        : (7,) idx — cumulative symbol counts
 
-rank1a(k) for a batch of positions is three row gathers plus, per symbol, six
+rank1a(k) for a batch of positions is ONE row gather plus, per symbol, six
 xor/and ops and two popcounts on the masked bit-planes — pure VPU work, no
 data-dependent control flow, so XLA fuses the whole thing.  idx dtype is int32
 for indexes below 2^31 symbols (TPU-native) and int64 above (XLA-emulated).
@@ -59,15 +60,25 @@ def pack_bitplanes(bwt_blocks: np.ndarray) -> np.ndarray:
     return out
 
 
+# blocks per 2^32-symbol megablock: int64-mode occf rows store counts as
+# uint32 relative to the containing megablock (module attr so tests can
+# shrink it to exercise multi-megablock indexes at toy sizes)
+MEGA_BLOCK_SHIFT = 32 - 6  # log2(2^32 / BLOCK)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceIndex:
-    """int32 indexes store ONE fused row table `occf` (nb, 12) int32 —
-    columns 0:6 the uint32 bit-planes (bitcast), 6:12 absolute counts before
-    the block — so a rank is a single row gather; every gather inside the
-    SMEM loop body is an XLA fusion break and costs like a kernel dispatch
-    (PERF_NOTES.md session 5).  int64 indexes (> 2^31 symbols) keep the
-    three-table layout (occ_bits + uint16 occ_block under occ_super)."""
+    """All indexes store ONE fused row table `occf` (nb, 12) int32 — columns
+    0:6 the uint32 bit-planes (bitcast), 6:12 counts before the block — so a
+    rank is a single row gather; every gather inside the SMEM loop body is an
+    XLA fusion break and costs like a kernel dispatch (PERF_NOTES.md
+    session 5).  int32 indexes (< 2^31 symbols) hold absolute counts; int64
+    indexes hold uint32 counts relative to the containing 2^32-symbol
+    megablock, whose int64 base rows live in the tiny `occ_super` table and
+    are resolved by one-hot arithmetic (a handful of rows even at terabase
+    scale), NOT a second gather.  The legacy three-table layout (occ_bits +
+    uint16 occ_block under occ_super) remains readable for the sharded path."""
 
     occ_bits: jax.Array | None  # (nb, 6) uint32 bit-planes (int64 mode)
     occ_block: jax.Array | None  # (nb, 6) uint16 within-super counts (int64 mode)
@@ -87,10 +98,19 @@ class DeviceIndex:
 
     def bits_and_base(self, bi: jax.Array, dt) -> tuple[jax.Array, jax.Array]:
         """Gathered (., 6) uint32 planes and (., 6) dt counts-before-block for
-        block rows bi — one fused gather (int32) or block+super (int64)."""
+        block rows bi — one fused gather (+ one-hot megablock base for int64),
+        or block+super gathers for the legacy three-table layout."""
         if self.occf is not None:
             row = self.occf[bi]
-            return jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32), row[..., 6:].astype(dt)
+            bits = jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32)
+            if dt == jnp.int32:
+                return bits, row[..., 6:].astype(dt)
+            lo = jax.lax.bitcast_convert_type(row[..., 6:], jnp.uint32).astype(dt)
+            ns = self.occ_super.shape[0]
+            mi = (bi >> MEGA_BLOCK_SHIFT).astype(jnp.int32)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, mi.shape + (ns,), mi.ndim) == mi[..., None]).astype(dt)
+            base = jnp.sum(oh[..., None] * self.occ_super, axis=-2, dtype=dt)
+            return bits, base + lo
         si = bi // BLOCKS_PER_SUPER
         return self.occ_bits[bi], self.occ_super[si] + self.occ_block[bi].astype(dt)
 
@@ -106,10 +126,10 @@ class DeviceIndex:
         bwt_blocks = f.bwt[: nb * BLOCK].reshape(nb, BLOCK)
         comp = jnp.asarray(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32))
         acc = jnp.asarray(f.acc.astype(idx_dtype))
+        occf = np.empty((nb, 12), np.int32)
+        occf[:, :6] = pack_bitplanes(bwt_blocks).view(np.int32)
         if idx_dtype == jnp.int32:
             sup = np.repeat(f.occ_super, BLOCKS_PER_SUPER, axis=0)[:nb]
-            occf = np.empty((nb, 12), np.int32)
-            occf[:, :6] = pack_bitplanes(bwt_blocks).view(np.int32)
             occf[:, 6:] = sup + f.occ_block
             return cls(
                 occ_bits=None,
@@ -120,13 +140,33 @@ class DeviceIndex:
                 comp=comp,
                 occf=jnp.asarray(occf),
             )
+        # int64: counts relative to the containing 2^32-symbol megablock,
+        # stored uint32; megablock base rows in the tiny occ_super table.
+        # Chunked so the int64 temporaries stay cache-sized at terabase nb.
+        mega_blocks = 1 << MEGA_BLOCK_SHIFT
+        n_mega = (nb + mega_blocks - 1) // mega_blocks
+        mega = np.zeros((n_mega, ASIZE), np.int64)
+        step = 1 << 20
+        for b0 in range(0, nb, step):
+            b1 = min(b0 + step, nb)
+            s0, s1 = b0 // BLOCKS_PER_SUPER, (b1 - 1) // BLOCKS_PER_SUPER + 1
+            sup = np.repeat(f.occ_super[s0:s1], BLOCKS_PER_SUPER, axis=0)
+            sup = sup[b0 - s0 * BLOCKS_PER_SUPER : b0 - s0 * BLOCKS_PER_SUPER + (b1 - b0)]
+            glob = sup + f.occ_block[b0:b1]
+            for mb in range(b0 >> MEGA_BLOCK_SHIFT, ((b1 - 1) >> MEGA_BLOCK_SHIFT) + 1):
+                r = mb << MEGA_BLOCK_SHIFT
+                if b0 <= r < b1:
+                    mega[mb] = glob[r - b0]
+            rel = glob - mega[(np.arange(b0, b1) >> MEGA_BLOCK_SHIFT)]
+            occf[b0:b1, 6:] = rel.astype(np.uint32).view(np.int32)
         return cls(
-            occ_bits=jnp.asarray(pack_bitplanes(bwt_blocks)),
-            occ_block=jnp.asarray(f.occ_block.astype(np.uint16)),
-            occ_super=jnp.asarray(f.occ_super.astype(idx_dtype)),
+            occ_bits=None,
+            occ_block=None,
+            occ_super=jnp.asarray(mega),
             acc=acc,
             n=f.n,
             comp=comp,
+            occf=jnp.asarray(occf),
         )
 
 
@@ -162,7 +202,11 @@ def rank1a(idx: DeviceIndex, k: jax.Array) -> jax.Array:
     """occ[..., c] = |{i < k : B[i] = c}|.  k: idx-dtype array."""
     dt = idx.idx_dtype
     k = k.astype(dt)
-    bi = (k // BLOCK).astype(jnp.int32) if dt == jnp.int32 else k // BLOCK
+    bi = k // BLOCK
+    if dt == jnp.int32 or idx.occf is not None:
+        # row count < 2^31 for any index that fits one chip's HBM: gather
+        # with TPU-native int32 indices even in int64 mode
+        bi = bi.astype(jnp.int32)
     bits, base = idx.bits_and_base(bi, dt)
     off = (k % BLOCK).astype(jnp.int32)
     add = _inblock_counts(bits, off)
@@ -283,7 +327,9 @@ def extend_c_circuit(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax
     ik = ik.astype(dt)
     prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
     kl = jnp.stack([prim, prim + ik[..., 2]], axis=0)  # (2, Q)
-    bi = (kl // BLOCK).astype(jnp.int32) if dt == jnp.int32 else kl // BLOCK
+    bi = kl // BLOCK
+    if dt == jnp.int32 or idx.occf is not None:
+        bi = bi.astype(jnp.int32)
     bits, base6 = idx.bits_and_base(bi, dt)  # (2, Q, 6) each
     off = (kl % BLOCK).astype(jnp.int32)
     kc = jnp.take(jnp.asarray(KEY.astype(np.int32)), c)  # (Q,)

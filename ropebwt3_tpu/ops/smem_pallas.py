@@ -303,6 +303,9 @@ def smem_tg_pallas(
     # the fused (nb, 12) occf row table (ops/rank.py) — slice it back out
     # here, once, outside the loop.
     if idx.occf is not None:
+        # int64-mode occf counts are megablock-relative uint32 (ops/rank.py);
+        # this kernel only supports the absolute int32 layout
+        assert idx.idx_dtype == jnp.int32, "pallas SMEM requires the int32 fused layout"
         bits_flat = idx.occf[:, :6].reshape(-1)
         blk_flat = idx.occf[:, 6:].reshape(-1)
         sup_flat = jnp.zeros((6,), dt)

@@ -161,6 +161,39 @@ def test_seed_table_and_unroll_match_base(dense_index, reads):
                 assert np.array_equal(np.asarray(m1), np.asarray(m2)), (min_len, k, unroll)
 
 
+def test_int64_megablock_layout(dense_index, reads, monkeypatch):
+    """int64 indexes use fused (nb, 12) rows with uint32 counts relative to
+    2^32-symbol megablocks (one-hot base rows, no second gather).  Shrink the
+    megablock so a toy index spans several, then check rank and SMEM equality
+    against the numpy golden path / int32 device path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ropebwt3_tpu.ops import rank as rank_mod
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+
+    monkeypatch.setattr(rank_mod, "MEGA_BLOCK_SHIFT", 6)  # 4096-symbol megablocks
+    i64 = rank_mod.DeviceIndex.from_dense(dense_index, idx_dtype=jnp.int64)
+    assert i64.occf is not None and i64.occ_super.shape[0] > 1
+    rng = np.random.default_rng(5)
+    ks = rng.integers(0, dense_index.n + 1, 300)
+    got = np.asarray(rank_mod.rank1a(i64, jnp.asarray(ks)))
+    assert np.array_equal(got, dense_index.rank1a(ks))
+    i32 = rank_mod.DeviceIndex.from_dense(dense_index)
+    Q, L = 32, 128
+    qarr = np.zeros((Q, L), np.uint8)
+    qlen = np.zeros(Q, np.int32)
+    for t in range(Q):
+        r = reads[t % len(reads)][:L]
+        qarr[t, : len(r)] = r
+        qlen[t] = len(r)
+    args = dict(min_occ=1, min_len=17, max_mems=16, max_iters=4 * L + 64)
+    m32, n32, _ = smem_tg_batch(i32, jnp.asarray(qarr), jnp.asarray(qlen), **args)
+    m64, n64, _ = smem_tg_batch(i64, jnp.asarray(qarr), jnp.asarray(qlen), **args)
+    assert np.array_equal(np.asarray(n32), np.asarray(n64))
+    assert np.array_equal(np.asarray(m32).astype(np.int64), np.asarray(m64))
+
+
 def test_carry_sp_matches_base(dense_index, reads):
     """carry_sp=True (seg record carried in loop state, refresh folded into
     the symbol take — a measured perf loss kept as a documented variant,
