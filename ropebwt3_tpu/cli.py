@@ -1045,38 +1045,67 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             break
         batch: list = []
 
-        def flush(batch):
+        def flush_flat(names, flat, offs):
+            """Vectorized-reader fast path: flat nt6 + per-read offsets go
+            straight to the native engine and BED lines are written from the
+            raw (counts, rows) arrays — no per-read arrays or Mem objects."""
             nonlocal seq_id
-            if not batch:
-                return
-            qs = [q for _, q in batch]
-            # auto = native first: the prefetching host engine is
-            # deterministic, while a fresh process pays 2 s-40 min of remote
-            # TPU compiles (and on a CPU JAX backend the lock-step FSM is
-            # ~20x slower than the native SMs).  --engine=jax opts into the
-            # TPU kernel for resident/benchmark use where programs are warm.
-            if native_batch is not None and engine in ("native", "auto"):
-                all_mems = native_batch(f, qs, min_occ, min_len)
-            elif jax_engine() is not None:
-                all_mems = jax_engine().run(qs)
-            elif native_batch is not None:
-                all_mems = native_batch(f, qs, min_occ, min_len)
-            else:
-                fn_algo = smem_ref.smem_tg if algo == "mem_tg" else smem_ref.smem_orig
-                all_mems = [fn_algo(f, q, min_occ, min_len) for _, q in batch]
-            pos_iter = None
-            if max_pos > 0 and min_gap_len == 0 and not write_cov:
-                # batch every MEM's multi-locate through the native core
-                from .ssa_ops import ssa_multi_batch
+            from .ops.smem_native import smem_tg_flat_native
 
-                reqs = [(m.lo, m.lo + m.size, max_pos) for mems in all_mems for m in mems]
+            counts, rows = smem_tg_flat_native(f, flat, offs, min_occ, min_len)
+            counts_l = counts.tolist()
+            if min_gap_len > 0 or write_cov:
+                # reuse the Mem-list writer for the rarer report modes
+                from .ops.smem_ref import Mem
+
+                rows_l = rows.tolist()
+                all_mems, k = [], 0
+                for c in counts_l:
+                    all_mems.append([Mem(*r) for r in rows_l[k : k + c]])
+                    k += c
+                write_records([(names[i], int(offs[i + 1] - offs[i])) for i in range(len(names))], all_mems, None)
+                return
+            pos_iter = None
+            if max_pos > 0:
+                from .ssa_ops import ssa_multi, ssa_multi_batch
+
+                reqs = [(int(lo), int(lo + sz), max_pos) for _, _, sz, lo, _ in rows.tolist()]
                 got = ssa_multi_batch(f, f.ssa, reqs)
-                if got is not None:
-                    pos_iter = iter(got)
-            for (name, q), mems in zip(batch, all_mems):
+                if got is None:  # native locate unavailable: per-request walk
+                    got = [ssa_multi(f, f.ssa, lo, hi, cap) for lo, hi, cap in reqs]
+                pos_iter = iter(got)
+            rows_l = rows.tolist()
+            k = 0
+            buf: list[str] = []
+            for i, c in enumerate(counts_l):
+                seq_id += 1
+                nm = names[i] if names[i] else f"seq{seq_id}"
+                for r in rows_l[k : k + c]:
+                    if pos_iter is None:
+                        buf.append(f"{nm}\t{r[0]}\t{r[1]}\t{r[2]}\n")
+                    else:
+                        buf.append(_mem_line(nm, r[0], r[1], r[2], r[3], next(pos_iter)) + "\n")
+                k += c
+                if len(buf) >= 65536:
+                    out.write("".join(buf))
+                    buf.clear()
+            out.write("".join(buf))
+
+        def _mem_line(nm, st, en, sz, lo, pos):
+            line = f"{nm}\t{st}\t{en}\t{sz}"
+            if pos:  # n_pos column only when > 0 (search.c:305)
+                line += f"\t{len(pos)}"
+            for sid, p in pos:
+                rlen = int(f.sid.lens[sid >> 1])
+                pp = rlen - (p + (en - st)) if sid & 1 else p
+                line += f"\t{f.sid.names[sid>>1]}:{'+-'[sid&1]}:{pp}"
+            return line
+
+        def write_records(names_lens, all_mems, pos_iter):
+            nonlocal seq_id
+            for (name, L), mems in zip(names_lens, all_mems):
                 seq_id += 1
                 nm = name if name else f"seq{seq_id}"
-                L = len(q)
                 if min_gap_len > 0:
                     last = 0
                     gaps = []
@@ -1104,7 +1133,6 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
                         out.write(f"{nm}\t{L}\t{cov}\n")
                 else:
                     for m in mems:
-                        line = f"{nm}\t{m.start}\t{m.end}\t{m.size}"
                         if max_pos > 0:
                             if pos_iter is not None:
                                 pos = next(pos_iter)
@@ -1112,14 +1140,51 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
                                 from .ssa_ops import ssa_multi
 
                                 pos = ssa_multi(f, f.ssa, m.lo, m.lo + m.size, max_pos)
-                            if pos:  # n_pos column only when > 0 (search.c:305)
-                                line += f"\t{len(pos)}"
-                            for sid, p in pos:
-                                rlen = int(f.sid.lens[sid >> 1])
-                                pp = rlen - (p + (m.end - m.start)) if sid & 1 else p
-                                line += f"\t{f.sid.names[sid>>1]}:{'+-'[sid&1]}:{pp}"
-                        out.write(line + "\n")
+                        else:
+                            pos = None
+                        if pos is None:
+                            out.write(f"{nm}\t{m.start}\t{m.end}\t{m.size}\n")
+                        else:
+                            out.write(_mem_line(nm, m.start, m.end, m.size, m.lo, pos) + "\n")
 
+        def flush(batch):
+            if not batch:
+                return
+            qs = [q for _, q in batch]
+            # auto = native first: the prefetching host engine is
+            # deterministic, while a fresh process pays 2 s-40 min of remote
+            # TPU compiles (and on a CPU JAX backend the lock-step FSM is
+            # ~20x slower than the native SMs).  --engine=jax opts into the
+            # TPU kernel for resident/benchmark use where programs are warm.
+            if native_batch is not None and engine in ("native", "auto"):
+                all_mems = native_batch(f, qs, min_occ, min_len)
+            elif jax_engine() is not None:
+                all_mems = jax_engine().run(qs)
+            elif native_batch is not None:
+                all_mems = native_batch(f, qs, min_occ, min_len)
+            else:
+                fn_algo = smem_ref.smem_tg if algo == "mem_tg" else smem_ref.smem_orig
+                all_mems = [fn_algo(f, q, min_occ, min_len) for _, q in batch]
+            pos_iter = None
+            if max_pos > 0 and min_gap_len == 0 and not write_cov:
+                # batch every MEM's multi-locate through the native core
+                from .ssa_ops import ssa_multi_batch
+
+                reqs = [(m.lo, m.lo + m.size, max_pos) for mems in all_mems for m in mems]
+                got = ssa_multi_batch(f, f.ssa, reqs)
+                if got is not None:
+                    pos_iter = iter(got)
+            write_records([(name, len(q)) for name, q in batch], all_mems, pos_iter)
+
+        batches = None
+        if native_batch is not None and engine in ("native", "auto"):
+            from .seqio import iter_flat_batches
+
+            batches = iter_flat_batches(fn, is_line, batch_size)
+        if batches is not None:
+            for names, flat, offs in batches:
+                flush_flat(names, flat, offs)
+            continue
         tot = 0
         for rec in read_seqs(fn, is_line):
             q = char2nt6(rec.seq)

@@ -23,15 +23,18 @@ def native_smem_lib():
     return get_sw_lib()
 
 
-def smem_tg_batch_native(f: DenseFMIndex, seqs: list[np.ndarray], min_occ: int, min_len: int) -> list[list[Mem]]:
+def smem_tg_flat_native(f: DenseFMIndex, flat: np.ndarray, seq_off: np.ndarray, min_occ: int, min_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """SMEMs for reads packed in one flat nt6 buffer (read i =
+    flat[seq_off[i]:seq_off[i+1]]).  Returns (counts (n_reads,) int64,
+    rows (sum(counts), 5) int64 [start, end, size, lo, lo_rc]) with rows in
+    read order — the allocation-free form the CLI writes BED from directly."""
     lib = native_smem_lib()
     assert lib is not None
-    n_reads = len(seqs)
+    n_reads = len(seq_off) - 1
     if n_reads == 0:
-        return []
-    flat = np.ascontiguousarray(np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs]))
-    seq_off = np.zeros(n_reads + 1, dtype=np.int64)
-    seq_off[1:] = np.cumsum([len(s) for s in seqs])
+        return np.zeros(0, np.int64), np.zeros((0, 5), np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
     out_len = ctypes.c_int64(0)
     P = ctypes.c_void_p
     ptr = lib.rb3t_smem_batch(
@@ -43,12 +46,28 @@ def smem_tg_batch_native(f: DenseFMIndex, seqs: list[np.ndarray], min_occ: int, 
         raw = ctypes.string_at(ptr, out_len.value)
     finally:
         lib.rb3t_buf_free(ptr)
-    offs = np.frombuffer(raw, dtype=np.int64, count=n_reads + 1)
-    base = (n_reads + 1) * 8
+    # blob: (n_reads+1) int64 offsets, then per read [n_mems][n_mems x 5 rows]
+    words = np.frombuffer(raw, dtype=np.int64)
+    offs = words[: n_reads + 1]
+    counts = (np.diff(offs) - 8) // 40
+    tail = words[n_reads + 1 :]
+    keep = np.ones(len(tail), bool)
+    keep[offs[:-1] // 8] = False  # drop the per-read count words
+    return counts, tail[keep].reshape(-1, 5)
+
+
+def smem_tg_batch_native(f: DenseFMIndex, seqs: list[np.ndarray], min_occ: int, min_len: int) -> list[list[Mem]]:
+    n_reads = len(seqs)
+    if n_reads == 0:
+        return []
+    flat = np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs]) if n_reads > 1 else np.asarray(seqs[0], np.uint8)
+    seq_off = np.zeros(n_reads + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=seq_off[1:])
+    counts, rows = smem_tg_flat_native(f, flat, seq_off, min_occ, min_len)
+    rows_l = rows.tolist()
     out: list[list[Mem]] = []
-    for r in range(n_reads):
-        o = base + int(offs[r])
-        n_mems = int.from_bytes(raw[o : o + 8], "little")
-        rows = np.frombuffer(raw, dtype=np.int64, count=n_mems * 5, offset=o + 8).reshape(n_mems, 5)
-        out.append([Mem(int(a), int(b), int(c), int(d), int(e)) for a, b, c, d, e in rows])
+    k = 0
+    for c in counts.tolist():
+        out.append([Mem(*r) for r in rows_l[k : k + c]])
+        k += c
     return out

@@ -10,13 +10,14 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 import sys
 from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
 
-from .nt6 import char2nt6, revcomp
+from .nt6 import NT6_TABLE, char2nt6, revcomp
 
 
 def _open_maybe_gzip(fn: str):
@@ -57,14 +58,16 @@ def read_seqs(fn: str, is_line: bool = False) -> Iterator[SeqRecord]:
         if line.startswith(b">"):
             if name is not None:
                 yield SeqRecord(name, b"".join(seq_parts))
-            name = line[1:].split()[0].decode() if len(line) > 1 else ""
+            toks = line[1:].split()
+            name = toks[0].decode() if toks else ""
             seq_parts = []
             line = fp.readline()
         elif line.startswith(b"@"):
             if name is not None:
                 yield SeqRecord(name, b"".join(seq_parts))
                 name, seq_parts = None, []
-            qname = line[1:].split()[0].decode() if len(line) > 1 else ""
+            toks = line[1:].split()
+            qname = toks[0].decode() if toks else ""
             seq = fp.readline().rstrip(b"\n").rstrip(b"\r")
             plus = fp.readline()
             if plus.startswith(b"+"):
@@ -113,6 +116,109 @@ def read_batch_nt6(
     if n_seq == 0:
         return 0, np.zeros(0, dtype=np.uint8)
     return n_seq, np.concatenate(parts)
+
+
+def read_seqs_flat(fn: str, is_line: bool = False, max_bytes: int = 1 << 30):
+    """Whole-input vectorized parse: (names, flat_nt6, offs) where read i is
+    ``flat[offs[i]:offs[i+1]]`` — the Python-loop-free analog of kseq + the
+    nt6 table (io.c:12-28, 84-125), ~10x the per-record reader on short-read
+    files.  Returns None when the input doesn't qualify (too large, mixed
+    FASTA/FASTQ, irregular FASTQ, pathological line endings) — callers fall
+    back to `read_seqs`.  Record semantics match `read_seqs` exactly
+    (property-tested in tests/test_edge_cases.py)."""
+    if fn != "-":
+        try:
+            if os.path.getsize(fn) > max_bytes:
+                return None
+        except OSError:
+            return None
+    with _open_maybe_gzip(fn) as fp:
+        buf = fp.read(max_bytes + 1)
+        if len(buf) > max_bytes:
+            return None
+    data = np.frombuffer(buf, np.uint8)
+    n = len(data)
+    empty = np.zeros(0, np.uint8)
+    if n == 0:
+        return [], empty, np.zeros(1, np.int64)
+    nl = np.flatnonzero(data == 10).astype(np.int64)
+    ends = nl if len(nl) and nl[-1] == n - 1 else np.concatenate([nl, [n]])
+    starts = np.concatenate([np.zeros(1, np.int64), ends[:-1] + 1])
+    # strip trailing \r (all of them, like rstrip); cap the rare multi-\r case
+    for _ in range(4):
+        cr = (ends > starts) & (data[np.maximum(ends - 1, 0)] == 13)
+        if not cr.any():
+            break
+        ends = ends - cr
+    else:
+        return None
+
+    def _assemble(s2, e2, rec, n_rec):
+        """Concatenate spans (s2, e2) in order; rec = record id per span."""
+        lens = e2 - s2
+        d = np.zeros(n + 1, np.int32)
+        np.add.at(d, s2, 1)
+        np.add.at(d, e2, -1)
+        mask = np.cumsum(d[:n]) > 0
+        flat = NT6_TABLE[data][mask]
+        rec_len = np.bincount(rec, weights=lens, minlength=n_rec).astype(np.int64)
+        offs = np.zeros(n_rec + 1, np.int64)
+        np.cumsum(rec_len, out=offs[1:])
+        return flat, offs
+
+    def _names(hs, he, skip):
+        out = []
+        for s, e in zip(hs.tolist(), he.tolist()):
+            toks = buf[s + skip : e].split()
+            out.append(toks[0].decode() if toks else "")
+        return out
+
+    if is_line:
+        flat, offs = _assemble(starts, ends, np.arange(len(starts)), len(starts))
+        return [None] * len(starts), flat, offs
+    nonempty = ends > starts
+    first = data[np.minimum(starts, n - 1)]
+    is_hdr = nonempty & (first == ord(">"))
+    is_at0 = nonempty & (first == ord("@"))
+    if is_at0.any() and len(starts) and first[0] == ord("@"):
+        # FASTQ fast path: rigid 4-line records, single-line sequences
+        if len(starts) % 4 != 0:
+            return None
+        if not (is_at0[0::4].all() and (nonempty[2::4] & (first[2::4] == ord("+"))).all()):
+            return None
+        names = _names(starts[0::4], ends[0::4], 1)
+        s2, e2 = starts[1::4], ends[1::4]
+        flat, offs = _assemble(s2, e2, np.arange(len(s2)), len(s2))
+        return names, flat, offs
+    if is_at0.any() or not is_hdr.any():
+        # mixed/ambiguous (or headerless: read_seqs yields nothing)
+        return None if is_at0.any() else ([], empty, np.zeros(1, np.int64))
+    hdr_idx = np.flatnonzero(is_hdr)
+    rec_of_line = np.searchsorted(hdr_idx, np.arange(len(starts)), side="right") - 1
+    seq_line = ~is_hdr & (rec_of_line >= 0)
+    names = _names(starts[hdr_idx], ends[hdr_idx], 1)
+    flat, offs = _assemble(starts[seq_line], ends[seq_line], rec_of_line[seq_line], len(hdr_idx))
+    return names, flat, offs
+
+
+def iter_flat_batches(fn: str, is_line: bool, batch_size: int):
+    """Yield (names, flat_nt6, offs) chunks of ~batch_size symbols via the
+    vectorized reader; None when the input needs the streaming parser."""
+    got = read_seqs_flat(fn, is_line)
+    if got is None:
+        return None
+    names, flat, offs = got
+
+    def gen():
+        n_rec = len(names)
+        a = 0
+        while a < n_rec:
+            b = int(np.searchsorted(offs, offs[a] + max(1, batch_size), side="left"))
+            b = min(max(b, a + 1), n_rec)
+            yield names[a:b], flat[offs[a] : offs[b]], offs[a : b + 1] - offs[a]
+            a = b
+
+    return gen()
 
 
 @dataclass

@@ -113,3 +113,49 @@ def test_missing_input_files(ref_bin, ref_index, tmp_path):
     both(["hapdiv", "-a11", str(ref_index), nf])
     # build: report and continue with the remaining inputs
     both(["build", nf, str(q)])
+
+
+def test_flat_reader_matches_streaming(tmp_path):
+    """read_seqs_flat (vectorized whole-buffer parse) must yield exactly the
+    records of the streaming read_seqs for every input shape — multi-line
+    FASTA, CRLF, empty sequences, bare '>', FASTQ, leading junk, no trailing
+    newline — or return None (fallback) where it cannot."""
+    import gzip as _gz
+
+    import numpy as np
+
+    from ropebwt3_tpu.nt6 import char2nt6
+    from ropebwt3_tpu.seqio import read_seqs, read_seqs_flat
+
+    cases = [
+        b">a\nACGT\n>b x y\nNNN\nacgt\n",
+        b">a\r\nAC\r\nGT\r\n>b\nTTTT",  # CRLF + no trailing newline
+        b">\nACGT\n>c\n\nAC\n\n",  # bare '>', empty lines inside a record
+        b"junk\nlines\n>a\nACGT\n",  # leading junk is dropped
+        b">only_header\n",
+        b">e1\n>e2\nAC\n",  # empty record then normal
+        b"@q1 desc\nACGT\n+\nIIII\n@q2\nTTnn\n+x\n!!!!\n",  # FASTQ
+        b"",
+        b">x\n" + b"ACGTN" * 1000 + b"\n",
+    ]
+    rng = np.random.default_rng(3)
+    for _ in range(20):  # random multi-record FASTA soup
+        parts = []
+        for r in range(int(rng.integers(1, 9))):
+            parts.append(b">r%d t\n" % r)
+            for _l in range(int(rng.integers(0, 4))):
+                ln = int(rng.integers(0, 60))
+                parts.append(bytes(rng.choice(np.frombuffer(b"ACGTNacgtn@+>", np.uint8), ln)) + b"\n")
+        cases.append(b"".join(parts))
+    for ci, case in enumerate(cases):
+        for gz in (False, True):
+            p = tmp_path / f"c{ci}{'gz' if gz else ''}.fa"
+            p.write_bytes(_gz.compress(case) if gz else case)
+            for is_line in (False, True):
+                want = [(r.name, char2nt6(r.seq).tobytes()) for r in read_seqs(str(p), is_line)]
+                got = read_seqs_flat(str(p), is_line)
+                if got is None:
+                    continue  # fallback is always legal
+                names, flat, offs = got
+                have = [(names[i], flat[offs[i] : offs[i + 1]].tobytes()) for i in range(len(names))]
+                assert have == want, (ci, gz, is_line, case[:80])
