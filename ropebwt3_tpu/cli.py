@@ -14,7 +14,7 @@ import numpy as np
 from . import __version__
 from .index.dense import DenseFMIndex
 from .nt6 import NT6_TABLE, char2nt6, nt6_to_str, revcomp
-from .seqio import read_batch_nt6, read_seqs, read_sid
+from .seqio import batch_nt6_flat, iter_flat_batches, read_batch_nt6, read_seqs, read_sid
 
 REF_VERSION = "3.10-r281"  # ropebwt3 version whose formats/outputs we match
 
@@ -411,6 +411,26 @@ def main_build(argv: list[str]) -> int:
                 # build.c:209: report and move on to the next input
                 print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)
                 continue
+            strands = int(is_for) + int(is_rev)
+            fb = iter_flat_batches(fn, is_line, max(1, batch_size // strands))
+            if fb is not None:
+                # vectorized reader + two-scatter batch assembly (no
+                # per-record Python loop); batch boundaries may differ
+                # slightly from the streaming reader's, which cannot change
+                # any output (merge is order-preserving)
+                for _names, bflat, boffs in fb:
+                    n_seq, seq = batch_nt6_flat(bflat, boffs, is_for, is_rev)
+                    if n_seq == 0:
+                        continue
+                    n_batches += 1
+                    log.info("read %d symbols", len(seq), func="main_build")
+                    if sort_order != 0:
+                        if n_batches > 1:
+                            raise IndexLoadError("-s/-r only supported within a single batch; raise -m")
+                        seq = _sort_units(seq, sort_order)
+                    yield seq
+                yield None  # file boundary (for -S checkpointing)
+                continue
             records = read_seqs(fn, is_line)
             while True:
                 n_seq, seq = read_batch_nt6(records, batch_size, is_for, is_rev)
@@ -750,6 +770,16 @@ def main_suffix(argv: list[str]) -> int:
             # the reference crashes here (main.c main_suffix has no NULL
             # check); a clean error is strictly better
             print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)
+            continue
+        fb = iter_flat_batches(fn, is_line, 1 << 62)
+        if fb is not None:
+            for names, bflat, boffs in fb:
+                for i in range(len(names)):
+                    rec_num += 1
+                    batch.append((names[i] if names[i] else f"seq{rec_num}", bflat[boffs[i] : boffs[i + 1]]))
+                    if len(batch) >= 20000:
+                        flush(batch)
+                        batch = []
             continue
         for rec in read_seqs(fn, is_line):
             rec_num += 1

@@ -115,6 +115,26 @@ def test_missing_input_files(ref_bin, ref_index, tmp_path):
     both(["build", nf, str(q)])
 
 
+def test_batch_nt6_flat_matches_streaming(tmp_path):
+    """The two-scatter construction-batch assembler must equal read_batch_nt6
+    for every strand combination, including empty records."""
+    import numpy as np
+
+    from ropebwt3_tpu.seqio import batch_nt6_flat, read_batch_nt6, read_seqs, read_seqs_flat
+
+    rng = np.random.default_rng(9)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(10):
+        recs = [bytes(rng.choice(alpha, int(rng.integers(0, 120)))) for _ in range(int(rng.integers(1, 30)))]
+        p = tmp_path / f"b{trial}.fa"
+        p.write_bytes(b"".join(b">r%d\n%s\n" % (i, s) for i, s in enumerate(recs)))
+        for is_for, is_rev in ((True, True), (True, False), (False, True)):
+            wn, want = read_batch_nt6(read_seqs(str(p)), 1 << 62, is_for, is_rev)
+            _, flat, offs = read_seqs_flat(str(p))
+            gn, got = batch_nt6_flat(flat, offs, is_for, is_rev)
+            assert wn == gn and np.array_equal(want, got), (trial, is_for, is_rev)
+
+
 def test_flat_reader_matches_streaming(tmp_path):
     """read_seqs_flat (vectorized whole-buffer parse) must yield exactly the
     records of the streaming read_seqs for every input shape — multi-line
