@@ -6,7 +6,20 @@ import sys
 
 
 from ..nt6 import char2nt6, revcomp
-from ..seqio import read_seqs
+from ..seqio import iter_flat_batches, read_seqs
+
+
+def _iter_named(fn: str, is_line: bool):
+    """(name, nt6 array) records via the vectorized flat reader when the
+    input qualifies, else the streaming parser."""
+    fb = iter_flat_batches(fn, is_line, 1 << 28)
+    if fb is not None:
+        for names, flat, offs in fb:
+            for i in range(len(names)):
+                yield names[i], flat[offs[i] : offs[i + 1]]
+    else:
+        for rec in read_seqs(fn, is_line):
+            yield rec.name, char2nt6(rec.seq)
 from .bwasw import RB3_SWF_E2E, RB3_SWF_HAPDIV, RB3_SWF_KEEP_RS, SwOpt, rb3_hapdiv_multi, rb3_sw
 
 _CIG = "MIDNSHP=X"
@@ -140,12 +153,11 @@ def run_sw_cli(f, files, is_line, sw_opts) -> int:
             # search.c:571-575: report and stop processing further files
             print(f"ERROR: failed to load the sequence file '{fn}'", file=sys.stderr)
             break
-        for rec in read_seqs(fn, is_line):
+        for name0, q in _iter_named(fn, is_line):
             seq_id += 1
-            name = rec.name if rec.name else f"seq{seq_id}"
+            name = name0 if name0 else f"seq{seq_id}"
             if _bw.dbg_flag & _bw.DBG_QNAME:
                 sys.stderr.write(f"Q\t{name}\t0\n")
-            q = char2nt6(rec.seq)
             if use_batch:
                 batch.append((name, q))
                 if len(batch) >= BATCH:
@@ -173,10 +185,9 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
             break
         # one batch at a time like the reference pipeline; window results are
         # run-length merged per sequence (search.c:327-353)
-        for rec in read_seqs(fn, is_line):
+        for name0, q in _iter_named(fn, is_line):
             seq_id += 1
-            name = rec.name if rec.name else f"seq{seq_id}"
-            q = char2nt6(rec.seq)
+            name = name0 if name0 else f"seq{seq_id}"
             if len(q) < k:
                 continue
             offs = list(range(0, len(q) - k + 1, w))
