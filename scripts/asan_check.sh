@@ -23,9 +23,19 @@ done
 
 LIBASAN="$(g++ -print-file-name=libasan.so)"
 cd "$SCRATCH"
+# RB3TPU_TEST_REEXEC=1 + the full scrubbed env up front: tests/conftest.py
+# otherwise re-execs pytest with PYTHONPATH="" and the scratch (asan) tree
+# would silently lose to the installed one.
+RB3TPU_TEST_REEXEC=1 \
 LD_PRELOAD="$LIBASAN" \
 ASAN_OPTIONS="detect_leaks=0:abort_on_error=1" \
 PYTHONPATH="$SCRATCH" JAX_PLATFORMS=cpu \
+XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 python -m pytest tests/test_native_sw.py tests/test_ssa_props.py \
-    tests/test_formats.py tests/test_rank.py -q -x "$@"
+    tests/test_formats.py -q -x \
+    --deselect tests/test_ssa_props.py::test_ssa_gen_device_matches_host \
+    "$@"
+# jax-touching tests are excluded: the prebuilt jaxlib CPU backend aborts
+# under an LD_PRELOAD'ed ASan runtime (inside XLA compilation, not our code);
+# the native .so entry points are all covered by the files above.
 echo "[asan] native libs clean"
