@@ -63,6 +63,14 @@ static int sais_threads() {
   return t;
 }
 
+static int64_t sais_round_min() {  // below this, an induce round runs scalar
+  static int64_t v = [] {
+    const char *e = getenv("RB3T_SAIS_ROUND_MIN");
+    return e ? atoll(e) : (int64_t)(1 << 15);
+  }();
+  return v;
+}
+
 // run f(t, lo_t, hi_t) for T contiguous chunks of [lo, hi) on T threads
 template <typename I, typename F>
 static void par_chunks(int T, I lo, I hi, F f) {
@@ -224,7 +232,6 @@ struct SaisLevel {
     induce_S_scalar(0, n);
   }
 
-  static constexpr I ROUND_MIN = 1 << 15;  // below this, scalar round
   static constexpr I ROUND_CAP = 1 << 21;  // emission-buffer bound per round
 
   struct EmBuf {
@@ -254,7 +261,7 @@ struct SaisLevel {
         }
         if (e - f > ROUND_CAP) e = f + ROUND_CAP;
         st_rounds++;
-        if (e - f < ROUND_MIN) {
+        if (e - f < (I)sais_round_min()) {
           st_scal += e - f;
           induce_L_scalar(f, e);
           f = e;
@@ -324,7 +331,7 @@ struct SaisLevel {
         }
         if (f - e > ROUND_CAP) e = f - ROUND_CAP;
         st_rounds++;
-        if (f - e < ROUND_MIN) {
+        if (f - e < (I)sais_round_min()) {
           st_scal += f - e;
           induce_S_scalar(e, f);
           f = e;
