@@ -918,6 +918,79 @@ static void smem_tg_read(const Fmi& f, RankCache& rc, const uint8_t* q, int32_t 
   while (x < n) x = smem1_tg(f, rc, q, n, x, min_occ, min_len, mems);
 }
 
+// ---- k-mer seed table (ops/seed.py semantics, equivalence-tested there) ---
+// tab[key] = bi-interval of the ACGT k-mer with the FIRST char in the
+// key's most-significant 2 bits.  A window (re)start whose first k backward
+// extends are covered by a non-empty table entry jumps them in O(1); every
+// other case (any N/0 in the window, table size < min_occ, a boundary the
+// covered steps could cross) runs sequentially, so output is bit-identical.
+struct SeedTab {
+  int k = 0;
+  std::vector<int64_t> lo, rc, sz;
+};
+
+static inline bool seed_key(const uint8_t* s, int k, uint32_t& key) {
+  uint32_t v = 0;
+  for (int d = 0; d < k; d++) {
+    unsigned c = s[d];
+    if (c - 1u > 3u) return false;  // only A/C/G/T
+    v = (v << 2) | (c - 1u);
+  }
+  key = v;
+  return true;
+}
+
+static void build_seed_tab(const Fmi& f, int k, int n_threads, SeedTab& t) {
+  t.k = k;
+  t.lo.assign(4, 0);
+  t.rc.assign(4, 0);
+  t.sz.assign(4, 0);
+  for (int c = 1; c <= 4; c++) {
+    t.lo[c - 1] = f.acc[c];
+    t.rc[c - 1] = f.acc[5 - c];
+    t.sz[c - 1] = f.acc[c + 1] - f.acc[c];
+  }
+  for (int L = 1; L < k; L++) {
+    size_t cur = (size_t)1 << (2 * L);
+    std::vector<int64_t> nlo(cur * 4), nrc(cur * 4), nsz(cur * 4);
+    auto span = [&](size_t a, size_t b) {
+      RankCache rcache;
+      Ext e;
+      for (size_t key = a; key < b; key++) {
+        if (t.sz[key] <= 0) {
+          for (int c = 1; c <= 4; c++) {
+            size_t nk = ((size_t)(c - 1) << (2 * L)) | key;
+            nlo[nk] = nrc[nk] = nsz[nk] = 0;
+          }
+          continue;
+        }
+        extend_back(f, t.lo[key], t.rc[key], t.sz[key], e, rcache);
+        for (int c = 1; c <= 4; c++) {
+          size_t nk = ((size_t)(c - 1) << (2 * L)) | key;
+          nlo[nk] = e.lo[c];
+          nrc[nk] = e.rc[c];
+          nsz[nk] = e.sz[c];
+        }
+      }
+    };
+    if (n_threads > 1 && cur >= 4096) {
+      std::vector<std::thread> th;
+      size_t per = (cur + n_threads - 1) / n_threads;
+      for (int tt = 1; tt < n_threads; tt++) {
+        size_t a = per * tt, b = std::min(cur, a + per);
+        if (a < b) th.emplace_back(span, a, b);
+      }
+      span(0, std::min(cur, per));
+      for (auto& x : th) x.join();
+    } else {
+      span(0, cur);
+    }
+    t.lo.swap(nlo);
+    t.rc.swap(nrc);
+    t.sz.swap(nsz);
+  }
+}
+
 // smem_tg_read as a resumable state machine: one extend_back (= two rank1a)
 // per step, with the NEXT extend's rank streams prefetched as soon as its
 // interval is known, so a thread can interleave G independent reads and hide
@@ -931,6 +1004,7 @@ struct SmemSM {
   int phase = 0;
   bool live = false;
   std::vector<MemRec>* mems = nullptr;
+  const SeedTab* seed = nullptr;  // optional k-mer jump table (bit-identical)
 
   void init_ik(const Fmi& f, int c0) {
     int comp0 = (c0 >= 1 && c0 <= 4) ? 5 - c0 : c0;
@@ -949,7 +1023,7 @@ struct SmemSM {
 
   // Enter the TG window at x0 (smem1_tg preamble, rank-free): leaves either
   // an extend pending (live) or the read finished (!live).
-  void start_window(const Fmi& f, int32_t min_len, int32_t x0) {
+  void start_window(const Fmi& f, int32_t min_len, int64_t min_occ, int32_t x0) {
     x = x0;
     live = true;
     if (n - x < min_len) {
@@ -958,6 +1032,18 @@ struct SmemSM {
     }
     init_ik(f, q[x + min_len - 1]);
     i = x + min_len - 2;
+    if (seed && i >= x) {
+      // BACK1 seed jump: the window's k-suffix exists with size >= min_occ,
+      // so its k-1 covered extends all succeeded (supersets); k <= min_len-1
+      // keeps every covered step inside the loop range (ops/seed.py).
+      uint32_t key;
+      if (seed_key(q + x + min_len - seed->k, seed->k, key) && seed->sz[key] >= min_occ) {
+        ik_lo = seed->lo[key];
+        ik_rc = seed->rc[key];
+        ik_sz = seed->sz[key];
+        i = x + min_len - 1 - seed->k;
+      }
+    }
     if (i >= x) {
       phase = PH_B1;
       pf_back(f);
@@ -983,12 +1069,23 @@ struct SmemSM {
         mems->push_back({x, j, ik_sz, ik_lo, ik_rc});
         init_ik(f, q[j]);  // BACK2 preamble (j < n on this path)
         i = j - 1;
+        if (seed && j + 1 - seed->k > x) {
+          // BACK2 seed jump (smem_fsm jump2): safe only when the k-1 covered
+          // steps cannot hit the i <= x stop; all succeed (supersets)
+          uint32_t key;
+          if (seed_key(q + j + 1 - seed->k, seed->k, key) && seed->sz[key] >= min_occ) {
+            ik_lo = seed->lo[key];
+            ik_rc = seed->rc[key];
+            ik_sz = seed->sz[key];
+            i = j - seed->k;
+          }
+        }
         if (i > x) {
           phase = PH_B2;
           pf_back(f);
           return;
         }
-        start_window(f, min_len, i + 1);
+        start_window(f, min_len, min_occ, i + 1);
         return;
       }
       ik_rc = e.lo[c];
@@ -1008,7 +1105,7 @@ struct SmemSM {
     bool ok = e.sz[c] >= min_occ;
     if (phase == PH_B1) {
       if (!ok) {
-        start_window(f, min_len, i + 1);
+        start_window(f, min_len, min_occ, i + 1);
         return;
       }
       ik_lo = e.lo[c];
@@ -1040,7 +1137,7 @@ struct SmemSM {
         return;
       }
     }
-    start_window(f, min_len, i + 1);
+    start_window(f, min_len, min_occ, i + 1);
   }
 };
 
@@ -1783,6 +1880,22 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
   Fmi f{bwt, occ_block, occ_super, acc, n};
   if (n_threads < 1) n_threads = 1;
   std::vector<std::string> blobs(n_reads);
+  // k-mer seed table (RB3T_SMEM_SEED=k, default OFF): skips the first k
+  // backward extends of every window (re)start bit-identically — MEASURED
+  // NEUTRAL at k=8 on the 64M/100k-read workload (the direct-mapped rank
+  // cache already absorbs those extends: only 4^k distinct states exist)
+  // and a LOSS at k=10 (table build + cache pressure).  Kept, tested, off.
+  SeedTab seed;
+  const SeedTab* seedp = nullptr;
+  {
+    const char* e = getenv("RB3T_SMEM_SEED");
+    int k = e ? atoi(e) : 0;
+    if (k > min_len - 1) k = min_len - 1;
+    if (k >= 2) {
+      build_seed_tab(f, k, n_threads, seed);
+      seedp = &seed;
+    }
+  }
   auto work = [&](int64_t r0, int64_t r1) {
     RankCache rc;
     constexpr int G = 16;  // reads interleaved per thread (latency hiding)
@@ -1805,7 +1918,8 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
           sm[gi].q = seqs + seq_off[r];
           sm[gi].n = (int32_t)(seq_off[r + 1] - seq_off[r]);
           sm[gi].mems = &memv[gi];
-          sm[gi].start_window(f, min_len, 0);
+          sm[gi].seed = seedp;
+          sm[gi].start_window(f, min_len, min_occ, 0);
           if (!sm[gi].live) flush(gi);
         }
         if (sm[gi].live) {

@@ -187,6 +187,38 @@ def test_native_smem_edge_reads(native_lib):
         assert [key(a) for a in nat] == [key(b) for b in ref], (min_occ, min_len)
 
 
+def test_native_smem_seed_table_matches(native_lib, monkeypatch):
+    """The opt-in k-mer seed table (RB3T_SMEM_SEED) must be bit-identical to
+    the sequential walk for every k, including k clamped to min_len-1."""
+    import random
+
+    from ropebwt3_tpu.ops.smem_native import smem_tg_batch_native
+
+    random.seed(5)
+    refs = ["".join(random.choice("ACGT") for _ in range(600)) for _ in range(3)]
+    f = _make_index(refs)
+    seqs = []
+    for _ in range(80):
+        src = random.choice(refs)
+        p = random.randrange(0, 450)
+        s = list(src[p : p + random.randrange(0, 140)])
+        for _ in range(random.randrange(0, 5)):
+            if s:
+                s[random.randrange(len(s))] = random.choice("ACGTN")
+        seqs.append(char2nt6("".join(s).encode()))
+
+    def key(ms):
+        return [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in ms]
+
+    for min_occ, min_len in ((1, 19), (2, 9), (1, 5)):
+        monkeypatch.setenv("RB3T_SMEM_SEED", "0")
+        base = smem_tg_batch_native(f, seqs, min_occ, min_len)
+        for k in ("2", "4", "8", "12"):
+            monkeypatch.setenv("RB3T_SMEM_SEED", k)
+            got = smem_tg_batch_native(f, seqs, min_occ, min_len)
+            assert [key(a) for a in got] == [key(b) for b in base], (min_occ, min_len, k)
+
+
 def test_sidecar_roundtrip(tmp_path):
     from ropebwt3_tpu.index.sidecar import read_sidecar, write_sidecar
 
