@@ -177,35 +177,31 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
     opt.flag |= RB3_SWF_E2E | RB3_SWF_HAPDIV
     out = sys.stdout
     seq_id = 0
-    for fn in files:
-        from ..cli import seq_openable
+    from .bwasw import HapDiv, native_sw_available
 
-        if not seq_openable(fn):
-            print(f"ERROR: failed to load the sequence file '{fn}'", file=sys.stderr)
-            break
-        # one batch at a time like the reference pipeline; window results are
-        # run-length merged per sequence (search.c:327-353)
-        for name0, q in _iter_named(fn, is_line):
-            seq_id += 1
-            name = name0 if name0 else f"seq{seq_id}"
-            if len(q) < k:
-                continue
-            offs = list(range(0, len(q) - k + 1, w))
-            from .bwasw import native_sw_available
+    # Windows are batched ACROSS reads into one native DP call: short reads
+    # contribute only 1-2 windows each, and a per-read call would pay ctypes
+    # + thread-pool spawn 100k times (measured ~5x the reference wall on
+    # 100k x 150 bp).  Window results are run-length merged per sequence
+    # (search.c:327-353); batching cannot change any output row.
+    CAP = 16384 if native_sw_available() else 64
+    pend: list[tuple[str, list[int]]] = []
+    wins: list = []
 
-            # native DP threads across the whole window set; the Python
-            # lock-step path chunks to bound per-batch state
-            BATCH = len(offs) if native_sw_available() else 64
+    def flush():
+        nonlocal pend, wins
+        if not pend:
+            return
+        rs = rb3_hapdiv_multi(opt, f, wins)
+        pos = 0
+        for name, offs in pend:
             results = []
-            for b0 in range(0, len(offs), BATCH):
-                group = offs[b0 : b0 + BATCH]
-                rs = rb3_hapdiv_multi(opt, f, [q[j : j + k] for j in group])
-                for j, r in zip(group, rs):
-                    if r is None:
-                        from .bwasw import HapDiv
-
-                        r = HapDiv()
-                    results.append((j, (r.n_al, r.max_ed, tuple(r.n_hap))))
+            for j in offs:
+                r = rs[pos]
+                pos += 1
+                if r is None:
+                    r = HapDiv()
+                results.append((j, (r.n_al, r.max_ed, tuple(r.n_hap))))
             # merge identical consecutive windows
             i0 = 0
             for i1 in range(1, len(results) + 1):
@@ -216,4 +212,23 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
                     row = f"{name}\t{off0}\t{off_last + k}\t{n_al}\t{max_ed}\t" + "\t".join(str(x) for x in n_hap)
                     out.write(row + "\n")
                     i0 = i1
+        pend, wins = [], []
+
+    for fn in files:
+        from ..cli import seq_openable
+
+        if not seq_openable(fn):
+            print(f"ERROR: failed to load the sequence file '{fn}'", file=sys.stderr)
+            break
+        for name0, q in _iter_named(fn, is_line):
+            seq_id += 1
+            name = name0 if name0 else f"seq{seq_id}"
+            if len(q) < k:
+                continue
+            offs = list(range(0, len(q) - k + 1, w))
+            pend.append((name, offs))
+            wins.extend(q[j : j + k] for j in offs)
+            if len(wins) >= CAP:
+                flush()
+    flush()
     return 0
