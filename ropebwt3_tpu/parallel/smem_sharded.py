@@ -31,13 +31,15 @@ def _set_intv_tables(acc, c):
     return jnp.stack([acc_c, acc_comp, acc_c1 - acc_c], axis=-1)
 
 
-def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems: int, max_iters: int):
+def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems: int, max_iters: int, packed: bool = False, unroll: int = 1):
     """Build a jitted sharded SMEM step: (q (Q,L) u8 sharded over dp, qlen) ->
-    (mems, n_mem, iters-per-dp-row)."""
+    (mems, n_mem, iters-per-dp-row).  With packed=True the step instead takes
+    (q, seg_off, seg_len, n_seg) — the multi-read lane-packing layout of the
+    single-chip kernel (ops/smem_fsm.py `segments`), all sharded over dp."""
     mesh = sidx.mesh
     nb_local = sidx.nb_local
 
-    def inner(tables, acc, comp, q, qlen):
+    def inner(tables, acc, comp, q, qlen, *segs):
         mems, n_mem, it = smem_fsm(
             lambda ik, back: extend_sharded(tables, acc, nb_local, ik, back),
             lambda c: _set_intv_tables(acc, c),
@@ -49,20 +51,32 @@ def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems:
             min_len=min_len,
             max_mems=max_mems,
             max_iters=max_iters,
+            unroll=unroll,
+            segments=segs if packed else None,
             extend_one=lambda ik, c, back: extend_sharded_c(tables, acc, nb_local, ik, c, back),
         )
         return mems, n_mem, it[None]
 
+    seg_specs = (P("dp", None), P("dp", None), P("dp")) if packed else ()
     smapped = shard_map(
         inner,
         mesh=mesh,
-        in_specs=(sidx.table_specs, P(), P(), P("dp", None), P("dp")),
+        in_specs=(sidx.table_specs, P(), P(), P("dp", None), P("dp")) + seg_specs,
         out_specs=(P("dp", None, None), P("dp"), P("dp")),
         check_rep=False,
     )
 
-    @jax.jit
-    def step(q, qlen):
-        return smapped(sidx.tables, sidx.acc, sidx.comp, q, qlen)
+    if packed:
+
+        @jax.jit
+        def step(q, seg_off, seg_len, n_seg):
+            Q = q.shape[0]
+            return smapped(sidx.tables, sidx.acc, sidx.comp, q, jnp.zeros(Q, jnp.int32), seg_off, seg_len, n_seg)
+
+    else:
+
+        @jax.jit
+        def step(q, qlen):
+            return smapped(sidx.tables, sidx.acc, sidx.comp, q, qlen)
 
     return step
