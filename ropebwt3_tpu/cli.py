@@ -865,6 +865,14 @@ def main_fa2line(argv: list[str]) -> int:
         if not seq_openable(fn):
             print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)
             continue
+        fb = iter_flat_batches(fn, False, 1 << 26)
+        if fb is not None:
+            # the [fwd, 0][, rc, 0] construction layout IS the fa2line output
+            # under the "\nACGTX" map (separators become the line breaks)
+            for _names, bflat, boffs in fb:
+                _, seq = batch_nt6_flat(bflat, boffs, True, not no_rev)
+                sys.stdout.buffer.write(tab[seq].tobytes())
+            continue
         for rec in read_seqs(fn, False):
             s = char2nt6(rec.seq)
             sys.stdout.buffer.write(tab[s].tobytes() + b"\n")

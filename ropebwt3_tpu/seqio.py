@@ -238,13 +238,14 @@ def batch_nt6_flat(flat: np.ndarray, offs: np.ndarray, is_for: bool = True, is_r
     total = int(base[-1] + unit[-1])
     dest = np.zeros(total, dtype=np.uint8)  # separators stay 0
     pos = np.arange(len(flat), dtype=np.int64)
-    rec = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # per-record dest offsets expanded with np.repeat (C-speed, no gathers):
+    # fwd bytes land ascending from base - offs; rc bytes land DESCENDING
+    # from the rc span's end, which reverses each record in the scatter
     if is_for:
-        dest[base[rec] + (pos - offs[rec])] = flat
+        dest[pos + np.repeat(base - offs[:-1], lens)] = flat
     if is_rev:
-        rc = COMP_TABLE[flat[offs[rec] + offs[rec + 1] - 1 - pos]]
-        shift = (lens[rec] + 1) if is_for else 0
-        dest[base[rec] + shift + (pos - offs[rec])] = rc
+        end_rc = base + (lens + 1 if is_for else 0) + (lens - 1) + offs[:-1]
+        dest[np.repeat(end_rc, lens) - pos] = COMP_TABLE[flat]
     return n * strands, dest
 
 
