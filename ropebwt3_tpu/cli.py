@@ -193,7 +193,9 @@ Options:
   --gap=NUM   output regions >=NUM that are not covered by MEMs [0]
   --cov       output breadth of coverage
 {_SEARCH_COMMON}
-  --engine=STR  SMEM engine: auto, jax (TPU), native, py [auto]""",
+  --engine=STR  SMEM engine: auto, jax (TPU), native, py [auto]
+  --mesh=DPxIDX shard over a device mesh with --engine=jax: reads over DP
+                devices, occ tables over IDX devices (e.g. --mesh=4x2) []""",
     "sw": f"""Usage: rb3tpu sw [options] <idx.fmr> <seq.fa> [...]
 Options:
 {_SW_SCORING}
@@ -916,7 +918,7 @@ def main_fa2kmer(argv: list[str]) -> int:
 # mem / search / sw / hapdiv
 # ---------------------------------------------------------------------------
 
-_LONG_OPTS = ["no-ssa", "seq", "gap=", "cov", "old-mem", "all-e2e", "no-kalloc", "dbg-dawg", "dbg-sw", "dbg-qname", "dbg-bt", "engine="]
+_LONG_OPTS = ["no-ssa", "seq", "gap=", "cov", "old-mem", "all-e2e", "no-kalloc", "dbg-dawg", "dbg-sw", "dbg-qname", "dbg-bt", "engine=", "mesh="]
 
 
 def main_search(argv: list[str], cmd: str) -> int:
@@ -932,6 +934,7 @@ def main_search(argv: list[str], cmd: str) -> int:
     write_cov = False
     no_ssa = False
     engine = "auto"
+    mesh_spec = None
     batch_size = 100_000_000
     hapdiv_k, hapdiv_w = 101, 50
     sw_opts = {
@@ -1007,6 +1010,8 @@ def main_search(argv: list[str], cmd: str) -> int:
             no_ssa = True
         elif o == "--engine":
             engine = a
+        elif o == "--mesh":
+            mesh_spec = a
         elif o in ("--dbg-dawg", "--dbg-sw", "--dbg-qname", "--dbg-bt"):
             from .align import bwasw as _bw
 
@@ -1044,11 +1049,13 @@ def main_search(argv: list[str], cmd: str) -> int:
             return run_sw_cli(f, args[1:], is_line, sw_opts)
         return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w)
 
-    return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size)
+    return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec)
 
 
-def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size) -> int:
+def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec=None) -> int:
     out = sys.stdout
+    if mesh_spec and engine == "auto":
+        engine = "jax"  # --mesh only means anything on the sharded engine
     seq_id = 0
     native_batch = None
     if engine in ("auto", "native") and algo == "mem_tg":
@@ -1067,7 +1074,15 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             try:
                 from .ops.smem import BatchedSmemTG
 
-                _jax_state["eng"] = BatchedSmemTG(f, min_occ=min_occ, min_len=min_len)
+                mesh = None
+                if mesh_spec:
+                    # --mesh DPxIDX (e.g. 4x2): reads data-parallel over dp,
+                    # occ tables sharded over idx (parallel/mesh.py)
+                    from .parallel.mesh import make_mesh
+
+                    dd, _, ii = mesh_spec.lower().partition("x")
+                    mesh = make_mesh(int(dd), int(ii) if ii else 1)
+                _jax_state["eng"] = BatchedSmemTG(f, min_occ=min_occ, min_len=min_len, mesh=mesh)
             except Exception:
                 if engine == "jax":
                     raise

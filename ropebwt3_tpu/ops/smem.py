@@ -84,9 +84,20 @@ class BatchedSmemTG:
         unroll: int | None = None,
         seed_k: int | None = None,
         pack: bool = True,
+        mesh=None,
     ):
         self.pack = pack
-        self.idx = DeviceIndex.from_dense(f)
+        self.mesh = mesh  # (dp, idx) jax Mesh: occ tables sharded over idx,
+        # lanes over dp (parallel/); packed dispatches go through
+        # smem_sharded_fn, everything else falls back to the host engine
+        if mesh is not None:
+            from ..parallel.mesh import ShardedIndex
+
+            self.sidx = ShardedIndex.from_dense(f, mesh)
+            self._sharded_steps: dict = {}
+            self.idx = None
+        else:
+            self.idx = DeviceIndex.from_dense(f)
         self._dense = f  # host-side fallback for per-read overflow reruns
         self.min_occ = int(min_occ)
         self.min_len = int(min_len)
@@ -98,7 +109,7 @@ class BatchedSmemTG:
             # dispatches), so the XLA path is the default; the Pallas kernel
             # stays available (and correctness-tested) for future tuning.
             use_pallas = False
-        self.use_pallas = use_pallas and self.idx.idx_dtype == jnp.int32
+        self.use_pallas = use_pallas and self.idx is not None and self.idx.idx_dtype == jnp.int32
         # unroll=2 re-measured a +3% WIN once the body dropped to 3 gathers
         # (it was a loss at ~12 gathers/iteration: body copies dominated)
         self.unroll = int(unroll) if unroll is not None else 2
@@ -110,7 +121,7 @@ class BatchedSmemTG:
             seed_k = 0
         self.seed_k = max(0, min(int(seed_k), self.min_len - 1))
         self.seed_tab = None
-        if self.seed_k >= 4 and not self.use_pallas:
+        if self.seed_k >= 4 and not self.use_pallas and self.idx is not None:
             from .seed import build_seed_table
 
             self.seed_tab = build_seed_table(self.idx, self.seed_k)
@@ -134,6 +145,17 @@ class BatchedSmemTG:
 
     def _host_rerun(self, q: np.ndarray) -> list[Mem]:
         return self._host_rerun_many([q])[0]
+
+    def _sharded_step(self, Q, Lbuf, Rcap, M):
+        key = (Q, Lbuf, Rcap, M)
+        if key not in self._sharded_steps:
+            from ..parallel.smem_sharded import smem_sharded_fn
+
+            self._sharded_steps[key] = smem_sharded_fn(
+                self.sidx, min_occ=self.min_occ, min_len=self.min_len,
+                max_mems=M, max_iters=Rcap * Lbuf + 64, packed=True, unroll=self.unroll,
+            )
+        return self._sharded_steps[key]
 
     def _run_chunk(self, queries: list[np.ndarray], L: int) -> list[list[Mem]]:
         Q = len(queries)
@@ -196,6 +218,9 @@ class BatchedSmemTG:
         Lbuf = Lbuf or self.PACK_LBUF
         Rcap = self.PACK_R
         Q = int(os.environ.get("RB3TPU_PACK_Q", 0)) or max(256, self.lanes // 4)
+        if self.mesh is not None:  # lanes shard evenly over the dp axis
+            dp = self.mesh.shape["dp"]
+            Q = (Q + dp - 1) // dp * dp
         if M is None:
             M = max(64, self.max_mems) if self.max_mems else 64
         idxs_np = np.asarray(idxs, dtype=np.int64)
@@ -242,19 +267,32 @@ class BatchedSmemTG:
             return t + take, dict(qarr=qarr, seg_off=seg_off, seg_len=seg_len, n_seg=n_seg, lane_a=lane_a, rnd_a=rnd_a, rid_a=rid_a)
 
         def dispatch(d):
-            mems, n_mem, _ = smem_tg_batch(
-                self.idx,
-                jnp.asarray(d["qarr"]),
-                jnp.zeros(Q, jnp.int32),
-                min_occ=self.min_occ,
-                min_len=self.min_len,
-                max_mems=M,
-                max_iters=Rcap * Lbuf + 64,
-                unroll=self.unroll,
-                seed_tab=self.seed_tab,
-                seed_k=self.seed_k,
-                segments=(jnp.asarray(d["seg_off"]), jnp.asarray(d["seg_len"]), jnp.asarray(d["n_seg"])),
-            )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                step = self._sharded_step(Q, Lbuf, Rcap, M)
+                sh2 = NamedSharding(self.mesh, P("dp", None))
+                sh1 = NamedSharding(self.mesh, P("dp"))
+                mems, n_mem, _ = step(
+                    jax.device_put(d["qarr"], sh2),
+                    jax.device_put(d["seg_off"], sh2),
+                    jax.device_put(d["seg_len"], sh2),
+                    jax.device_put(d["n_seg"], sh1),
+                )
+            else:
+                mems, n_mem, _ = smem_tg_batch(
+                    self.idx,
+                    jnp.asarray(d["qarr"]),
+                    jnp.zeros(Q, jnp.int32),
+                    min_occ=self.min_occ,
+                    min_len=self.min_len,
+                    max_mems=M,
+                    max_iters=Rcap * Lbuf + 64,
+                    unroll=self.unroll,
+                    seed_tab=self.seed_tab,
+                    seed_k=self.seed_k,
+                    segments=(jnp.asarray(d["seg_off"]), jnp.asarray(d["seg_len"]), jnp.asarray(d["n_seg"])),
+                )
             d["mems_dev"], d["n_mem_dev"] = mems, n_mem
             return d
 
@@ -340,7 +378,10 @@ class BatchedSmemTG:
             L = max(64, 1 << (max(1, len(queries[t]) - 1)).bit_length())
             buckets.setdefault(L, []).append(t)
         for L, idxs in buckets.items():
-            outs = self._run_chunk([queries[t] for t in idxs], L)
+            if self.mesh is not None:  # no unpacked sharded variant: host engine
+                outs = self._host_rerun_many([queries[t] for t in idxs])
+            else:
+                outs = self._run_chunk([queries[t] for t in idxs], L)
             for t, o in zip(idxs, outs):
                 results[t] = o
         return results  # type: ignore[return-value]

@@ -103,6 +103,13 @@ def test_mem_golden(ref_bin, ref_index, corpus, extra):
     assert run_ours(args + ["--engine=ref"]) == run_ref(ref_bin, args)
 
 
+def test_mem_mesh_golden(ref_bin, ref_index, corpus):
+    """mem over a sharded (dp, idx) device mesh (--mesh with --engine=jax):
+    byte-identical BED on the 8-device virtual mesh the tests run under."""
+    args = ["mem", "-l21", str(ref_index), str(corpus / "reads.fa")]
+    assert run_ours(args + ["--engine=jax", "--mesh=4x2"]) == run_ref(ref_bin, args)
+
+
 def test_mem_toy_readme(ref_bin, tmp_path):
     idx = tmp_path / "toy.fmd"
     seq = b"TGAACTCTACACAACATATTTTGTCACCAAG\n"
