@@ -133,8 +133,10 @@ def read_seqs_flat(fn: str, is_line: bool = False, max_bytes: int = 1 << 30):
         except OSError:
             return None
     with _open_maybe_gzip(fn) as fp:
-        buf = fp.read(max_bytes + 1)
-        if len(buf) > max_bytes:
+        # stdin must be read fully: a partial read could not be handed back
+        # to the streaming fallback parser
+        buf = fp.read() if fn == "-" else fp.read(max_bytes + 1)
+        if fn != "-" and len(buf) > max_bytes:
             return None
     data = np.frombuffer(buf, np.uint8)
     n = len(data)
