@@ -901,16 +901,21 @@ def main_fa2kmer(argv: list[str]) -> int:
         if not seq_openable(fn):
             print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)
             continue
+        buf: list[bytes] = []
         for rec in read_seqs(fn, False):
             seq, L = rec.seq, len(rec.seq)
+            name = (rec.name or "").encode()
             i = 0
             while i < L:
                 en = L if i + step + kmer > L else i + kmer
-                sys.stdout.write(f">{rec.name}:{i+1}-{en}\n")
-                sys.stdout.buffer.write(seq[i:en] + b"\n")
+                buf.append(b">%s:%d-%d\n%s\n" % (name, i + 1, en, seq[i:en]))
                 if en == L:
                     break
                 i += step
+            if len(buf) >= 65536:
+                sys.stdout.buffer.write(b"".join(buf))
+                buf.clear()
+        sys.stdout.buffer.write(b"".join(buf))
     return 0
 
 
