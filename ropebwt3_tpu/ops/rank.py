@@ -122,52 +122,50 @@ class DeviceIndex:
     def from_dense(cls, f: DenseFMIndex, idx_dtype=None) -> "DeviceIndex":
         if idx_dtype is None:
             idx_dtype = jnp.int32 if f.n < (1 << 31) - (1 << 20) else jnp.int64
-        nb = len(f.occ_block)
-        bwt_blocks = f.bwt[: nb * BLOCK].reshape(nb, BLOCK)
         comp = jnp.asarray(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32))
         acc = jnp.asarray(f.acc.astype(idx_dtype))
-        occf = np.empty((nb, 12), np.int32)
-        occf[:, :6] = pack_bitplanes(bwt_blocks).view(np.int32)
-        if idx_dtype == jnp.int32:
-            sup = np.repeat(f.occ_super, BLOCKS_PER_SUPER, axis=0)[:nb]
-            occf[:, 6:] = sup + f.occ_block
-            return cls(
-                occ_bits=None,
-                occ_block=None,
-                occ_super=jnp.zeros((1, ASIZE), jnp.int32),
-                acc=acc,
-                n=f.n,
-                comp=comp,
-                occf=jnp.asarray(occf),
-            )
-        # int64: counts relative to the containing 2^32-symbol megablock,
-        # stored uint32; megablock base rows in the tiny occ_super table.
-        # Chunked so the int64 temporaries stay cache-sized at terabase nb.
-        mega_blocks = 1 << MEGA_BLOCK_SHIFT
-        n_mega = (nb + mega_blocks - 1) // mega_blocks
-        mega = np.zeros((n_mega, ASIZE), np.int64)
-        step = 1 << 20
-        for b0 in range(0, nb, step):
-            b1 = min(b0 + step, nb)
-            s0, s1 = b0 // BLOCKS_PER_SUPER, (b1 - 1) // BLOCKS_PER_SUPER + 1
-            sup = np.repeat(f.occ_super[s0:s1], BLOCKS_PER_SUPER, axis=0)
-            sup = sup[b0 - s0 * BLOCKS_PER_SUPER : b0 - s0 * BLOCKS_PER_SUPER + (b1 - b0)]
-            glob = sup + f.occ_block[b0:b1]
-            for mb in range(b0 >> MEGA_BLOCK_SHIFT, ((b1 - 1) >> MEGA_BLOCK_SHIFT) + 1):
-                r = mb << MEGA_BLOCK_SHIFT
-                if b0 <= r < b1:
-                    mega[mb] = glob[r - b0]
-            rel = glob - mega[(np.arange(b0, b1) >> MEGA_BLOCK_SHIFT)]
-            occf[b0:b1, 6:] = rel.astype(np.uint32).view(np.int32)
+        occf, mega = build_occf(f, int64=idx_dtype == jnp.int64)
         return cls(
             occ_bits=None,
             occ_block=None,
-            occ_super=jnp.asarray(mega),
+            occ_super=jnp.zeros((1, ASIZE), jnp.int32) if mega is None else jnp.asarray(mega),
             acc=acc,
             n=f.n,
             comp=comp,
             occf=jnp.asarray(occf),
         )
+
+
+def build_occf(f: DenseFMIndex, int64: bool) -> tuple[np.ndarray, np.ndarray | None]:
+    """Host-side fused row table: (occf (nb, 12) int32, mega | None).
+
+    int32 mode: absolute counts, mega None.  int64 mode: uint32 counts
+    relative to the containing 2^32-symbol megablock plus the tiny (n_mega,
+    6) int64 base table; chunked so int64 temporaries stay cache-sized at
+    terabase nb."""
+    nb = len(f.occ_block)
+    occf = np.empty((nb, 12), np.int32)
+    occf[:, :6] = pack_bitplanes(f.bwt[: nb * BLOCK].reshape(nb, BLOCK)).view(np.int32)
+    if not int64:
+        occf[:, 6:] = np.repeat(f.occ_super, BLOCKS_PER_SUPER, axis=0)[:nb] + f.occ_block
+        return occf, None
+    mega_blocks = 1 << MEGA_BLOCK_SHIFT
+    n_mega = (nb + mega_blocks - 1) // mega_blocks
+    mega = np.zeros((n_mega, ASIZE), np.int64)
+    step = 1 << 20
+    for b0 in range(0, nb, step):
+        b1 = min(b0 + step, nb)
+        s0 = b0 // BLOCKS_PER_SUPER
+        sup = np.repeat(f.occ_super[s0 : (b1 - 1) // BLOCKS_PER_SUPER + 1], BLOCKS_PER_SUPER, axis=0)
+        sup = sup[b0 - s0 * BLOCKS_PER_SUPER : b0 - s0 * BLOCKS_PER_SUPER + (b1 - b0)]
+        glob = sup + f.occ_block[b0:b1]
+        for mb in range(b0 >> MEGA_BLOCK_SHIFT, ((b1 - 1) >> MEGA_BLOCK_SHIFT) + 1):
+            r = mb << MEGA_BLOCK_SHIFT
+            if b0 <= r < b1:
+                mega[mb] = glob[r - b0]
+        rel = glob - mega[(np.arange(b0, b1) >> MEGA_BLOCK_SHIFT)]
+        occf[b0:b1, 6:] = rel.astype(np.uint32).view(np.int32)
+    return occf, mega
 
 
 def _inblock_counts(bits: jax.Array, off: jax.Array) -> jax.Array:

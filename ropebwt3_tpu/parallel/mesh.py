@@ -38,18 +38,19 @@ class ShardedIndex:
     occ_super)."""
 
     mesh: Mesh
-    occ_bits: jax.Array | None  # (nb_pad, 6) uint32, sharded (int64 mode)
-    occ_block: jax.Array | None  # (nb_pad, 6) uint16, sharded (int64 mode)
-    occ_super: jax.Array | None  # (ns, 6) idx-dtype, replicated (int64 mode)
+    occ_bits: jax.Array | None  # (nb_pad, 6) uint32, sharded (legacy int64)
+    occ_block: jax.Array | None  # (nb_pad, 6) uint16, sharded (legacy int64)
+    occ_super: jax.Array | None  # legacy: (ns, 6) idx replicated; fused
+    # int64: tiny (n_mega, 6) int64 megablock bases, replicated
     acc: jax.Array  # (7,) replicated
     comp: jax.Array  # (6,) replicated
     n: int
     nb_local: int  # blocks per idx shard
-    occf: jax.Array | None = None  # (nb_pad, 12) int32, sharded (int32 mode)
+    occf: jax.Array | None = None  # (nb_pad, 12) int32, sharded (fused modes)
 
     @classmethod
     def from_dense(cls, f: DenseFMIndex, mesh: Mesh, idx_dtype=None) -> "ShardedIndex":
-        from ..ops.rank import pack_bitplanes
+        from ..ops import rank as rank_mod
 
         if idx_dtype is None:
             idx_dtype = jnp.int32 if f.n < (1 << 31) - (1 << 20) else jnp.int64
@@ -60,40 +61,33 @@ class ShardedIndex:
         repl = NamedSharding(mesh, P())
         acc = jax.device_put(f.acc.astype(idx_dtype), repl)
         comp = jax.device_put(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32), repl)
-        if idx_dtype == jnp.int32:
-            occf = np.zeros((nb_pad, 12), dtype=np.int32)
-            occf[:nb, :6] = pack_bitplanes(f.bwt[: nb * BLOCK].reshape(nb, BLOCK)).view(np.int32)
-            occf[:nb, 6:] = np.repeat(f.occ_super, BLOCKS_PER_SUPER, axis=0)[:nb] + f.occ_block
-            return cls(
-                mesh=mesh, occ_bits=None, occ_block=None, occ_super=None,
-                acc=acc, comp=comp, n=f.n, nb_local=nb_pad // n_idx,
-                occf=jax.device_put(occf, shard),
-            )
-        occ_bits = np.zeros((nb_pad, 6), dtype=np.uint32)
-        occ_bits[:nb] = pack_bitplanes(f.bwt[: nb * BLOCK].reshape(nb, BLOCK))
-        occ_block = np.zeros((nb_pad, ASIZE), dtype=np.uint16)
-        occ_block[:nb] = f.occ_block
+        # one fused (nb, 12) row table for both dtypes (ops/rank.py layout:
+        # absolute int32 counts, or uint32 megablock-relative for int64 with
+        # the tiny base table riding in occ_super)
+        occf_np, mega = rank_mod.build_occf(f, int64=idx_dtype == jnp.int64)
+        occf = np.zeros((nb_pad, 12), dtype=np.int32)
+        occf[:nb] = occf_np
         return cls(
-            mesh=mesh,
-            occ_bits=jax.device_put(occ_bits, shard),
-            occ_block=jax.device_put(occ_block, shard),
-            occ_super=jax.device_put(f.occ_super.astype(idx_dtype), repl),
-            acc=acc,
-            comp=comp,
-            n=f.n,
-            nb_local=nb_pad // n_idx,
+            mesh=mesh, occ_bits=None, occ_block=None,
+            occ_super=jax.device_put(mega, repl) if mega is not None else None,
+            acc=acc, comp=comp, n=f.n, nb_local=nb_pad // n_idx,
+            occf=jax.device_put(occf, shard),
         )
 
     @property
     def tables(self):
         """Pytree of the sharded occ tables (mode-dependent arity)."""
         if self.occf is not None:
+            if self.occ_super is not None:  # fused int64: + megablock bases
+                return (self.occf, self.occ_super)
             return (self.occf,)
         return (self.occ_bits, self.occ_block, self.occ_super)
 
     @property
     def table_specs(self):
         if self.occf is not None:
+            if self.occ_super is not None:
+                return (P("idx", None), P())
             return (P("idx", None),)
         return (P("idx", None), P("idx", None), P())
 
@@ -115,6 +109,17 @@ def rank1a_local(tables, nb_local: int, k: jax.Array, dt):
         row = tables[0][bi_loc]
         bits = jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32)
         base = row[..., 6:].astype(dt)
+    elif len(tables) == 2:  # fused int64: + one-hot megablock bases (global)
+        from ..ops import rank as rank_mod
+
+        occf, mega = tables
+        row = occf[bi_loc]
+        bits = jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(row[..., 6:], jnp.uint32).astype(dt)
+        ns = mega.shape[0]
+        mi = bi_glob >> rank_mod.MEGA_BLOCK_SHIFT
+        oh = (jax.lax.broadcasted_iota(jnp.int32, mi.shape + (ns,), mi.ndim) == mi[..., None]).astype(dt)
+        base = jnp.sum(oh[..., None] * mega, axis=-2, dtype=dt) + lo
     else:
         occ_bits, occ_block, occ_super = tables
         si = (bi_glob // BLOCKS_PER_SUPER).astype(jnp.int32)

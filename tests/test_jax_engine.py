@@ -161,6 +161,42 @@ def test_seed_table_and_unroll_match_base(dense_index, reads):
                 assert np.array_equal(np.asarray(m1), np.asarray(m2)), (min_len, k, unroll)
 
 
+def test_sharded_int64_megablock(dense_index, reads, monkeypatch):
+    """Sharded int64 indexes use the fused rows + replicated megablock bases;
+    shrink the megablock so the toy index spans several, run the sharded SMEM
+    step, and compare with the sequential reference."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ropebwt3_tpu.ops import rank as rank_mod
+    from ropebwt3_tpu.parallel.mesh import ShardedIndex, make_mesh
+    from ropebwt3_tpu.parallel.smem_sharded import smem_sharded_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(rank_mod, "MEGA_BLOCK_SHIFT", 6)
+    mesh = make_mesh(2, 4)
+    sidx = ShardedIndex.from_dense(dense_index, mesh, idx_dtype=jnp.int64)
+    assert sidx.occ_super is not None and sidx.occ_super.shape[0] > 1
+    Q, L = 16, 256
+    qarr = np.zeros((Q, L), np.uint8)
+    qlen = np.zeros(Q, np.int32)
+    for t in range(Q):
+        r = reads[t]
+        qarr[t, : len(r)] = r
+        qlen[t] = len(r)
+    step = smem_sharded_fn(sidx, min_occ=1, min_len=21, max_mems=64, max_iters=4 * L + 64)
+    qd = jax.device_put(qarr, NamedSharding(mesh, P("dp", None)))
+    qld = jax.device_put(qlen, NamedSharding(mesh, P("dp")))
+    mems, n_mem, _ = step(qd, qld)
+    mems, n_mem = np.asarray(mems), np.asarray(n_mem)
+    for t in range(Q):
+        want = smem_ref.smem_tg(dense_index, reads[t], 1, 21)
+        got = [tuple(int(v) for v in row) for row in mems[t, : n_mem[t]]]
+        assert got == [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in want]
+
+
 def test_int64_megablock_layout(dense_index, reads, monkeypatch):
     """int64 indexes use fused (nb, 12) rows with uint32 counts relative to
     2^32-symbol megablocks (one-hot base rows, no second gather).  Shrink the
