@@ -156,12 +156,18 @@ def read_seqs_flat(fn: str, is_line: bool = False, max_bytes: int = 1 << 30):
         return None
 
     def _assemble(s2, e2, rec, n_rec):
-        """Concatenate spans (s2, e2) in order; rec = record id per span."""
+        """Concatenate spans (s2, e2) in order; rec = record id per span.
+
+        Spans are line slices — disjoint and separated by at least the
+        newline byte — so after dropping empty ones all start/end indices
+        are distinct and the span mask is two plain fancy assignments into
+        an int8 diff array (np.add.at measured ~100x slower at 1M records)."""
         lens = e2 - s2
-        d = np.zeros(n + 1, np.int32)
-        np.add.at(d, s2, 1)
-        np.add.at(d, e2, -1)
-        mask = np.cumsum(d[:n]) > 0
+        keep = lens > 0
+        d = np.zeros(n + 1, np.int8)
+        d[s2[keep]] = 1
+        d[e2[keep]] = -1
+        mask = np.cumsum(d[:n], dtype=np.int8).view(np.bool_)
         flat = NT6_TABLE[data][mask]
         rec_len = np.bincount(rec, weights=lens, minlength=n_rec).astype(np.int64)
         offs = np.zeros(n_rec + 1, np.int64)
