@@ -83,7 +83,9 @@ def get_sw_lib():
         lib.rb3t_sw_batch.restype = V
         lib.rb3t_sw_batch.argtypes = [V, V, V, V, I64, V, V, V, I64, I32, ctypes.POINTER(I64)]
         lib.rb3t_smem_batch.restype = V
-        lib.rb3t_smem_batch.argtypes = [V, V, V, V, I64, I64, I32, V, V, I64, I32, ctypes.POINTER(I64)]
+        lib.rb3t_smem_batch.argtypes = [V, V, V, V, I64, I64, I32, V, V, I64, I32, ctypes.POINTER(I64), V]
+        lib.rb3t_fused_build.restype = None
+        lib.rb3t_fused_build.argtypes = [V, V, I64, V, I32]
         lib.rb3t_buf_free.restype = None
         lib.rb3t_buf_free.argtypes = [V]
         lib.rb3t_ssa_multi_batch.restype = None

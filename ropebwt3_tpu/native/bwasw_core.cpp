@@ -48,6 +48,11 @@ struct Fmi {
   const int64_t* occ_super;   // [n_supers+1][6] counts before superblock
   const int64_t* acc;         // [7]
   int64_t n;
+  // optional fused layout: per block one 128-byte record [64B symbols |
+  // 12B uint16 within-super counts | pad] — rank touches ONE random memory
+  // region instead of two (bwt line + occ row); occ_super stays separate
+  // (tiny, cache-resident).  Built by rb3t_fused_build.
+  const uint8_t* fused = nullptr;
 };
 
 struct Cell {  // bwa-sw.c:39-45 sw_cell_t analog (align/bwasw.py Cell)
@@ -287,17 +292,30 @@ static void rank1a(const Fmi& f, int64_t k, int64_t out[6], RankCache& rc) {
     return;
   }
   const int64_t* sup = f.occ_super + (size_t)(k >> SUPER_SHIFT) * 6;
-  const uint16_t* blk = f.occ_block + (size_t)(k >> BLOCK_SHIFT) * 6;
-  for (int c = 0; c < 6; ++c) out[c] = sup[c] + blk[c];
-  inblock_add(f.bwt + ((k >> BLOCK_SHIFT) << BLOCK_SHIFT), (int)(k & ((1 << BLOCK_SHIFT) - 1)), out);
+  if (f.fused) {
+    const uint8_t* rec = f.fused + ((size_t)(k >> BLOCK_SHIFT) << 7);
+    const uint16_t* blk = (const uint16_t*)(rec + 64);
+    for (int c = 0; c < 6; ++c) out[c] = sup[c] + blk[c];
+    inblock_add(rec, (int)(k & ((1 << BLOCK_SHIFT) - 1)), out);
+  } else {
+    const uint16_t* blk = f.occ_block + (size_t)(k >> BLOCK_SHIFT) * 6;
+    for (int c = 0; c < 6; ++c) out[c] = sup[c] + blk[c];
+    inblock_add(f.bwt + ((k >> BLOCK_SHIFT) << BLOCK_SHIFT), (int)(k & ((1 << BLOCK_SHIFT) - 1)), out);
+  }
   rc.pos[slot] = k;
   std::memcpy(&rc.occ[(size_t)slot * 6], out, 6 * sizeof(int64_t));
 }
 
-// Prefetch the three cache-line streams rank1a(k) will touch.
+// Prefetch the cache-line streams rank1a(k) will touch.
 static inline void prefetch_rank(const Fmi& f, int64_t k) {
   if (k > f.n) k = f.n;
   __builtin_prefetch(f.occ_super + (size_t)(k >> SUPER_SHIFT) * 6);
+  if (f.fused) {
+    const uint8_t* rec = f.fused + ((size_t)(k >> BLOCK_SHIFT) << 7);
+    __builtin_prefetch(rec);
+    __builtin_prefetch(rec + 64);  // symbols tail + counts
+    return;
+  }
   __builtin_prefetch(f.occ_block + (size_t)(k >> BLOCK_SHIFT) * 6);
   const uint8_t* b = f.bwt + ((k >> BLOCK_SHIFT) << BLOCK_SHIFT);
   __builtin_prefetch(b);
@@ -1873,11 +1891,38 @@ uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
 // Batched SMEM-TG (threaded CPU engine).  Returns a malloc'd buffer:
 // [n_reads+1 int64 blob offsets][per read: int64 n_mems, then n_mems x
 // (st,en,size,lo,lo_rc) int64 rows]; free with rb3t_buf_free.
+// Build the fused 128 B/block [symbols | within-super counts] record table
+// (see Fmi::fused): one random memory region per rank instead of two.
+void rb3t_fused_build(const uint8_t* bwt, const uint16_t* occ_block, int64_t n_blocks,
+                      uint8_t* out, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+      uint8_t* rec = out + ((size_t)b << 7);
+      std::memcpy(rec, bwt + ((size_t)b << BLOCK_SHIFT), 64);
+      std::memcpy(rec + 64, occ_block + (size_t)b * 6, 12);
+      std::memset(rec + 76, 0, 52);
+    }
+  };
+  if (n_threads == 1 || n_blocks < (int64_t)1 << 16) {
+    work(0, n_blocks);
+  } else {
+    std::vector<std::thread> th;
+    int64_t per = (n_blocks + n_threads - 1) / n_threads;
+    for (int32_t t = 1; t < n_threads; ++t) {
+      int64_t a = per * t, b = std::min(n_blocks, a + per);
+      if (a < b) th.emplace_back(work, a, b);
+    }
+    work(0, std::min(n_blocks, per));
+    for (auto& x : th) x.join();
+  }
+}
+
 uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
                          const int64_t* acc, int64_t n, int64_t min_occ, int32_t min_len,
                          const uint8_t* seqs, const int64_t* seq_off, int64_t n_reads,
-                         int32_t n_threads, int64_t* out_len) {
-  Fmi f{bwt, occ_block, occ_super, acc, n};
+                         int32_t n_threads, int64_t* out_len, const uint8_t* fused) {
+  Fmi f{bwt, occ_block, occ_super, acc, n, fused};
   if (n_threads < 1) n_threads = 1;
   std::vector<std::string> blobs(n_reads);
   // k-mer seed table (RB3T_SMEM_SEED=k, default OFF): skips the first k

@@ -23,6 +23,30 @@ def native_smem_lib():
     return get_sw_lib()
 
 
+def fused_table(f: DenseFMIndex) -> np.ndarray | None:
+    """Fused 128 B/block [symbols | within-super counts] records: one random
+    memory region per rank instead of two (bwt line + occ row).  MEASURED
+    NEUTRAL-to-WORSE on this host (64M: 1.22 vs 1.47 s best — the 12 MB occ
+    table is L3-resident and fusing forfeits that; 640M: wash — the
+    interleaved-SM prefetching already hides the second stream), at 2x the
+    bwt in memory.  Kept opt-in (RB3T_SMEM_FUSED=1) for hosts with different
+    cache/latency balances."""
+    if os.environ.get("RB3T_SMEM_FUSED", "0") != "1":
+        return None
+    cached = getattr(f, "_fused_recs", None)
+    if cached is not None:
+        return cached
+    lib = native_smem_lib()
+    if lib is None:
+        return None
+    nb = len(f.occ_block)
+    out = np.empty(nb << 7, np.uint8)
+    P = ctypes.c_void_p
+    lib.rb3t_fused_build(P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), nb, P(out.ctypes.data), int(os.cpu_count() or 1))
+    f._fused_recs = out
+    return out
+
+
 def smem_tg_flat_native(f: DenseFMIndex, flat: np.ndarray, seq_off: np.ndarray, min_occ: int, min_len: int) -> tuple[np.ndarray, np.ndarray]:
     """SMEMs for reads packed in one flat nt6 buffer (read i =
     flat[seq_off[i]:seq_off[i+1]]).  Returns (counts (n_reads,) int64,
@@ -37,10 +61,13 @@ def smem_tg_flat_native(f: DenseFMIndex, flat: np.ndarray, seq_off: np.ndarray, 
     seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
     out_len = ctypes.c_int64(0)
     P = ctypes.c_void_p
+    # the fused table pays off once the batch does >= ~1 rank per index block
+    fused = fused_table(f) if int(seq_off[-1]) * 2 >= len(f.occ_block) else None
     ptr = lib.rb3t_smem_batch(
         P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
         int(f.n), int(min_occ), int(min_len), P(flat.ctypes.data), P(seq_off.ctypes.data), n_reads,
         min(os.cpu_count() or 1, n_reads), ctypes.byref(out_len),
+        P(fused.ctypes.data) if fused is not None else None,
     )
     try:
         raw = ctypes.string_at(ptr, out_len.value)

@@ -219,6 +219,35 @@ def test_native_smem_seed_table_matches(native_lib, monkeypatch):
             assert [key(a) for a in got] == [key(b) for b in base], (min_occ, min_len, k)
 
 
+def test_native_smem_fused_records_match(native_lib, monkeypatch):
+    """The opt-in fused 128 B/block record layout (RB3T_SMEM_FUSED=1) must be
+    bit-identical to the two-stream layout."""
+    import random
+
+    from ropebwt3_tpu.ops.smem_native import smem_tg_batch_native
+
+    random.seed(13)
+    refs = ["".join(random.choice("ACGT") for _ in range(500)) for _ in range(3)]
+    f = _make_index(refs)
+    seqs = []
+    for _ in range(60):
+        p = random.randrange(0, 380)
+        s = list(random.choice(refs)[p : p + random.randrange(0, 120)])
+        for _ in range(random.randrange(0, 4)):
+            if s:
+                s[random.randrange(len(s))] = random.choice("ACGTN")
+        seqs.append(char2nt6("".join(s).encode()))
+
+    def key(ms):
+        return [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in ms]
+
+    monkeypatch.setenv("RB3T_SMEM_FUSED", "0")
+    base = smem_tg_batch_native(f, seqs, 1, 17)
+    monkeypatch.setenv("RB3T_SMEM_FUSED", "1")
+    got = smem_tg_batch_native(f, seqs, 1, 17)
+    assert [key(a) for a in got] == [key(b) for b in base]
+
+
 def test_sidecar_roundtrip(tmp_path):
     from ropebwt3_tpu.index.sidecar import read_sidecar, write_sidecar
 
