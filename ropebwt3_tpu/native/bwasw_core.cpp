@@ -1941,12 +1941,14 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
       seedp = &seed;
     }
   }
+  // reads interleaved per thread (latency hiding); RB3T_SMEM_G overrides
+  const char* genv = getenv("RB3T_SMEM_G");
+  const int G = genv ? std::max(1, std::min(64, atoi(genv))) : 16;
   auto work = [&](int64_t r0, int64_t r1) {
     RankCache rc;
-    constexpr int G = 16;  // reads interleaved per thread (latency hiding)
-    SmemSM sm[G];
-    std::vector<MemRec> memv[G];
-    int64_t rid[G];
+    std::vector<SmemSM> sm(G);
+    std::vector<std::vector<MemRec>> memv(G);
+    std::vector<int64_t> rid(G);
     auto flush = [&](int gi) {
       std::string& b = blobs[rid[gi]];
       put_i64(b, (int64_t)memv[gi].size());
