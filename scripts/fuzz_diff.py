@@ -27,6 +27,8 @@ ENV = dict(os.environ)
 ENV["PYTHONPATH"] = ""
 ENV["JAX_PLATFORMS"] = "cpu"
 ENV["RB3TPU_CACHE"] = "0"
+# 4 virtual CPU devices so --mesh scenarios (up to 2x2) can run
+ENV["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4").strip()
 
 
 def run_ref(args, input=None):
@@ -140,6 +142,12 @@ def scenarios(rng: random.Random, fmd: str, fa: str, reads: str):
         mem += ["--cov"]
     elif rng.random() < 0.4:
         mem += ["-p", str(rng.choice([1, 3, 7]))]
+    if rng.random() < 0.25:
+        # exercise the batched-lane kernel (and sometimes the sharded mesh)
+        # on the CPU backend — tiny corpora keep the lock-step loop cheap
+        mem += ["--engine=jax"]
+        if rng.random() < 0.5:
+            mem += ["--mesh=" + rng.choice(["2x1", "2x2", "1x2"])]
     yield mem + [fmd, reads]
 
     sw = ["sw"]
@@ -259,7 +267,10 @@ def one_iter(seed: int) -> list[str]:
             if args[0] == "build" and "-L" in args[1]:
                 continue  # line-mode build on FASTA input is not meaningful
             args = _maybe_junk(rng, args)
-            rc_r, out_r, err_r = run_ref(args)
+            # rb3tpu-only extension flags: stripped from the reference argv
+            # (its strict ketopt would abort on them by design)
+            ref_args = [a for a in args if not a.startswith(("--engine", "--mesh"))]
+            rc_r, out_r, err_r = run_ref(ref_args)
             rc_o, out_o, err_o = run_ours(args)
             if rc_r != 0:
                 continue  # reference exits 0 even on errors (main.c:46-82); nonzero = crash, skip
