@@ -1103,14 +1103,10 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             break
         batch: list = []
 
-        def flush_flat(names, flat, offs):
-            """Vectorized-reader fast path: flat nt6 + per-read offsets go
-            straight to the native engine and BED lines are written from the
+        def emit_flat(names, offs, counts, rows):
+            """Vectorized-reader fast path: BED lines are written from the
             raw (counts, rows) arrays — no per-read arrays or Mem objects."""
             nonlocal seq_id
-            from .ops.smem_native import smem_tg_flat_native
-
-            counts, rows = smem_tg_flat_native(f, flat, offs, min_occ, min_len)
             counts_l = counts.tolist()
             if min_gap_len > 0 or write_cov:
                 # reuse the Mem-list writer for the rarer report modes
@@ -1240,8 +1236,23 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
 
             batches = iter_flat_batches(fn, is_line, batch_size)
         if batches is not None:
-            for names, flat, offs in batches:
-                flush_flat(names, flat, offs)
+            # pipeline: the native call releases the GIL, so batch i's emit
+            # (Python formatting + writes) overlaps batch i+1's compute
+            from concurrent.futures import ThreadPoolExecutor
+
+            from .ops.smem_native import smem_tg_flat_native
+
+            with ThreadPoolExecutor(1) as ex:
+                pend = None
+                for names, flat, offs in batches:
+                    nxt = (names, offs, ex.submit(smem_tg_flat_native, f, flat, offs, min_occ, min_len))
+                    if pend is not None:
+                        counts, rows = pend[2].result()
+                        emit_flat(pend[0], pend[1], counts, rows)
+                    pend = nxt
+                if pend is not None:
+                    counts, rows = pend[2].result()
+                    emit_flat(pend[0], pend[1], counts, rows)
             continue
         tot = 0
         for rec in read_seqs(fn, is_line):
