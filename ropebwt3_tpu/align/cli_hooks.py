@@ -188,14 +188,16 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
     CAP = 16384 if native_sw_available() else 64
     pend: list[tuple[str, list[int]]] = []
     wins: list = []
+    from concurrent.futures import ThreadPoolExecutor
 
-    def flush():
-        nonlocal pend, wins
-        if not pend:
-            return
-        rs = rb3_hapdiv_multi(opt, f, wins)
+    # pipeline: the native DP releases the GIL, so the previous super-batch's
+    # emit and the next one's window staging overlap its compute
+    _ex = ThreadPoolExecutor(1)
+    _inflight: list = []  # [(pend, future)]
+
+    def _emit(done_pend, rs):
         pos = 0
-        for name, offs in pend:
+        for name, offs in done_pend:
             results = []
             for j in offs:
                 r = rs[pos]
@@ -213,7 +215,16 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
                     row = f"{name}\t{off0}\t{off_last + k}\t{n_al}\t{max_ed}\t" + "\t".join(str(x) for x in n_hap)
                     out.write(row + "\n")
                     i0 = i1
+
+    def flush():
+        nonlocal pend, wins
+        if not pend:
+            return
+        _inflight.append((pend, _ex.submit(rb3_hapdiv_multi, opt, f, wins)))
         pend, wins = [], []
+        while len(_inflight) > 1:  # emit everything but the batch in flight
+            done_pend, fut = _inflight.pop(0)
+            _emit(done_pend, fut.result())
 
     for fn in files:
         from ..cli import seq_openable
@@ -232,4 +243,8 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
             if len(wins) >= CAP:
                 flush()
     flush()
+    while _inflight:
+        done_pend, fut = _inflight.pop(0)
+        _emit(done_pend, fut.result())
+    _ex.shutdown()
     return 0
