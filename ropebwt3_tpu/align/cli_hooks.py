@@ -133,18 +133,30 @@ def run_sw_cli(f, files, is_line, sw_opts) -> int:
     # calls; bigger batches amortize it (4.9 -> 4.7 s on 10k x 150 bp)
     seq_id = 0
 
-    def flush(batch):
-        nonlocal out
+    def compute(batch):
         qs = [q for _, q in batch]
         if both:
             allq = qs + [revcomp(q) for q in qs]
             allh = _bw.rb3_sw_batch(opt, f, allq)
-            fwd, rev = allh[: len(qs)], allh[len(qs) :]
-        else:
-            fwd = _bw.rb3_sw_batch(opt, f, qs)
-            rev = [None] * len(qs)
+            return allh[: len(qs)], allh[len(qs) :]
+        return _bw.rb3_sw_batch(opt, f, qs), [None] * len(qs)
+
+    def emit(batch, fwd, rev):
         for (name, q), hits, mh in zip(batch, fwd, rev):
             _emit_sw(out, f, sw_opts, name, q, hits, mh)
+
+    # pipeline like mem/hapdiv: the native DP (GIL-released) of batch i+1
+    # overlaps batch i's PAF emit
+    from concurrent.futures import ThreadPoolExecutor
+
+    _ex = ThreadPoolExecutor(1)
+    inflight: list = []
+
+    def flush(batch):
+        inflight.append((batch, _ex.submit(compute, batch)))
+        while len(inflight) > 1:
+            b0, fut = inflight.pop(0)
+            emit(b0, *fut.result())
 
     batch: list = []
     for fn in files:
@@ -170,6 +182,10 @@ def run_sw_cli(f, files, is_line, sw_opts) -> int:
                 _emit_sw(out, f, sw_opts, name, q, hits, mh)
     if batch:
         flush(batch)
+    while inflight:
+        b0, fut = inflight.pop(0)
+        emit(b0, *fut.result())
+    _ex.shutdown()
     return 0
 
 
