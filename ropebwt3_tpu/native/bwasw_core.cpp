@@ -253,11 +253,21 @@ static int32_t ksmall_gt(std::vector<int32_t>& a, int64_t kk) {
 // ---- dense rank / bidirectional extend (index/dense.py semantics) --------
 
 struct RankCache {  // direct-mapped pos -> occ[6]; pure speed, no output effect
-  static constexpr uint32_t CBITS = 16;
-  static constexpr uint32_t CSZ = 1u << CBITS;
+  // 2^16 entries/thread (3.5 MB) by default; RB3T_RANK_CBITS overrides
+  // (read per construction so A/B harnesses can vary it within a process).
+  // Interleaved best-of-5 at 640M/100k reads: 14:1.93s 16:1.87s 18:2.46s
+  // 20:2.24s — 16 optimal, larger caches lose to their own misses.
+  uint32_t mask;
   std::vector<int64_t> pos;
   std::vector<int64_t> occ;
-  RankCache() : pos(CSZ, -1), occ((size_t)CSZ * 6) {}
+  RankCache() {
+    const char* e = getenv("RB3T_RANK_CBITS");
+    int b = e ? atoi(e) : 16;
+    b = b < 10 ? 10 : (b > 22 ? 22 : b);
+    mask = (1u << b) - 1;
+    pos.assign((size_t)1 << b, -1);
+    occ.assign(((size_t)1 << b) * 6, 0);
+  }
 };
 
 // In-block symbol counts over positions < off of a 64-byte block (the bwt
@@ -286,7 +296,7 @@ static inline void inblock_add(const uint8_t* blk, int off, int64_t out[6]) {
 
 static void rank1a(const Fmi& f, int64_t k, int64_t out[6], RankCache& rc) {
   if (k > f.n) k = f.n;
-  uint32_t slot = kh_hash_u64((uint64_t)k) & (RankCache::CSZ - 1);
+  uint32_t slot = kh_hash_u64((uint64_t)k) & rc.mask;
   if (rc.pos[slot] == k) {
     std::memcpy(out, &rc.occ[(size_t)slot * 6], 6 * sizeof(int64_t));
     return;
