@@ -258,9 +258,11 @@ struct RankCache {  // direct-mapped pos -> occ[6]; pure speed, no output effect
   // Interleaved best-of-5 at 640M/100k reads: 14:1.93s 16:1.87s 18:2.46s
   // 20:2.24s — 16 optimal, larger caches lose to their own misses.
   uint32_t mask;
+  bool pair_rank;  // same-block fused rank2a (RB3T_NO_PAIR_RANK disables)
   std::vector<int64_t> pos;
   std::vector<int64_t> occ;
   RankCache() {
+    pair_rank = getenv("RB3T_NO_PAIR_RANK") == nullptr;
     const char* e = getenv("RB3T_RANK_CBITS");
     int b = e ? atoi(e) : 16;
     b = b < 10 ? 10 : (b > 22 ? 22 : b);
@@ -338,10 +340,53 @@ struct Ext {
 
 // backward extend with the exact complement-order prefix sums of rld_extend
 // (rld0.c:486-502; index/dense.py DenseFMIndex.extend with is_back=True)
+// rank1a at two positions in the SAME block: one base fetch (super + block
+// row), two in-block counts — small intervals (the deep extends that
+// dominate SMEM/sw) put both endpoints in one 64-symbol block most of the
+// time, halving the random memory traffic of the extend.  Bit-identical.
+static void rank1a_pair_sameblk(const Fmi& f, int64_t k1, int64_t k2, int64_t* o1, int64_t* o2, RankCache& rc) {
+  uint32_t s1 = kh_hash_u64((uint64_t)k1) & rc.mask;
+  uint32_t s2 = kh_hash_u64((uint64_t)k2) & rc.mask;
+  bool h1 = rc.pos[s1] == k1, h2 = rc.pos[s2] == k2;
+  if (h1 && h2) {
+    std::memcpy(o1, &rc.occ[(size_t)s1 * 6], 6 * sizeof(int64_t));
+    std::memcpy(o2, &rc.occ[(size_t)s2 * 6], 6 * sizeof(int64_t));
+    return;
+  }
+  const int64_t* sup = f.occ_super + (size_t)(k1 >> SUPER_SHIFT) * 6;
+  int64_t base[6];
+  const uint8_t* blk_sym;
+  if (f.fused) {
+    const uint8_t* rec = f.fused + ((size_t)(k1 >> BLOCK_SHIFT) << 7);
+    const uint16_t* blk = (const uint16_t*)(rec + 64);
+    for (int c = 0; c < 6; ++c) base[c] = sup[c] + blk[c];
+    blk_sym = rec;
+  } else {
+    const uint16_t* blk = f.occ_block + (size_t)(k1 >> BLOCK_SHIFT) * 6;
+    for (int c = 0; c < 6; ++c) base[c] = sup[c] + blk[c];
+    blk_sym = f.bwt + ((k1 >> BLOCK_SHIFT) << BLOCK_SHIFT);
+  }
+  std::memcpy(o1, base, sizeof(base));
+  inblock_add(blk_sym, (int)(k1 & ((1 << BLOCK_SHIFT) - 1)), o1);
+  std::memcpy(o2, base, sizeof(base));
+  inblock_add(blk_sym, (int)(k2 & ((1 << BLOCK_SHIFT) - 1)), o2);
+  rc.pos[s1] = k1;
+  std::memcpy(&rc.occ[(size_t)s1 * 6], o1, 6 * sizeof(int64_t));
+  rc.pos[s2] = k2;
+  std::memcpy(&rc.occ[(size_t)s2 * 6], o2, 6 * sizeof(int64_t));
+}
+
 static void extend_back(const Fmi& f, int64_t lo, int64_t lo_rc, int64_t size, Ext& e, RankCache& rc) {
   int64_t tk[6], tl[6];
+  int64_t hi = lo + size;
+  int64_t k1 = lo > f.n ? f.n : lo, k2 = hi > f.n ? f.n : hi;
+  if (rc.pair_rank && (k1 >> BLOCK_SHIFT) == (k2 >> BLOCK_SHIFT)) {
+    rank1a_pair_sameblk(f, k1, k2, tk, tl, rc);
+    goto have_ranks;
+  }
   rank1a(f, lo, tk, rc);
   rank1a(f, lo + size, tl, rc);
+have_ranks:
   for (int c = 0; c < 6; ++c) {
     e.sz[c] = tl[c] - tk[c];
     e.lo[c] = f.acc[c] + tk[c];
