@@ -288,12 +288,44 @@ struct SaisLevel {
             }
           }
         });
-        // sequential slot assignment in exact scalar write order
-        for (int t = 0; t < T; t++) {
-          auto &eb = em[t];
-          size_t m = eb.pos.size();
-          eb.slot.resize(m);
-          for (size_t k = 0; k < m; k++) eb.slot[k] = bkt[eb.sym[k]]++;
+        // slot assignment in exact scalar write order: chunk t's slots for
+        // symbol c follow chunks < t's — per-chunk per-symbol counts plus an
+        // exclusive prefix make it parallel when K is small enough to count
+        if (K <= (I)(1 << 16) && (threads >= 8 || getenv("RB3T_SAIS_PAR_ASSIGN"))) {
+          // parallel slot assignment: measured NEUTRAL on this 4-core host
+          // (the sequential pass streams cache-resident em buffers); enabled
+          // by default only at >= 8 threads where its serialization shows
+          std::vector<std::vector<I>> rcnt(T);
+          par_chunks<int>(T, 0, T, [&](int, int a0, int b0) {
+            for (int t = a0; t < b0; t++) {
+              rcnt[t].assign(K, 0);
+              for (CC cc : em[t].sym) rcnt[t][cc]++;
+            }
+          });
+          std::vector<std::vector<I>> rcur(T);
+          for (int t = 0; t < T; t++) {
+            rcur[t] = bkt;
+            for (int u = 0; u < t; u++)
+              for (I c = 0; c < K; c++) rcur[t][c] += rcnt[u][c];
+          }
+          for (int t = 0; t < T; t++)
+            for (I c = 0; c < K; c++) bkt[c] += rcnt[t][c];
+          par_chunks<int>(T, 0, T, [&](int, int a0, int b0) {
+            for (int t = a0; t < b0; t++) {
+              auto &eb = em[t];
+              auto &cu = rcur[t];
+              size_t m = eb.pos.size();
+              eb.slot.resize(m);
+              for (size_t k = 0; k < m; k++) eb.slot[k] = cu[eb.sym[k]]++;
+            }
+          });
+        } else {
+          for (int t = 0; t < T; t++) {
+            auto &eb = em[t];
+            size_t m = eb.pos.size();
+            eb.slot.resize(m);
+            for (size_t k = 0; k < m; k++) eb.slot[k] = bkt[eb.sym[k]]++;
+          }
         }
         // parallel scatter
         par_chunks<int>(T, 0, T, [&](int, int a, int b) {
@@ -358,11 +390,43 @@ struct SaisLevel {
             }
           }
         });
-        for (int t = T - 1; t >= 0; t--) {  // highest chunk first = scan order
-          auto &eb = em[t];
-          size_t m = eb.pos.size();
-          eb.slot.resize(m);
-          for (size_t k = 0; k < m; k++) eb.slot[k] = --bkt[eb.sym[k]];
+        // scan order is highest chunk first; chunk t's (descending) slots
+        // for symbol c sit below chunks > t's — mirror-image parallel prefix
+        if (K <= (I)(1 << 16) && (threads >= 8 || getenv("RB3T_SAIS_PAR_ASSIGN"))) {
+          // parallel slot assignment: measured NEUTRAL on this 4-core host
+          // (the sequential pass streams cache-resident em buffers); enabled
+          // by default only at >= 8 threads where its serialization shows
+          std::vector<std::vector<I>> rcnt(T);
+          par_chunks<int>(T, 0, T, [&](int, int a0, int b0) {
+            for (int t = a0; t < b0; t++) {
+              rcnt[t].assign(K, 0);
+              for (CC cc : em[t].sym) rcnt[t][cc]++;
+            }
+          });
+          std::vector<std::vector<I>> rcur(T);
+          for (int t = T - 1; t >= 0; t--) {
+            rcur[t] = bkt;
+            for (int u = T - 1; u > t; u--)
+              for (I c = 0; c < K; c++) rcur[t][c] -= rcnt[u][c];
+          }
+          for (int t = 0; t < T; t++)
+            for (I c = 0; c < K; c++) bkt[c] -= rcnt[t][c];
+          par_chunks<int>(T, 0, T, [&](int, int a0, int b0) {
+            for (int t = a0; t < b0; t++) {
+              auto &eb = em[t];
+              auto &cu = rcur[t];
+              size_t m = eb.pos.size();
+              eb.slot.resize(m);
+              for (size_t k = 0; k < m; k++) eb.slot[k] = --cu[eb.sym[k]];
+            }
+          });
+        } else {
+          for (int t = T - 1; t >= 0; t--) {  // highest chunk first = scan order
+            auto &eb = em[t];
+            size_t m = eb.pos.size();
+            eb.slot.resize(m);
+            for (size_t k = 0; k < m; k++) eb.slot[k] = --bkt[eb.sym[k]];
+          }
         }
         par_chunks<int>(T, 0, T, [&](int, int a, int b) {
           for (int t = a; t < b; t++) {
