@@ -12,6 +12,7 @@ import sys
 import numpy as np
 
 from . import __version__
+from .bufio import write_all
 from .index.dense import DenseFMIndex
 from .nt6 import NT6_TABLE, char2nt6, nt6_to_str, revcomp
 from .seqio import batch_nt6_flat, iter_flat_batches, read_batch_nt6, read_seqs, read_sid
@@ -548,19 +549,19 @@ def _dump_index(f: "DenseFMIndex | np.ndarray", fmt: str, out_fn: str | None) ->
     out = sys.stdout.buffer if out_fn is None else open(out_fn, "wb")
     try:
         if fmt == "plain":
-            out.write(nt6_to_str(raw).encode() + b"\n")
+            write_all(out, nt6_to_str(raw).encode() + b"\n")
         elif fmt == "fmd":
             from .formats.fmd import encode_runs
 
-            out.write(encode_runs(syms, lens))
+            write_all(out, encode_runs(syms, lens))
         elif fmt == "fmr":
             from .formats.fmr import split_runs_into_buckets, write_fmr_bytes
 
-            out.write(write_fmr_bytes(split_runs_into_buckets(syms, lens)))
+            write_all(out, write_fmr_bytes(split_runs_into_buckets(syms, lens)))
         elif fmt == "bre":
             from .formats.bre import write_bre_bytes
 
-            out.write(write_bre_bytes(syms, lens))
+            write_all(out, write_bre_bytes(syms, lens))
         elif fmt == "tree":
             from .formats.fmr import split_runs_into_buckets, _pack_leaves, rle_decode_block
 
@@ -569,7 +570,7 @@ def _dump_index(f: "DenseFMIndex | np.ndarray", fmt: str, out_fn: str | None) ->
                 leaves = _pack_leaves(bs, bl, 512)
                 inner = ",".join("".join(nt6_to_str(np.repeat(c, l)) for c, l in rle_decode_block(d)) for d, _ in leaves)
                 chunks.append("(" + inner + ")")
-            out.write(("".join(chunks) + "\n").encode())
+            write_all(out, ("".join(chunks) + "\n").encode())
     finally:
         if out_fn is not None:
             out.close()
@@ -680,7 +681,7 @@ def main_plain2fmd(argv: list[str]) -> int:
             enc.put_runs(codes[starts], ends - starts)
     enc.finish()
     out = sys.stdout.buffer if out_fn is None else open(out_fn, "wb")
-    out.write(enc.dump_bytes())
+    write_all(out, enc.dump_bytes())
     if out_fn is not None:
         out.close()
     return 0
@@ -873,7 +874,7 @@ def main_fa2line(argv: list[str]) -> int:
             # under the "\nACGTX" map (separators become the line breaks)
             for _names, bflat, boffs in fb:
                 _, seq = batch_nt6_flat(bflat, boffs, True, not no_rev)
-                sys.stdout.buffer.write(tab[seq].tobytes())
+                write_all(sys.stdout.buffer, tab[seq].tobytes())
             continue
         for rec in read_seqs(fn, False):
             s = char2nt6(rec.seq)
@@ -913,9 +914,9 @@ def main_fa2kmer(argv: list[str]) -> int:
                     break
                 i += step
             if len(buf) >= 65536:
-                sys.stdout.buffer.write(b"".join(buf))
+                write_all(sys.stdout.buffer, b"".join(buf))
                 buf.clear()
-        sys.stdout.buffer.write(b"".join(buf))
+        write_all(sys.stdout.buffer, b"".join(buf))
     return 0
 
 
@@ -1141,9 +1142,9 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
                         buf.append(_mem_line(nm, r[0], r[1], r[2], r[3], next(pos_iter)) + "\n")
                 k += c
                 if len(buf) >= 65536:
-                    out.write("".join(buf))
+                    write_all(out, "".join(buf))
                     buf.clear()
-            out.write("".join(buf))
+            write_all(out, "".join(buf))
 
         def _mem_line(nm, st, en, sz, lo, pos):
             line = f"{nm}\t{st}\t{en}\t{sz}"

@@ -254,12 +254,14 @@ def _encode_runs_native(syms: np.ndarray, lens: np.ndarray) -> bytes | None:
 def write_fmd(fn: str, syms: np.ndarray, lens: np.ndarray, sbits: int = 3) -> None:
     import sys
 
+    from ..bufio import write_all
+
     data = encode_runs(syms, lens, sbits)
     if fn == "-":
-        sys.stdout.buffer.write(data)
+        write_all(sys.stdout.buffer, data)
     else:
         with open(fn, "wb") as fp:
-            fp.write(data)
+            write_all(fp, data)
 
 
 # ---------------------------------------------------------------------------

@@ -220,9 +220,11 @@ def read_fmr_bytes(data: bytes) -> tuple[int, np.ndarray, np.ndarray]:
 def write_fmr(fn: str, syms: np.ndarray, lens: np.ndarray, so: int = SO_IO, max_nodes: int = MAX_NODES_DEF, block_len: int = BLOCK_LEN_DEF) -> None:
     import sys
 
+    from ..bufio import write_all
+
     data = write_fmr_bytes(split_runs_into_buckets(syms, lens), so, max_nodes, block_len)
     if fn == "-":
-        sys.stdout.buffer.write(data)
+        write_all(sys.stdout.buffer, data)
     else:
         with open(fn, "wb") as fp:
-            fp.write(data)
+            write_all(fp, data)

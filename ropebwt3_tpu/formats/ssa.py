@@ -41,12 +41,14 @@ def read_ssa_bytes(data: bytes) -> SSA:
 def write_ssa(fn: str, sa: SSA) -> None:
     import sys
 
+    from ..bufio import write_all
+
     data = write_ssa_bytes(sa)
     if fn == "-":
-        sys.stdout.buffer.write(data)
+        write_all(sys.stdout.buffer, data)
     else:
         with open(fn, "wb") as fp:
-            fp.write(data)
+            write_all(fp, data)
 
 
 def read_ssa(fn: str) -> SSA:

@@ -12,7 +12,26 @@ import sys
 import time
 
 verbose = int(os.environ.get("RB3TPU_VERBOSE", "3"))
-_t0 = time.time()
+
+
+def _process_start_time() -> float:
+    """Wall-clock at exec, not at (possibly lazy) module import — the
+    reference anchors its Real-time footer at main() entry (misc.c:152-157),
+    and this module may only be imported when the footer is printed."""
+    try:
+        with open("/proc/self/stat", "rb") as fp:
+            stat = fp.read()
+        # field 22 (1-based) after the parenthesized comm: starttime in ticks
+        start_ticks = int(stat[stat.rindex(b")") + 2 :].split()[19])
+        with open("/proc/uptime") as fp:
+            uptime = float(fp.read().split()[0])
+        hz = os.sysconf("SC_CLK_TCK")
+        return time.time() - (uptime - start_ticks / hz)
+    except Exception:
+        return time.time()
+
+
+_t0 = _process_start_time()
 
 
 def realtime() -> float:

@@ -179,3 +179,52 @@ def test_flat_reader_matches_streaming(tmp_path):
                 names, flat, offs = got
                 have = [(names[i], flat[offs[i] : offs[i + 1]].tobytes()) for i in range(len(names))]
                 assert have == want, (ci, gz, is_line, case[:80])
+
+
+def test_write_all_chunking(tmp_path):
+    """bufio.write_all must reproduce the input bytes exactly for bytes,
+    memoryview, and str inputs across chunk boundaries (large writes are
+    chunked to dodge a VM pathology — see ropebwt3_tpu/bufio.py)."""
+    import numpy as np
+
+    from ropebwt3_tpu.bufio import write_all
+
+    data = np.random.default_rng(0).integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    for chunk in (7, 4096, 1 << 19, 1 << 22):
+        for payload in (data, memoryview(data), np.frombuffer(data, np.uint8)):
+            p = tmp_path / "b.bin"
+            with open(p, "wb") as fp:
+                write_all(fp, payload, chunk)
+            assert p.read_bytes() == data
+    s = "".join(chr(32 + i % 90) for i in range(100_001))
+    p = tmp_path / "t.txt"
+    with open(p, "w") as fp:
+        write_all(fp, s, 1000)
+    assert p.read_text() == s
+
+
+def test_footer_realtime_anchored_at_process_start():
+    """The Real-time footer must measure from exec, not from the (lazy)
+    import of the log module (misc.c:152-157 anchors at main entry)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import time; time.sleep(1.2); import ropebwt3_tpu.log as L;"
+        "print(L.realtime())"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        env=_scrubbed_env(),
+    )
+    assert float(out.stdout.strip()) >= 1.2
+
+
+def _scrubbed_env():
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    return env
