@@ -7,6 +7,7 @@ pure-Python fallback in formats/, so a missing toolchain only costs speed.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -27,14 +28,27 @@ _sais_lib = None
 _sais_tried = False
 
 
+_CXXFLAGS = ["-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread"]
+
+
 def _build(src: str, so: str) -> None:
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread", "-o", so + ".tmp", src],
-            check=True,
-            capture_output=True,
-        )
-        os.replace(so + ".tmp", so)
+    # Rebuild keyed on a source+flags hash (not mtimes): a checked-out or
+    # foreign-arch .so (-march=native!) must always be replaced, never trusted.
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read() + " ".join(_CXXFLAGS).encode()).hexdigest()
+    stamp = so + ".hash"
+    if os.path.exists(so) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest:
+                return
+    subprocess.run(
+        ["g++", *_CXXFLAGS, "-o", so + ".tmp", src],
+        check=True,
+        capture_output=True,
+    )
+    os.replace(so + ".tmp", so)
+    with open(stamp, "w") as f:
+        f.write(digest)
 
 
 def get_lib():
