@@ -1,0 +1,763 @@
+"""Device (TPU) hapdiv: lock-step BWA-SW DP over linear DAWGs.
+
+Re-expresses sw_core (bwa-sw.c:329-526) in anno/e2e mode as a batched JAX
+computation: W windows run the SAME node sequence in lock-step — per node one
+batched bidirectional extend over all (W, N) row cells, a sorted-segment
+candidate merge, khashl bucket assignment, and F-closure rounds whose extends
+batch across windows.  Counts per window (n_al, max_ed, n_hap[0..6]) match
+the host engine bit-for-bit (align/bwasw.py sw_core_multi is the executable
+spec; that in turn is golden vs the reference binary).
+
+Exactness notes (why this can be vectorized at all):
+
+* klib bounded-heap selection (bwa-sw.c:432-443) reduces to the top-N of the
+  packed keys (H << 32 | bucket): a bounded min-heap's final CONTENT is the
+  N largest keys regardless of insertion order, and ks_heapsort emits them
+  in descending key order.  Only the khashl BUCKET INDEX therefore needs
+  exact emulation (it is the tie-break for equal scores), not the heap.
+* khashl bucket assignment is replayed per node for the unique keys in
+  first-occurrence order; with a fixed 128-bucket table (kh_resize(n_best*4),
+  bwa-sw.c:353) the linear probe of a NEW key is "first empty slot from the
+  Fibonacci home bucket" — a vectorized masked argmin.  A window that would
+  trigger khashl's mid-node resize (count >= 96) is flagged `bad` and rerun
+  on the exact host engine.
+* sw_update_candset merges (bwa-sw.c:265-284) are running maxes; first-
+  attainment slots give the From fields.  The single order-sensitive corner
+  (an E-type candidate raising H above earlier H-type candidates of the SAME
+  (lo,hi) key, which leaves H_from_pos at an intermediate value) is detected
+  and `bad`-flagged instead of simulated.
+* The F-closure (bwa-sw.c:445-483) is a per-window DFS; its pops interleave
+  as lock-step rounds (one batched extend per round), with each window's own
+  heap-min/pending-min sequence tracked exactly — same scheme as the host
+  sw_core_multi, which is equivalence-tested against the scalar reference.
+
+Windows flagged `bad` (candset resize, stack/fpar overflow, the H_from_pos
+corner, >4095 scores) are recomputed by the caller on the host engine, so the
+combined result is always exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from .. import _jax_setup as __jx
+__jx()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rank import DeviceIndex, extend as rank_extend
+
+N_BEST = 25  # opt.n_best default; static in this kernel
+NB = 128  # khashl buckets after kh_resize(n_best*4) -> bits=7
+NB_BITS = 7
+MAXC = 96  # khashl max_count(128): resize (-> bad flag) at count >= 96
+SCAP = 48  # F-closure stack capacity per window (overflow -> bad)
+FCAP = 64  # fpar entries per node per window (overflow -> bad)
+UNSET = np.int32(0x3FFFFFF)  # SW_F_UNSET
+FROM_H, FROM_E, FROM_F = 0, 1, 2
+FROM_OPEN, FROM_EXT = 0, 1
+BIGI = np.int32(0x7FFFFFFF)
+KEY_EMPTY = np.int64(-1)
+KEY_HUGE = np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def _splitmix(x):
+    """kh_hash_uint64 (khashl-km.h): splitmix64 finalizer truncated to u32."""
+    x = x.astype(jnp.uint64)
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x & np.uint64(0xFFFFFFFF)).astype(jnp.int64)
+
+
+def _home_bucket(key):
+    """Fibonacci bucket map __kh_h2b(hash, bits) of sw_cell_hash."""
+    lo = (key >> np.int64(32)) & np.int64(0xFFFFFFFF)
+    hi = key & np.int64(0xFFFFFFFF)
+    h = (_splitmix(lo) + _splitmix(hi)) & np.int64(0xFFFFFFFF)
+    return (((h * np.int64(2654435769)) & np.int64(0xFFFFFFFF)) >> np.int64(32 - NB_BITS)).astype(jnp.int32)
+
+
+def _seg_scan_max(head, vals):
+    """Segmented inclusive running-max along axis=1; segments start at head."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
+
+    _, out = jax.lax.associative_scan(comb, (head, vals), axis=1)
+    return out
+
+
+def _seg_scan_min(head, vals):
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
+
+    _, out = jax.lax.associative_scan(comb, (head, vals), axis=1)
+    return out
+
+
+def _seg_broadcast_from_tail(head, vals):
+    """Copy each segment's LAST value to all its elements (reverse fill)."""
+    # tail of segment s = element before the next head (or the end)
+    tail = jnp.concatenate([head[:, 1:], jnp.ones_like(head[:, :1])], axis=1)
+
+    def comb(a, b):
+        # value at the LATEST flagged element of the combined range
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    rt = (jnp.flip(tail, 1), jnp.flip(vals, 1))
+    _, out = jax.lax.associative_scan(comb, rt, axis=1)
+    return jnp.flip(out, 1)
+
+
+def _ftake(arr2d, col):
+    """arr2d[w, col[w]] as a flat 1-D take (fast TPU lowering)."""
+    W, S = arr2d.shape
+    base = jnp.arange(W, dtype=jnp.int32) * np.int32(S)
+    return jnp.take(arr2d.reshape(-1), base + col.astype(jnp.int32))
+
+
+def _ftake2(arr2d, cols):
+    """arr2d[w, cols[w, j]] (cols (W, J)) as one flat take."""
+    W, S = arr2d.shape
+    base = (jnp.arange(W, dtype=jnp.int32) * np.int32(S))[:, None]
+    return jnp.take(arr2d.reshape(-1), base + cols.astype(jnp.int32))
+
+
+def _onehot_set(arr2d, col, val, mask):
+    """arr2d with arr2d[w, col[w]] = val[w] where mask[w] (one-hot select —
+    XLA TPU scatters serialize)."""
+    S = arr2d.shape[1]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, arr2d.shape, 1) == col[:, None]) & mask[:, None]
+    v = val[:, None] if val.ndim == 1 else val
+    return jnp.where(sel, v.astype(arr2d.dtype), arr2d)
+
+
+# score/len word packing (tsc): H(12) E(12) F(12) rlen(9) qlen(9) Hfrom(2)
+# Efrom(1) Ffrom(1) Foffset(1) = 59 bits
+_SH_E, _SH_F, _SH_RL, _SH_QL, _SH_HF, _SH_EF, _SH_FF, _SH_FO = 12, 24, 36, 45, 54, 56, 57, 58
+_M12, _M9 = np.int64(0xFFF), np.int64(0x1FF)
+
+
+def _pack_sc(H, E, F, rlen, qlen, Hfrom, Efrom, Ffrom, Foffset):
+    return (
+        H.astype(jnp.int64)
+        | E.astype(jnp.int64) << _SH_E
+        | F.astype(jnp.int64) << _SH_F
+        | rlen.astype(jnp.int64) << _SH_RL
+        | qlen.astype(jnp.int64) << _SH_QL
+        | Hfrom.astype(jnp.int64) << _SH_HF
+        | Efrom.astype(jnp.int64) << _SH_EF
+        | Ffrom.astype(jnp.int64) << _SH_FF
+        | Foffset.astype(jnp.int64) << _SH_FO
+    )
+
+
+def _unpack_sc(w):
+    H = (w & _M12).astype(jnp.int32)
+    E = ((w >> _SH_E) & _M12).astype(jnp.int32)
+    F = ((w >> _SH_F) & _M12).astype(jnp.int32)
+    rlen = ((w >> _SH_RL) & _M9).astype(jnp.int32)
+    qlen = ((w >> _SH_QL) & _M9).astype(jnp.int32)
+    Hfrom = ((w >> _SH_HF) & np.int64(3)).astype(jnp.int32)
+    Efrom = ((w >> _SH_EF) & np.int64(1)).astype(jnp.int32)
+    Ffrom = ((w >> _SH_FF) & np.int64(1)).astype(jnp.int32)
+    Foffset = ((w >> _SH_FO) & np.int64(1)).astype(jnp.int32)
+    return H, E, F, rlen, qlen, Hfrom, Efrom, Ffrom, Foffset
+
+
+# position word (tpos): Hpos(16) Epos(16) Foff(26); 0xFFFF = UINT32_MAX pos
+_PNONE = np.int32(0xFFFF)
+
+
+def _pack_pos(Hpos, Epos, Foff):
+    return (
+        (Hpos.astype(jnp.int64) & np.int64(0xFFFF))
+        | (Epos.astype(jnp.int64) & np.int64(0xFFFF)) << 16
+        | (Foff.astype(jnp.int64) & np.int64(0x3FFFFFF)) << 32
+    )
+
+
+def _unpack_pos(w):
+    Hpos = (w & np.int64(0xFFFF)).astype(jnp.int32)
+    Epos = ((w >> 16) & np.int64(0xFFFF)).astype(jnp.int32)
+    Foff = ((w >> 32) & np.int64(0x3FFFFFF)).astype(jnp.int32)
+    return Hpos, Epos, Foff
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: int = 30,
+                  end_len: int = 1, match: int = 1, mis: int = 3, gap_open: int = 5, gap_ext: int = 2):
+    """hapdiv anno DP for W windows of length K (seqs (W, K) int32 nt6).
+
+    Returns (n_al (W,), max_ed (W,), n_hap (W, 7) int64, bad (W,) bool).
+    `bad` windows must be recomputed on the host engine (see module doc).
+    Cites: rb3_hapdiv (bwa-sw.c:562-568), sw_core (bwa-sw.c:329-526),
+    sw_backtrack anno mode (bwa-sw.c:218-259)."""
+    W = seqs.shape[0]
+    N = n_best
+    S = N * 6  # candidate slots per node: per row cell 5 H-cands + 1 E-cand
+    dt = idx.idx_dtype
+    acc = idx.acc
+
+    # node symbols: node i consumes seq[K-1-(i-1)] (dawg_gen_linear,
+    # dawg.c:230-250 — backward extension over the reversed query)
+    syms = jnp.flip(seqs.astype(jnp.int32), axis=1).T  # (K, W)
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (W, N), 1)
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (W, NB), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (W, S), 1)
+
+    # ---- root row ---------------------------------------------------------
+    row = dict(
+        lo=jnp.zeros((W, N), dt),
+        hi=jnp.where(iota_n == 0, jnp.asarray(acc[6], dt), jnp.zeros((), dt)),
+        lorc=jnp.zeros((W, N), dt),
+        H=jnp.zeros((W, N), jnp.int32),
+        E=jnp.zeros((W, N), jnp.int32),
+        F=jnp.zeros((W, N), jnp.int32),
+        rlen=jnp.zeros((W, N), jnp.int32),
+        qlen=jnp.zeros((W, N), jnp.int32),
+        Hfrom=jnp.zeros((W, N), jnp.int32),
+        Efrom=jnp.zeros((W, N), jnp.int32),
+        Ffrom=jnp.zeros((W, N), jnp.int32),
+        Foffset=jnp.zeros((W, N), jnp.int32),
+        Hpos=jnp.zeros((W, N), jnp.int32),
+        Epos=jnp.zeros((W, N), jnp.int32),
+        Foff=jnp.full((W, N), UNSET, jnp.int32),
+        valid=iota_n == 0,
+    )
+    bad0 = jnp.zeros((W,), bool)
+
+    def node_body(carry, xs):
+        row, bad = carry
+        node_i, c_node = xs  # node index i (scalar), node symbols (W,)
+        pos_base = (node_i - 1) * np.int32(N)  # H_from_pos of a prev-row cell
+
+        n_prev = jnp.sum(row["valid"], axis=1).astype(jnp.int32)
+        # w.last_p = last batch-visited prev cell (bwa-sw.c keeps the pointer
+        # dangling across cells); gates the F-closure via qlen >= end_len
+        lastp_qlen = _ftake(row["qlen"], jnp.maximum(n_prev - 1, 0))
+        gate_f = (lastp_qlen >= np.int32(end_len)) & (n_prev > 0)
+
+        # ---- one batched extend of the whole prev row ---------------------
+        ik = jnp.stack(
+            [row["lo"], row["lorc"], jnp.where(row["valid"], row["hi"] - row["lo"], jnp.zeros((), dt))],
+            axis=-1,
+        )
+        ok = rank_extend(idx, ik.reshape(W * N, 3), jnp.ones((W * N,), bool)).reshape(W, N, 6, 3)
+
+        # ---- candidate slots (reference insert order: cell k, c=1..5, E) --
+        pH, pE = row["H"], row["E"]
+        c_n = c_node[:, None]  # (W,1)
+        cand = {}
+        sym = (iota_s % 6 + 1)  # 1..5 H-cands, 6 => E-slot
+        is_e = sym == 6
+        kcol = iota_s // 6  # source row cell
+        # gather per-slot extend rows: ok[(w, kcol, sym)] for H slots
+        sym_c = jnp.minimum(sym, 5)
+        flat = (jnp.arange(W, dtype=jnp.int32)[:, None] * np.int32(N * 6 * 3)) + kcol * np.int32(18) + sym_c * np.int32(3)
+        okf = ok.reshape(-1)
+        e_lo = jnp.take(okf, flat)
+        e_rc = jnp.take(okf, flat + 1)
+        e_sz = jnp.take(okf, flat + 2)
+        pHk = _ftake2(pH, kcol)
+        pEk = _ftake2(pE, kcol)
+        pqlen = _ftake2(row["qlen"], kcol)
+        prlen = _ftake2(row["rlen"], kcol)
+        pvalid = _ftake2(row["valid"].astype(jnp.int32), kcol) == 1
+        sc = jnp.where((sym_c == c_n) & (sym_c != 5), np.int32(match), np.int32(-mis))
+        h_pass = (
+            pvalid
+            & ~is_e
+            & (e_sz > 0)
+            & (pHk + sc > 0)
+            & ((sym_c == c_n) | (pqlen >= np.int32(end_len)))
+        )
+        # stale lo_rc for the E-slot: lo_rc of the cell's LAST passing H-cand
+        # (bwa-sw.c:418 quirk — only lo/hi are set on the E path)
+        hp_i = jnp.where(h_pass & ~is_e, sym_c, 0)
+        last_c = jnp.max(hp_i.reshape(W, N, 6), axis=2)  # (W,N) 0 => none
+        okf_rc = ok[..., 1].reshape(W, N * 6)
+        stale_rc = jnp.where(
+            (last_c > 0),
+            _ftake2(okf_rc, (jnp.arange(N, dtype=jnp.int32)[None, :] * 6 + jnp.minimum(last_c, 5))),
+            jnp.zeros((), dt),
+        )  # (W,N)
+        stale_rc_s = _ftake2(stale_rc, kcol)
+        e_open = pHk - np.int32(gap_open) > pEk
+        e_val = jnp.where(e_open, pHk - np.int32(gap_open), pEk) - np.int32(gap_ext)
+        e_from = jnp.where(e_open, np.int32(FROM_OPEN), np.int32(FROM_EXT))
+        e_pass = pvalid & is_e & (e_val > 0) & (pqlen >= np.int32(end_len))
+        p_lo = _ftake2(row["lo"], kcol)
+        p_hi = _ftake2(row["hi"], kcol)
+        cand["valid"] = h_pass | e_pass
+        lo_s = jnp.where(is_e, p_lo, e_lo)
+        hi_s = jnp.where(is_e, p_hi, e_lo + e_sz)
+        cand["key"] = jnp.where(
+            cand["valid"],
+            (lo_s.astype(jnp.int64) << 32) | hi_s.astype(jnp.int64),
+            KEY_HUGE,
+        )
+        cand["lorc"] = jnp.where(is_e, stale_rc_s, e_rc)
+        cand["H"] = jnp.where(is_e, e_val, pHk + sc)
+        cand["E"] = jnp.where(is_e, e_val, np.int32(0))
+        cand["rlen"] = jnp.where(is_e, prlen, prlen + 1)
+        cand["qlen"] = pqlen + 1
+        cand["Hfrom"] = jnp.where(is_e, np.int32(FROM_E), np.int32(FROM_H))
+        cand["Efrom"] = jnp.where(is_e, e_from, np.int32(0))
+        cand["Hpos"] = jnp.where(is_e, np.int32(-1), pos_base + kcol)
+        cand["Epos"] = jnp.where(is_e, pos_base + kcol, np.int32(-1))
+        bad = bad | jnp.any(cand["valid"] & (cand["H"] > 4095), axis=1)  # tsc pack cap
+
+        # ---- phase A: sorted-segment dedup + running-max merge -------------
+        perm = jnp.argsort(cand["key"], axis=1, stable=True)
+        def aperm(a):
+            return _ftake2(a, perm)
+
+        key_s = aperm(cand["key"])
+        slot_s = perm.astype(jnp.int32)
+        valid_s = key_s != KEY_HUGE
+        head = jnp.concatenate(
+            [jnp.ones((W, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1
+        )
+        H_s = jnp.where(valid_s, aperm(cand["H"]), np.int32(-1))
+        E_s = jnp.where(valid_s, aperm(cand["E"]), np.int32(-1))
+        rl_s = aperm(cand["rlen"])
+        ql_s = aperm(cand["qlen"])
+        maxH = _seg_broadcast_from_tail(head, _seg_scan_max(head, H_s))
+        maxE = _seg_broadcast_from_tail(head, _seg_scan_max(head, E_s))
+        maxRL = _seg_broadcast_from_tail(head, _seg_scan_max(head, rl_s))
+        maxQL = _seg_broadcast_from_tail(head, _seg_scan_max(head, ql_s))
+        # first attainment positions (sorted-axis coordinates)
+        spos = jax.lax.broadcasted_iota(jnp.int32, (W, S), 1)
+        eH = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(H_s == maxH, spos, BIGI)))
+        eE = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(E_s == maxE, spos, BIGI)))
+        head_pos = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(head, spos, BIGI)))
+        Hfrom_s = aperm(cand["Hfrom"])
+        Hpos_s = aperm(cand["Hpos"])
+        Efrom_s = aperm(cand["Efrom"])
+        Epos_s = aperm(cand["Epos"])
+        gHfrom = _ftake2(Hfrom_s, eH)
+        gHposE1 = _ftake2(Hpos_s, eH)
+        gHposHead = _ftake2(Hpos_s, head_pos)
+        # H_from_pos rule: e1==head -> head's value (absent-insert copies all
+        # fields); e1 H-type -> e1's value; e1 E-type past head -> the exact
+        # value needs the event chain -> bad-flag (see module doc)
+        ambiguous = (eH != head_pos) & (gHfrom == np.int32(FROM_E))
+        bad = bad | jnp.any(head & valid_s & ambiguous, axis=1)
+        gHpos = jnp.where(eH == head_pos, gHposHead, gHposE1)
+        gEfrom = _ftake2(Efrom_s, eE)
+        gEpos = _ftake2(Epos_s, eE)
+        lorc_s = aperm(cand["lorc"])  # lo_rc is NOT merged: head's value wins
+
+        # compact uniques in FIRST-OCCURRENCE order (khashl insert order)
+        first_s = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(head, slot_s, BIGI)))
+        ukey_src = jnp.where(head & valid_s, first_s, BIGI)
+        uperm = jnp.argsort(ukey_src, axis=1, stable=True)
+        def uperm_take(a):
+            return _ftake2(a, uperm)
+
+        u_valid = uperm_take(ukey_src) != BIGI
+        u_count = jnp.sum(u_valid, axis=1).astype(jnp.int32)
+        u_key = jnp.where(u_valid, uperm_take(key_s), KEY_EMPTY)
+        u_lorc = uperm_take(lorc_s)
+        u_sc = _pack_sc(
+            jnp.where(u_valid, uperm_take(maxH), 0),
+            jnp.where(u_valid, uperm_take(maxE), 0),
+            jnp.zeros((W, S), jnp.int32),
+            uperm_take(maxRL),
+            uperm_take(maxQL),
+            uperm_take(gHfrom),
+            uperm_take(gEfrom),
+            jnp.zeros((W, S), jnp.int32),
+            jnp.zeros((W, S), jnp.int32),
+        )
+        u_pos = _pack_pos(
+            jnp.where(uperm_take(gHpos) < 0, _PNONE, uperm_take(gHpos)),
+            jnp.where(uperm_take(gEpos) < 0, _PNONE, uperm_take(gEpos)),
+            jnp.full((W, S), UNSET, jnp.int32),
+        )
+        bad = bad | (u_count >= np.int32(MAXC))  # khashl would resize mid-node
+
+        # ---- bucket assignment: replay khashl inserts (first-occurrence) --
+        u_home = _home_bucket(u_key)
+        used0 = jnp.zeros((W, NB), jnp.int32)
+        buckets0 = jnp.zeros((W, S), jnp.int32)
+        max_u = jnp.max(jnp.where(bad, 0, u_count))
+
+        def bk_cond(st):
+            u, _, _ = st
+            return u < max_u
+
+        def bk_body(st):
+            u, used, buckets = st
+            act = (u < u_count) & ~bad
+            home = _ftake(u_home, jnp.full((W,), 0, jnp.int32) + u)
+            d = (iota_nb - home[:, None]) & np.int32(NB - 1)
+            b = jnp.argmin(jnp.where(used == 1, BIGI, d), axis=1).astype(jnp.int32)
+            used = jnp.where(
+                act[:, None] & (iota_nb == b[:, None]), np.int32(1), used
+            )
+            buckets = jax.lax.dynamic_update_slice(
+                buckets,
+                jnp.where(act, b, _ftake(buckets, jnp.full((W,), u)))[:, None],
+                (jnp.asarray(0, jnp.int32), u),
+            )
+            return u + 1, used, buckets
+
+        _, used_f, u_bucket = jax.lax.while_loop(bk_cond, bk_body, (jnp.asarray(0, jnp.int32), used0, buckets0))
+
+        # ---- materialize the 128-bucket table (sort + binary search) ------
+        bsort_key = jnp.where(u_valid & ~bad[:, None], u_bucket, np.int32(NB + 1))
+        bperm = jnp.argsort(bsort_key, axis=1, stable=True)
+        sbuck = _ftake2(bsort_key, bperm)
+
+        # for each bucket j: index of the unique with bucket == j (or miss)
+        def bsearch(sorted_vals, queries):
+            lo = jnp.zeros_like(queries)
+            hi = jnp.full_like(queries, S)
+            for _ in range(S.bit_length()):
+                mid = (lo + hi) // 2
+                v = _ftake2(sorted_vals, jnp.minimum(mid, S - 1))
+                go = v < queries
+                lo = jnp.where(go, mid + 1, lo)
+                hi = jnp.where(go, hi, mid)
+            return lo
+
+        posj = bsearch(sbuck, iota_nb)
+        hitj = _ftake2(sbuck, jnp.minimum(posj, S - 1)) == iota_nb
+        srcu = _ftake2(bperm.astype(jnp.int32), jnp.minimum(posj, S - 1))
+        tkey = jnp.where(hitj, _ftake2(u_key, srcu), KEY_EMPTY)
+        tsc = jnp.where(hitj, _ftake2(u_sc, srcu), np.int64(0))
+        tpos = jnp.where(hitj, _ftake2(u_pos, srcu), _pack_pos(jnp.full((W, NB), _PNONE), jnp.full((W, NB), _PNONE), jnp.full((W, NB), UNSET)))
+        tlorc = jnp.where(hitj, _ftake2(u_lorc, srcu), jnp.zeros((), dt))
+        count = jnp.where(bad, 0, u_count)
+
+        # ---- first selection: top-N by (H << 32 | bucket) ------------------
+        def topn(tkey, tsc):
+            tH = (tsc & _M12).astype(jnp.int64)
+            x = jnp.where(tkey != KEY_EMPTY, (tH << 32) | iota_nb.astype(jnp.int64), np.int64(-1))
+            xs = jnp.sort(x, axis=1, descending=True)[:, :N]
+            return xs
+
+        row_x = topn(tkey, tsc)
+
+        # ---- F-closure ------------------------------------------------------
+        # heap: the bounded min-heap's VALUE multiset as a sorted-ascending
+        # (W, N) array (heap[0] == min); entries are (H<<32|id) keys
+        heap = jnp.flip(row_x, 1)  # ascending; -1 = empty slot
+        hlen = jnp.sum(row_x >= 0, axis=1).astype(jnp.int32)
+
+        # initial stack: row cells (descending (H,bucket) order), pushed in
+        # reverse so pops see the best cell first, filtered H > open+ext
+        rb = (row_x & np.int64(0xFFFFFFFF)).astype(jnp.int32)  # bucket per row col
+        r_valid0 = row_x >= 0
+        rH0 = (row_x >> 32).astype(jnp.int32)
+        elig = r_valid0 & (rH0 > np.int32(gap_open + gap_ext)) & gate_f[:, None] & ~bad[:, None]
+        # stack slot of row col j = #eligible with col > j
+        rev_csum = jnp.flip(jnp.cumsum(jnp.flip(elig.astype(jnp.int32), 1), axis=1), 1)
+        slot_of_j = rev_csum - elig.astype(jnp.int32)
+        st_perm = jnp.argsort(jnp.where(elig, slot_of_j, BIGI), axis=1, stable=True)
+        st_bucket = _ftake2(rb, st_perm)
+        st_n = jnp.sum(elig, axis=1).astype(jnp.int32)
+
+        def from_table(bcol):
+            k = _ftake2(tkey, bcol)
+            scw = _ftake2(tsc, bcol)
+            H, E, F, rl, ql, *_ = _unpack_sc(scw)
+            return dict(
+                lo=(k >> 32).astype(dt), hi=(k & np.int64(0xFFFFFFFF)).astype(dt),
+                lorc=_ftake2(tlorc, bcol), H=H, F=F, rlen=rl, qlen=ql,
+            )
+
+        stc = from_table(st_bucket)
+        zpad = jnp.zeros((W, SCAP - N), jnp.int32)
+
+        def padN(a, fill=0):
+            return jnp.concatenate([a, jnp.full((W, SCAP - N), fill, a.dtype)], axis=1)
+
+        stack = dict(
+            lo=padN(stc["lo"]), hi=padN(stc["hi"]), lorc=padN(stc["lorc"]),
+            H=padN(stc["H"]), F=padN(stc["F"]), rlen=padN(stc["rlen"]), qlen=padN(stc["qlen"]),
+        )
+        sp = st_n
+
+        fpar = jnp.full((W, FCAP), KEY_EMPTY, jnp.int64)
+        nfp = jnp.zeros((W,), jnp.int32)
+
+        def cl_cond(st):
+            sp = st["sp"]
+            return jnp.any((sp > 0) & ~st["bad"]) & (st["rounds"] < np.int32(1024))
+
+        def cl_body(st):
+            tkey, tsc, tpos, tlorc = st["tkey"], st["tsc"], st["tpos"], st["tlorc"]
+            heap, hlen = st["heap"], st["hlen"]
+            stack, sp = st["stack"], st["sp"]
+            fpar, nfp, count, bad = st["fpar"], st["nfp"], st["count"], st["bad"]
+
+            # ---- pop-scan: each window advances to its next extend-needing
+            # pop (cheap (W,) micro-steps, cf. sw_core_multi rounds)
+            def ps_cond(ps):
+                return jnp.any(ps["unres"])
+
+            def ps_body(ps):
+                sp = ps["sp"]
+                un = ps["unres"]
+                at = jnp.maximum(sp - 1, 0)
+                z = {f: _ftake(stack[f], at) for f in stack}
+                sp = jnp.where(un, sp - 1, sp)
+                minv = jnp.where(hlen < N, 0, (heap[:, 0] >> 32).astype(jnp.int32))
+                f_open = z["H"] - np.int32(gap_open) > z["F"]
+                F2 = jnp.where(f_open, z["H"] - np.int32(gap_open), z["F"]) - np.int32(gap_ext)
+                ok_pop = F2 > minv
+                newly = un & ok_pop
+                out = dict(ps)
+                out["sp"] = sp
+                out["unres"] = un & ~ok_pop & (sp > 0)
+                for f in z:
+                    out["z_" + f] = jnp.where(newly, z[f], ps["z_" + f])
+                out["pend"] = ps["pend"] | newly
+                out["pmin"] = jnp.where(newly, minv, ps["pmin"])
+                out["pF2"] = jnp.where(newly, F2, ps["pF2"])
+                out["pFfrom"] = jnp.where(newly, jnp.where(f_open, np.int32(FROM_OPEN), np.int32(FROM_EXT)), ps["pFfrom"])
+                return out
+
+            ps0 = dict(
+                sp=sp, unres=(sp > 0) & ~bad, pend=jnp.zeros((W,), bool),
+                pmin=jnp.zeros((W,), jnp.int32), pF2=jnp.zeros((W,), jnp.int32),
+                pFfrom=jnp.zeros((W,), jnp.int32),
+                **{"z_" + f: jnp.zeros((W,), stack[f].dtype) for f in stack},
+            )
+            ps = jax.lax.while_loop(ps_cond, ps_body, ps0)
+            sp, pend = ps["sp"], ps["pend"]
+            z = {f: ps["z_" + f] for f in stack}
+
+            # ---- one batched extend over pending windows ----------------
+            ikz = jnp.stack(
+                [z["lo"].astype(dt), z["lorc"].astype(dt), jnp.where(pend, (z["hi"] - z["lo"]).astype(dt), jnp.zeros((), dt))],
+                axis=-1,
+            )
+            okz = rank_extend(idx, ikz, jnp.ones((W,), bool))  # (W, 6, 3)
+
+            rH = ps["pF2"]
+            for c in range(1, 6):
+                csz = okz[:, c, 2]
+                putm = pend & (csz > 0)
+                lo_c = okz[:, c, 0]
+                hi_c = lo_c + csz
+                key_c = (lo_c.astype(jnp.int64) << 32) | hi_c.astype(jnp.int64)
+                # khashl put: probe from the home bucket to first equal/empty
+                home = _home_bucket(key_c)
+                d = (iota_nb - home[:, None]) & np.int32(NB - 1)
+                elig_b = (tkey == KEY_EMPTY) | (tkey == key_c[:, None])
+                b = jnp.argmin(jnp.where(elig_b, d, BIGI), axis=1).astype(jnp.int32)
+                cur_key = _ftake(tkey, b)
+                absent = cur_key == KEY_EMPTY
+                bad = bad | (putm & (count >= np.int32(MAXC)))
+                putm = putm & ~bad
+                count = count + (putm & absent)
+                cw = _ftake(tsc, b)
+                tH, tE, tF, trl, tql, tHf, tEf, tFf, tFo = _unpack_sc(cw)
+                pw = _ftake(tpos, b)
+                tHp, tEp, tFoff = _unpack_pos(pw)
+                # merge (sw_update_candset): F-candidate fields
+                nH = jnp.where(absent, rH, jnp.maximum(tH, rH))
+                nHf = jnp.where(absent | (tH < rH), np.int32(FROM_F), tHf)
+                nHp = jnp.where(absent, _PNONE, tHp)  # F-cand Hpos=UINT32_MAX
+                nE = jnp.where(absent, np.int32(0), tE)
+                nEf = jnp.where(absent, np.int32(0), tEf)
+                nEp = jnp.where(absent, _PNONE, tEp)
+                chF = absent | (tF < rH)  # r.F == r.H for an F candidate
+                nF = jnp.where(chF, rH, tF)
+                nFf = jnp.where(chF, ps["pFfrom"], tFf)
+                nrl = jnp.where(absent, z["rlen"] + 1, jnp.maximum(trl, z["rlen"] + 1))
+                nql = jnp.where(absent, z["qlen"], jnp.maximum(tql, z["qlen"]))
+                nFo = jnp.where(absent, np.int32(0), tFo)
+                # F-change bookkeeping (bwa-sw.c:445-483)
+                do_f = putm & chF
+                bad = bad | (do_f & (nfp >= np.int32(FCAP)))
+                do_f = do_f & ~bad
+                nFoff = jnp.where(chF, nfp, tFoff)  # node-local fpar index
+                zkey = (z["lo"].astype(jnp.int64) << 32) | z["hi"].astype(jnp.int64)
+                fpar = _onehot_set(fpar, nfp, zkey, do_f)
+                nfp = nfp + do_f
+                # heap insert x = (rH << 32) | UINT32_MAX
+                x = (rH.astype(jnp.int64) << 32) | np.int64(0xFFFFFFFF)
+                hins = do_f
+                grow = hins & (hlen < N)
+                repl = hins & (hlen >= N) & (x > heap[:, 0])
+                xa = jnp.where(grow | repl, x, np.int64(-2))
+                # sorted insert: drop min on repl, keep all on grow
+                base = jnp.where(repl[:, None] & (iota_n == 0), np.int64(-1), heap)
+                both = jnp.sort(jnp.concatenate([base, xa[:, None]], axis=1), axis=1)[:, 1:]
+                heap = jnp.where((grow | repl)[:, None], both, heap)
+                hlen = hlen + grow
+                # push q.copy() when r.H - gap_ext > pending_min
+                push = do_f & (rH - np.int32(gap_ext) > ps["pmin"])
+                bad = bad | (push & (sp >= np.int32(SCAP)))
+                push = push & ~bad
+                new_lorc = jnp.where(absent, okz[:, c, 1], _ftake(tlorc, b))
+                pf = dict(
+                    lo=lo_c.astype(dt), hi=hi_c.astype(dt), lorc=new_lorc.astype(dt),
+                    H=nH, F=nF, rlen=nrl, qlen=nql,
+                )
+                for f in stack:
+                    stack[f] = _onehot_set(stack[f], sp, pf[f], push)
+                sp = sp + push
+                # write back merged table words
+                nkey = jnp.where(absent, key_c, cur_key)
+                nsc = _pack_sc(nH, nE, nF, nrl, nql, nHf, nEf, nFf, nFo)
+                npos = _pack_pos(nHp, nEp, nFoff)
+                tkey = _onehot_set(tkey, b, nkey, putm)
+                tsc = _onehot_set(tsc, b, nsc, putm)
+                tpos = _onehot_set(tpos, b, npos, putm)
+                tlorc = _onehot_set(tlorc, b, new_lorc.astype(dt), putm)
+
+            return dict(
+                tkey=tkey, tsc=tsc, tpos=tpos, tlorc=tlorc, heap=heap, hlen=hlen,
+                stack=stack, sp=sp, fpar=fpar, nfp=nfp, count=count, bad=bad,
+                rounds=st["rounds"] + 1,
+            )
+
+        st0 = dict(
+            tkey=tkey, tsc=tsc, tpos=tpos, tlorc=tlorc, heap=heap, hlen=hlen,
+            stack=stack, sp=sp, fpar=fpar, nfp=nfp, count=count, bad=bad,
+            rounds=jnp.asarray(0, jnp.int32),
+        )
+        stf = jax.lax.while_loop(cl_cond, cl_body, st0)
+        tkey, tsc, tpos, tlorc = stf["tkey"], stf["tsc"], stf["tpos"], stf["tlorc"]
+        fpar, nfp = stf["fpar"], stf["nfp"]
+        # round-cap leftovers are inexact -> host rerun
+        bad = stf["bad"] | (stf["sp"] > 0)
+
+        # ---- rebuild: final top-N by (H<<32|bucket) -------------------------
+        row_x = topn(tkey, tsc)
+        r_valid = row_x >= 0
+        rbuck = (row_x & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+        rkey = _ftake2(tkey, rbuck)
+        rsc = _ftake2(tsc, rbuck)
+        rpos = _ftake2(tpos, rbuck)
+        rlorc = _ftake2(tlorc, rbuck)
+        rH, rE, rF, rrl, rql, rHf, rEf, rFf, rFo = _unpack_sc(rsc)
+        rHp, rEp, rFoff = _unpack_pos(rpos)
+
+        # ---- sw_track_F: fpar index -> row column (bwa-sw.c:301-324) -------
+        need = r_valid & (rF > 0) & (rFoff != UNSET)
+        fkey = _ftake2(fpar, jnp.where(need, jnp.minimum(rFoff, FCAP - 1), 0))
+        mt = (rkey[:, None, :] == fkey[:, :, None]) & r_valid[:, None, :]  # (W, cell, col)
+        hit = jnp.any(mt, axis=2)
+        j2 = jnp.argmax(mt, axis=2).astype(jnp.int32)
+        rFoff = jnp.where(need & hit, j2, UNSET)
+        rFos = jnp.where(need & hit, np.int32(1), np.int32(0))
+
+        new_row = dict(
+            lo=jnp.where(r_valid, (rkey >> 32).astype(dt), jnp.zeros((), dt)),
+            hi=jnp.where(r_valid, (rkey & np.int64(0xFFFFFFFF)).astype(dt), jnp.zeros((), dt)),
+            lorc=rlorc, H=jnp.where(r_valid, rH, 0), E=rE, F=rF, rlen=rrl, qlen=rql,
+            Hfrom=rHf, Efrom=rEf, Ffrom=rFf, Foffset=rFos,
+            Hpos=jnp.where(rHp == _PNONE, np.int32(-1), rHp),
+            Epos=jnp.where(rEp == _PNONE, np.int32(-1), rEp),
+            Foff=rFoff, valid=r_valid,
+        )
+
+        # ---- archive for the anno backtrack --------------------------------
+        refc = jnp.zeros((W, N), jnp.int32)
+        for c in range(1, 7):
+            refc = refc + (jnp.asarray(acc[c], dt) <= new_row["lo"]).astype(jnp.int32)
+        word0 = (
+            rHf | rEf << 2 | rFf << 3 | rFos << 4 | refc << 5
+            | jnp.where(rFos == 1, jnp.minimum(rFoff, np.int32(31)), np.int32(31)) << 8
+        )
+        word1 = (
+            jnp.where(new_row["Hpos"] < 0, _PNONE, new_row["Hpos"])
+            | jnp.where(new_row["Epos"] < 0, _PNONE, new_row["Epos"]) << 16
+        )
+        return (new_row, bad), (word0, word1)
+
+    xs = (jnp.arange(1, K + 1, dtype=jnp.int32), syms)
+    (row, bad), (arch0, arch1) = jax.lax.scan(node_body, (row, bad0), xs)
+    # arch: (K, W, N) int32 for nodes 1..K
+
+    # ---- final row: containment dedup (sw_cell_dedup, bwa-sw.c:197-216) ----
+    lo, hi, lorc, valid = row["lo"], row["hi"], row["lorc"], row["valid"]
+    sz = hi - lo
+    kept = jnp.zeros((W, N), bool)
+    kept = kept.at[:, 0].set(valid[:, 0])
+    flt = jnp.zeros((W, N), bool)
+    for i in range(1, N):
+        cont_rc = (lorc <= lorc[:, i : i + 1]) & (lorc + sz >= lorc[:, i : i + 1] + sz[:, i : i + 1])
+        cont_fw = (lo <= lo[:, i : i + 1]) & (hi >= hi[:, i : i + 1])
+        c_i = jnp.any(kept & (cont_rc | cont_fw), axis=1) & valid[:, i]
+        flt = flt.at[:, i].set(c_i)
+        kept = kept.at[:, i].set(valid[:, i] & ~c_i)
+
+    H0 = row["H"][:, 0]
+    sel = (
+        valid & ~flt & (row["Hfrom"] == np.int32(FROM_H)) & (row["H"] >= np.int32(min_sc))
+    )
+    # e2e_drop default -1: no drop filter (search.c hapdiv path)
+    n_al = jnp.sum(sel, axis=1).astype(jnp.int32)
+
+    # ---- anno backtrack: ed per selected final cell (lock-step walkers) ----
+    af0 = arch0.transpose(1, 0, 2).reshape(W, K * N)  # (W, K*N): node i-1 at (i-1)*N+col
+    af1 = arch1.transpose(1, 0, 2).reshape(W, K * N)
+    symsf = syms.T  # (W, K); node r symbol = symsf[:, r-1]
+
+    # global pos = r*N + col with r in 0..K; archive index for r>=1 is
+    # (r-1)*N + col; the walk ends at pos == 0 (the root cell)
+    pos = jnp.where(sel, np.int32(K) * N + iota_n, np.int32(0))
+    last = jnp.zeros((W, N), jnp.int32)
+    ed = jnp.zeros((W, N), jnp.int32)
+    alive = sel
+
+    def bt_cond(st):
+        return jnp.any(st[0] > 0) & (st[4] < np.int32(4 * K + 64))
+
+    def bt_body(st):
+        pos, last, ed, alive, steps = st
+        act = alive & (pos > 0)
+        r = pos // np.int32(N)
+        col = pos % np.int32(N)
+        ai = jnp.clip((r - 1) * np.int32(N) + col, 0, K * N - 1)
+        W0 = _ftake2(af0, ai)
+        W1 = _ftake2(af1, ai)
+        x = W0 & np.int32(0xF)
+        state = jnp.where(last == 0, x & 3, last)
+        ext = jnp.where((state == 1) | (state == 2), (x >> (state + 1)) & 1, 0)
+        c = (W0 >> 5) & 7
+        node_c = _ftake2(symsf, jnp.clip(r - 1, 0, K - 1))
+        is_h = state == np.int32(FROM_H)
+        is_e = state == np.int32(FROM_E)
+        is_f = state == np.int32(FROM_F)
+        d_ed = jnp.where(is_h, (c != node_c).astype(jnp.int32), 1)
+        Hp = W1 & np.int32(0xFFFF)
+        Ep = (W1 >> 16) & np.int32(0xFFFF)
+        Foffr = (W0 >> 8) & np.int32(0x1F)
+        npos = jnp.where(is_h, Hp, jnp.where(is_e, Ep, r * np.int32(N) + Foffr))
+        pos = jnp.where(act, npos, pos)
+        ed = ed + jnp.where(act, d_ed, 0)
+        last = jnp.where(act, jnp.where(((state == 1) | (state == 2)) & (ext == 1), state, 0), last)
+        return pos, last, ed, alive, steps + 1
+
+    pos, last, ed, alive, _ = jax.lax.while_loop(
+        bt_cond, bt_body, (pos, last, ed, alive, jnp.asarray(0, jnp.int32))
+    )
+    bad = bad | jnp.any(sel & (pos > 0), axis=1)  # walk-cap leftovers
+
+    max_ed = jnp.max(jnp.where(sel, ed, 0), axis=1)
+    edc = jnp.minimum(ed, 6)
+    weights = (hi - lo).astype(jnp.int64)
+    n_hap = jnp.zeros((W, 7), jnp.int64)
+    for e in range(7):
+        n_hap = n_hap.at[:, e].set(jnp.sum(jnp.where(sel & (edc == e), weights, 0), axis=1))
+
+    return n_al, max_ed, n_hap, bad

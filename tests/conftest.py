@@ -11,6 +11,11 @@ import sys
 if os.environ.get("RB3TPU_TEST_REEXEC") != "1":
     env = dict(os.environ)
     env["RB3TPU_TEST_REEXEC"] = "1"
+    # save the ambient env so the gated real-TPU smoke test
+    # (tests/test_tpu_smoke.py, RB3TPU_TPU_TESTS=1) can hand it back to its
+    # CLI subprocesses — those are the only test processes allowed to attach
+    env["RB3TPU_ORIG_PYTHONPATH"] = env.get("PYTHONPATH", "")
+    env["RB3TPU_ORIG_JAX_PLATFORMS"] = env.get("JAX_PLATFORMS", "")
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()

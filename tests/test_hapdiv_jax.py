@@ -1,0 +1,78 @@
+"""Device hapdiv (align/hapdiv_jax.py) vs the host engine, bit-for-bit.
+
+The host rb3_hapdiv/sw_core_multi path is golden vs the reference binary
+(tests/test_bwasw.py, test_cli_golden.py), so matching it transitively
+matches the reference.  Runs on the CPU backend like the rest of the suite."""
+
+import numpy as np
+import pytest
+
+from ropebwt3_tpu.align.bwasw import SwOpt, RB3_SWF_E2E, RB3_SWF_HAPDIV, rb3_hapdiv_multi
+from ropebwt3_tpu.formats import fmd
+from ropebwt3_tpu.index.dense import DenseFMIndex
+
+
+@pytest.fixture(scope="module")
+def dense_index(ref_index):
+    _, syms, lens = fmd.read_fmd(str(ref_index))
+    return DenseFMIndex.from_runs(syms, lens)
+
+
+def _windows(rng, base, n, k, err):
+    out = np.zeros((n, k), np.uint8)
+    for i in range(n):
+        st = int(rng.integers(0, len(base) - k))
+        w = base[st : st + k].copy()
+        mut = rng.random(k) < err
+        w[mut] = rng.integers(1, 5, int(mut.sum()))
+        out[i] = w
+    return out
+
+def _hapdiv_opt(k):
+    opt = SwOpt()
+    opt.flag = RB3_SWF_E2E | RB3_SWF_HAPDIV
+    opt.end_len = 1
+    return opt
+
+
+@pytest.mark.parametrize("err,k", [(0.01, 101), (0.06, 101), (0.02, 51)])
+def test_device_matches_host(dense_index, corpus, err, k):
+    import jax.numpy as jnp
+
+    from ropebwt3_tpu.align.hapdiv_jax import hapdiv_device
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+
+    rng = np.random.default_rng(hash((err, k)) % 2**32)
+    tab = np.zeros(256, np.uint8)
+    for i, ch in enumerate(b"$ACGTN"):
+        tab[ch] = i
+    base = None
+    for line in open(corpus / "genomes.fa"):
+        if not line.startswith(">"):
+            base = tab[np.frombuffer(line.strip().encode(), np.uint8)]
+            break
+    W = 48
+    wins = _windows(rng, base, W, k, err)
+    # a few windows with N bases (nt6 symbol 5) for the c==5 path
+    wins[0, 10:13] = 5
+    wins[1, :2] = 5
+
+    opt = _hapdiv_opt(k)
+    host = rb3_hapdiv_multi(opt, dense_index, [wins[i] for i in range(W)])
+
+    idx = DeviceIndex.from_dense(dense_index)
+    n_al, max_ed, n_hap, bad = hapdiv_device(idx, jnp.asarray(wins.astype(np.int32)), k)
+    n_al, max_ed, n_hap, bad = map(np.asarray, (n_al, max_ed, n_hap, bad))
+
+    n_bad = int(bad.sum())
+    assert n_bad <= W // 4, f"too many host-fallback windows: {n_bad}/{W}"
+    for i in range(W):
+        if bad[i]:
+            continue
+        h = host[i]
+        if h is None:
+            assert n_al[i] == 0, (i, n_al[i])
+            continue
+        assert n_al[i] == h.n_al, (i, n_al[i], h.n_al)
+        assert max_ed[i] == h.max_ed, (i, max_ed[i], h.max_ed)
+        assert n_hap[i].tolist() == list(h.n_hap), (i, n_hap[i].tolist(), h.n_hap)

@@ -1,0 +1,93 @@
+"""Gated real-TPU smoke tests (VERDICT round-2 item 8).
+
+Run ONCE per round, alone, before the bench:
+
+    RB3TPU_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -x -q
+
+Gated because (a) only one process may attach to the tunneled chip, so these
+must never run concurrently with a bench or another suite; (b) fresh kernel
+shapes pay 2 s-40 min remote compiles.  Each test talks to the chip through
+ONE subprocess at a time (the pytest process itself stays on the CPU
+backend), handing back the ambient machine env that conftest scrubbed."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from .conftest import run_ref
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RB3TPU_TPU_TESTS") != "1",
+    reason="real-TPU smoke: set RB3TPU_TPU_TESTS=1 and run this file alone",
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tpu_env():
+    """The pre-conftest machine env: axon sitecustomize back on PYTHONPATH,
+    platform pin restored, no virtual-device XLA flags."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = env.get("RB3TPU_ORIG_PYTHONPATH", "")
+    orig_plat = env.get("RB3TPU_ORIG_JAX_PLATFORMS", "")
+    if orig_plat:
+        env["JAX_PLATFORMS"] = orig_plat
+    else:
+        env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def test_mem_jax_golden_on_chip(ref_bin, ref_index, corpus):
+    """CLI `mem --engine=jax` (packed TPU kernel) byte-matches the reference
+    on the attached chip."""
+    want = run_ref(ref_bin, ["mem", "-l13", str(ref_index), str(corpus / "reads.fa")])
+    r = subprocess.run(
+        [sys.executable, "-m", "ropebwt3_tpu", "mem", "--engine=jax", "-l13", str(ref_index), str(corpus / "reads.fa")],
+        env=tpu_env(), capture_output=True, timeout=2400, cwd=ROOT,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-3000:]
+    assert r.stdout == want
+
+
+WORKER = r"""
+import sys
+import numpy as np
+
+from ropebwt3_tpu.formats import fmd
+from ropebwt3_tpu.index.dense import DenseFMIndex
+from ropebwt3_tpu.ops.smem import BatchedSmemTG
+from ropebwt3_tpu.seqio import read_seqs
+
+import jax
+assert jax.devices()[0].platform != "cpu", jax.devices()
+
+_, syms, lens = fmd.read_fmd(sys.argv[1])
+f = DenseFMIndex.from_runs(syms, lens)
+qs = [q for _, q in read_seqs(sys.argv[2])]
+packed = BatchedSmemTG(f, min_occ=1, min_len=13, pack=True).run(qs)
+unpacked = BatchedSmemTG(f, min_occ=1, min_len=13, pack=False).run(qs)
+for a, b in zip(packed, unpacked):
+    ka = sorted((m.start, m.end, m.size, m.lo, m.lo_rc) for m in a)
+    kb = sorted((m.start, m.end, m.size, m.lo, m.lo_rc) for m in b)
+    assert ka == kb, (ka, kb)
+print("EQUIV-OK", len(packed), flush=True)
+"""
+
+
+def test_packed_lane_equivalence_on_chip(ref_index, corpus, tmp_path):
+    """Packed multi-read lanes == one-read-per-lane on the real chip (the CPU
+    suite covers this on XLA:CPU; Mosaic/axon-specific regressions only show
+    here)."""
+    w = tmp_path / "worker.py"
+    w.write_text(WORKER)
+    env = tpu_env()
+    env["PYTHONPATH"] = f"{ROOT}:{env.get('PYTHONPATH', '')}"
+    r = subprocess.run(
+        [sys.executable, str(w), str(ref_index), str(corpus / "reads.fa")],
+        env=env, capture_output=True, timeout=2400, cwd=ROOT,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-3000:]
+    assert b"EQUIV-OK" in r.stdout
