@@ -189,7 +189,7 @@ def run_sw_cli(f, files, is_line, sw_opts) -> int:
     return 0
 
 
-def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
+def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto") -> int:
     opt = _opt_from_dict(sw_opts)
     opt.flag |= RB3_SWF_E2E | RB3_SWF_HAPDIV
     out = sys.stdout
@@ -202,6 +202,17 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
     # 100k x 150 bp).  Window results are run-length merged per sequence
     # (search.c:327-353); batching cannot change any output row.
     CAP = 16384 if native_sw_available() else 64
+    dev_engine = None
+    if engine == "jax":
+        from .hapdiv_jax import HapdivDeviceEngine
+
+        dev_engine = HapdivDeviceEngine(f, opt)
+        CAP = dev_engine.lanes
+
+    def _compute(batch_wins):
+        if dev_engine is not None:
+            return dev_engine.run(batch_wins)
+        return rb3_hapdiv_multi(opt, f, batch_wins)
     pend: list[tuple[str, list[int]]] = []
     wins: list = []
     from concurrent.futures import ThreadPoolExecutor
@@ -236,7 +247,7 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w) -> int:
         nonlocal pend, wins
         if not pend:
             return
-        _inflight.append((pend, _ex.submit(rb3_hapdiv_multi, opt, f, wins)))
+        _inflight.append((pend, _ex.submit(_compute, wins)))
         pend, wins = [], []
         while len(_inflight) > 1:  # emit everything but the batch in flight
             done_pend, fut = _inflight.pop(0)

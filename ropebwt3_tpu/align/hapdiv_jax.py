@@ -193,6 +193,72 @@ def _unpack_pos(w):
     return Hpos, Epos, Foff
 
 
+class HapdivDeviceEngine:
+    """CLI driver: equal-length window batches through hapdiv_device with
+    exact host fallback for flagged windows (and for option/scale corners the
+    kernel's packed words cannot represent)."""
+
+    def __init__(self, f, opt, lanes: int = 4096):
+        from .bwasw import RB3_SWF_E2E, RB3_SWF_HAPDIV
+
+        self.f = f
+        self.opt = opt
+        self.lanes = lanes
+        self.idx = None  # lazy: building device tables costs seconds
+        # packed-word limits: scores 12 bits, rlen/qlen 9 bits, F_from_off
+        # archive field 5 bits, key packing lo/hi < 2^32
+        self.supported = (
+            f.n < (1 << 32)
+            and 1 <= opt.n_best <= 31
+            and opt.e2e_drop < 0
+            and (opt.flag & (RB3_SWF_E2E | RB3_SWF_HAPDIV)) == (RB3_SWF_E2E | RB3_SWF_HAPDIV)
+        )
+
+    def run(self, wins: list[np.ndarray]) -> list:
+        """Returns a list of HapDiv (never None; a no-alignment window is the
+        all-zero HapDiv, which emits identically to the host's None)."""
+        from .bwasw import HapDiv, rb3_hapdiv_multi
+
+        if not wins:
+            return []
+        K = len(wins[0])
+        if not (self.supported and K <= 509 and all(len(w) == K for w in wins)):
+            return [r if r is not None else HapDiv() for r in rb3_hapdiv_multi(self.opt, self.f, wins)]
+        if self.idx is None:
+            self.idx = DeviceIndex.from_dense(self.f)
+        o = self.opt
+        arr = np.zeros((len(wins), K), np.int32)
+        for i, w in enumerate(wins):
+            arr[i] = w
+        out: list = [None] * len(wins)
+        bad_idx: list[int] = []
+        # small batches compile at a smaller power-of-two lane bucket
+        lanes = min(self.lanes, max(64, 1 << (len(wins) - 1).bit_length()))
+        for c0 in range(0, len(wins), lanes):
+            chunk = arr[c0 : c0 + lanes]
+            wn = len(chunk)
+            if wn < lanes:  # pad: all-$ windows produce empty rows
+                chunk = np.concatenate([chunk, np.zeros((lanes - wn, K), np.int32)])
+            n_al, max_ed, n_hap, bad = hapdiv_device(
+                self.idx, jnp.asarray(chunk), K, n_best=o.n_best, min_sc=o.min_sc,
+                end_len=o.end_len, match=o.match, mis=o.mis, gap_open=o.gap_open,
+                gap_ext=o.gap_ext,
+            )
+            n_al, max_ed, n_hap, bad = (np.asarray(n_al), np.asarray(max_ed), np.asarray(n_hap), np.asarray(bad))
+            for i in range(wn):
+                if bad[i]:
+                    bad_idx.append(c0 + i)
+                else:
+                    r = HapDiv()
+                    r.n_al, r.max_ed, r.n_hap = int(n_al[i]), int(max_ed[i]), [int(x) for x in n_hap[i]]
+                    out[c0 + i] = r
+        if bad_idx:
+            redo = rb3_hapdiv_multi(self.opt, self.f, [wins[i] for i in bad_idx])
+            for i, r in zip(bad_idx, redo):
+                out[i] = r if r is not None else HapDiv()
+        return out
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: int = 30,
                   end_len: int = 1, match: int = 1, mis: int = 3, gap_open: int = 5, gap_ext: int = 2):

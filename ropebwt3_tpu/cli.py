@@ -1053,7 +1053,7 @@ def main_search(argv: list[str], cmd: str) -> int:
 
         if algo == "sw":
             return run_sw_cli(f, args[1:], is_line, sw_opts)
-        return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w)
+        return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w, engine=engine)
 
     return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec)
 

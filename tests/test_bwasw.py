@@ -48,6 +48,15 @@ def test_hapdiv_custom_k_w(ref_bin, ref_index, sw_reads):
     assert run_ours(cmd) == run_ref(ref_bin, cmd)
 
 
+@pytest.mark.parametrize("extra", [[], ["-a61", "-w25"]])
+def test_hapdiv_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
+    """hapdiv --engine=jax (device DP, align/hapdiv_jax.py) byte-matches the
+    reference end-to-end, including the host fallback for flagged windows."""
+    ref_cmd = ["hapdiv"] + extra + [str(ref_index), str(sw_reads)]
+    ours_cmd = ["hapdiv", "--engine=jax"] + extra + [str(ref_index), str(sw_reads)]
+    assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
+
+
 def test_sw_debug_streams(ref_bin, ref_index, sw_reads):
     """--dbg-dawg/--dbg-sw/--dbg-bt/--dbg-qname stderr traces byte-match."""
     import os
