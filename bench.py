@@ -171,6 +171,89 @@ def bench_native(f, reads, ref):
     print(json.dumps({"metric": "smem_mem31_reads_per_s", "value": round(reads_per_s, 1), "unit": "reads/s", "vs_baseline": round(vs, 3) if vs == vs else None}))
 
 
+def measure_index(f, reads, passes=3):
+    """Packed-kernel throughput on dense index `f` (same shapes as main)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+
+    idx = DeviceIndex.from_dense(f)
+    LANES, LBUF, RCAP, M = 2048, 4096, 32, 64
+    NPL = LBUF // (READ_LEN + 1)
+    per = LANES * NPL
+    so = np.zeros((LANES, RCAP), np.int32)
+    sl = np.zeros((LANES, RCAP), np.int32)
+    for r in range(NPL):
+        so[:, r] = r * (READ_LEN + 1)
+        sl[:, r] = READ_LEN
+    chunks = []
+    for c0 in range(0, len(reads), per):
+        got = reads[c0 : c0 + per]
+        block = np.zeros((LANES, LBUF), np.uint8)
+        ns = np.zeros(LANES, np.int32)
+        for t, rd in enumerate(got):
+            lane, slot = t % LANES, t // LANES
+            block[lane, slot * (READ_LEN + 1) : slot * (READ_LEN + 1) + READ_LEN] = rd
+            ns[lane] = max(ns[lane], slot + 1)
+        chunks.append((jax.device_put(block), jax.device_put(jnp.asarray(ns))))
+    seg_off = jax.device_put(jnp.asarray(so))
+    seg_len = jax.device_put(jnp.asarray(sl))
+    qlen = jnp.zeros(LANES, jnp.int32)
+    jax.block_until_ready([c[0] for c in chunks])
+
+    def run(ch):
+        return smem_tg_batch(
+            idx, ch[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M,
+            max_iters=RCAP * LBUF + 64, unroll=2,
+            segments=(seg_off, seg_len, ch[1]),
+        )
+
+    np.asarray(run(chunks[0])[1])  # warmup/compile
+    wall, tot_mems = float("inf"), 0
+    for p in range(passes):
+        t0 = time.time()
+        tm = 0
+        for ch in chunks:
+            mems, n_mem, _ = run(ch)
+            tm += int(np.asarray(n_mem).sum())
+        dt = time.time() - t0
+        if dt < wall:
+            wall, tot_mems = dt, tm
+    return wall, tot_mems
+
+
+def scale_curve():
+    """Measure the 640M / 1.34G indexes when their cached artifacts exist
+    (scripts/scale_bench.py builds them); returns {label: {...}}."""
+    out = {}
+    for scale, label in (("s640", "640M"), ("mtb13", "1338M")):
+        d = os.path.join(BENCH, scale)
+        npz = os.path.join(d, "dense.npz")
+        rnpy = os.path.join(d, "reads.npy")
+        rt = os.path.join(d, "ref_timing.json")
+        if not (os.path.exists(npz) and os.path.exists(rnpy) and os.path.exists(rt)):
+            continue
+        from ropebwt3_tpu.index.dense import DenseFMIndex
+
+        z = np.load(npz)
+        f = DenseFMIndex(bwt=z["bwt"], n=int(z["n"]), acc=z["acc"], occ_block=z["occ_block"], occ_super=z["occ_super"])
+        reads_s = np.load(rnpy)
+        log(f"scale {label}: n={f.n:,} ...")
+        wall, _ = measure_index(f, reads_s)
+        ref = json.load(open(rt))
+        ours = len(reads_s) / wall
+        out[label] = {
+            "ours_reads_per_s": round(ours, 1),
+            "ref_t4_reads_per_s": round(ref["reads_per_s"], 1),
+            "ratio": round(ours / ref["reads_per_s"], 3),
+        }
+        log(f"scale {label}: ours {ours:,.0f} vs ref -t4 {ref['reads_per_s']:,.0f} ({out[label]['ratio']}x)")
+        del f
+    return out
+
+
 def main():
     fa, reads_fa, reads = ensure_corpus()
     fmd = ensure_index(fa)
@@ -251,7 +334,20 @@ def main():
     vs = reads_per_s / ref["reads_per_s"] if ref else float("nan")
     if ref:
         log(f"reference (-t{ref['threads']}): {ref['wall_s']:.2f}s = {ref['reads_per_s']:,.0f} reads/s")
-    print(json.dumps({"metric": "smem_mem31_reads_per_s", "value": round(reads_per_s, 1), "unit": "reads/s", "vs_baseline": round(vs, 3) if vs == vs else None}))
+    rec = {"metric": "smem_mem31_reads_per_s", "value": round(reads_per_s, 1), "unit": "reads/s", "vs_baseline": round(vs, 3) if vs == vs else None}
+    if os.environ.get("RB3TPU_BENCH_FAST") != "1":
+        try:
+            curve = scale_curve()
+            if curve:
+                curve["64M"] = {
+                    "ours_reads_per_s": rec["value"],
+                    "ref_t4_reads_per_s": round(ref["reads_per_s"], 1) if ref else None,
+                    "ratio": rec["vs_baseline"],
+                }
+                rec["scale"] = curve
+        except Exception as e:  # scale curve must never kill the headline metric
+            log(f"scale curve skipped: {e}")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

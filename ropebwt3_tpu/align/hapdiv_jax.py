@@ -564,48 +564,31 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
             sp = st["sp"]
             return jnp.any((sp > 0) & ~st["bad"]) & (st["rounds"] < np.int32(1024))
 
+        iota_sc = jax.lax.broadcasted_iota(jnp.int32, (W, SCAP), 1)
+
         def cl_body(st):
             tkey, tsc, tpos, tlorc = st["tkey"], st["tsc"], st["tpos"], st["tlorc"]
             heap, hlen = st["heap"], st["hlen"]
             stack, sp = st["stack"], st["sp"]
             fpar, nfp, count, bad = st["fpar"], st["nfp"], st["count"], st["bad"]
 
-            # ---- pop-scan: each window advances to its next extend-needing
-            # pop (cheap (W,) micro-steps, cf. sw_core_multi rounds)
-            def ps_cond(ps):
-                return jnp.any(ps["unres"])
-
-            def ps_body(ps):
-                sp = ps["sp"]
-                un = ps["unres"]
-                at = jnp.maximum(sp - 1, 0)
-                z = {f: _ftake(stack[f], at) for f in stack}
-                sp = jnp.where(un, sp - 1, sp)
-                minv = jnp.where(hlen < N, 0, (heap[:, 0] >> 32).astype(jnp.int32))
-                f_open = z["H"] - np.int32(gap_open) > z["F"]
-                F2 = jnp.where(f_open, z["H"] - np.int32(gap_open), z["F"]) - np.int32(gap_ext)
-                ok_pop = F2 > minv
-                newly = un & ok_pop
-                out = dict(ps)
-                out["sp"] = sp
-                out["unres"] = un & ~ok_pop & (sp > 0)
-                for f in z:
-                    out["z_" + f] = jnp.where(newly, z[f], ps["z_" + f])
-                out["pend"] = ps["pend"] | newly
-                out["pmin"] = jnp.where(newly, minv, ps["pmin"])
-                out["pF2"] = jnp.where(newly, F2, ps["pF2"])
-                out["pFfrom"] = jnp.where(newly, jnp.where(f_open, np.int32(FROM_OPEN), np.int32(FROM_EXT)), ps["pFfrom"])
-                return out
-
-            ps0 = dict(
-                sp=sp, unres=(sp > 0) & ~bad, pend=jnp.zeros((W,), bool),
-                pmin=jnp.zeros((W,), jnp.int32), pF2=jnp.zeros((W,), jnp.int32),
-                pFfrom=jnp.zeros((W,), jnp.int32),
-                **{"z_" + f: jnp.zeros((W,), stack[f].dtype) for f in stack},
-            )
-            ps = jax.lax.while_loop(ps_cond, ps_body, ps0)
-            sp, pend = ps["sp"], ps["pend"]
-            z = {f: ps["z_" + f] for f in stack}
+            # ---- bulk pop-scan: minv only changes on a SUCCESSFUL pop, so
+            # every entry above the topmost qualifying one is discarded at
+            # once (each discarded pop compared against this same minv —
+            # exactly the scalar skip loop, bwa-sw.c:449-460)
+            minv = jnp.where(hlen < N, 0, (heap[:, 0] >> 32).astype(jnp.int32))
+            live = (iota_sc < sp[:, None]) & ~bad[:, None]
+            f_open_all = stack["H"] - np.int32(gap_open) > stack["F"]
+            F2_all = jnp.where(f_open_all, stack["H"] - np.int32(gap_open), stack["F"]) - np.int32(gap_ext)
+            qual = live & (F2_all > minv[:, None])
+            chosen = jnp.max(jnp.where(qual, iota_sc, np.int32(-1)), axis=1)
+            pend = chosen >= 0
+            sp = jnp.where(bad, sp, jnp.maximum(chosen, 0))
+            at = jnp.maximum(chosen, 0)
+            z = {f: _ftake(stack[f], at) for f in stack}
+            pF2 = _ftake(F2_all, at)
+            pFfrom = jnp.where(_ftake(f_open_all.astype(jnp.int32), at) == 1, np.int32(FROM_OPEN), np.int32(FROM_EXT))
+            pmin = minv
 
             # ---- one batched extend over pending windows ----------------
             ikz = jnp.stack(
@@ -614,18 +597,27 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
             )
             okz = rank_extend(idx, ikz, jnp.ones((W,), bool))  # (W, 6, 3)
 
-            rH = ps["pF2"]
+            rH = pF2
+            zkey = (z["lo"].astype(jnp.int64) << 32) | z["hi"].astype(jnp.int64)
+            # the 5 child keys are distinct (disjoint extended intervals), so
+            # their 5 puts hit 5 distinct buckets: resolve sequentially on a
+            # cheap occupancy overlay, buffer the merged words, then rewrite
+            # each table array ONCE (the wide (W,128) i64 read+write per put
+            # dominated the first cut of this kernel)
+            occ_extra = jnp.zeros((W, NB), bool)
+            wbuf = []  # (b, putm, nkey, nsc, npos, nlorc)
+            pushes = []  # (slot, putm, field dict)
             for c in range(1, 6):
                 csz = okz[:, c, 2]
                 putm = pend & (csz > 0)
                 lo_c = okz[:, c, 0]
                 hi_c = lo_c + csz
                 key_c = (lo_c.astype(jnp.int64) << 32) | hi_c.astype(jnp.int64)
-                # khashl put: probe from the home bucket to first equal/empty
                 home = _home_bucket(key_c)
                 d = (iota_nb - home[:, None]) & np.int32(NB - 1)
-                elig_b = (tkey == KEY_EMPTY) | (tkey == key_c[:, None])
+                elig_b = ((tkey == KEY_EMPTY) & ~occ_extra) | (tkey == key_c[:, None])
                 b = jnp.argmin(jnp.where(elig_b, d, BIGI), axis=1).astype(jnp.int32)
+                occ_extra = occ_extra | ((iota_nb == b[:, None]) & putm[:, None])
                 cur_key = _ftake(tkey, b)
                 absent = cur_key == KEY_EMPTY
                 bad = bad | (putm & (count >= np.int32(MAXC)))
@@ -644,7 +636,7 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
                 nEp = jnp.where(absent, _PNONE, tEp)
                 chF = absent | (tF < rH)  # r.F == r.H for an F candidate
                 nF = jnp.where(chF, rH, tF)
-                nFf = jnp.where(chF, ps["pFfrom"], tFf)
+                nFf = jnp.where(chF, pFfrom, tFf)
                 nrl = jnp.where(absent, z["rlen"] + 1, jnp.maximum(trl, z["rlen"] + 1))
                 nql = jnp.where(absent, z["qlen"], jnp.maximum(tql, z["qlen"]))
                 nFo = jnp.where(absent, np.int32(0), tFo)
@@ -653,40 +645,50 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
                 bad = bad | (do_f & (nfp >= np.int32(FCAP)))
                 do_f = do_f & ~bad
                 nFoff = jnp.where(chF, nfp, tFoff)  # node-local fpar index
-                zkey = (z["lo"].astype(jnp.int64) << 32) | z["hi"].astype(jnp.int64)
                 fpar = _onehot_set(fpar, nfp, zkey, do_f)
                 nfp = nfp + do_f
                 # heap insert x = (rH << 32) | UINT32_MAX
                 x = (rH.astype(jnp.int64) << 32) | np.int64(0xFFFFFFFF)
-                hins = do_f
-                grow = hins & (hlen < N)
-                repl = hins & (hlen >= N) & (x > heap[:, 0])
+                grow = do_f & (hlen < N)
+                repl = do_f & (hlen >= N) & (x > heap[:, 0])
                 xa = jnp.where(grow | repl, x, np.int64(-2))
-                # sorted insert: drop min on repl, keep all on grow
                 base = jnp.where(repl[:, None] & (iota_n == 0), np.int64(-1), heap)
                 both = jnp.sort(jnp.concatenate([base, xa[:, None]], axis=1), axis=1)[:, 1:]
                 heap = jnp.where((grow | repl)[:, None], both, heap)
                 hlen = hlen + grow
                 # push q.copy() when r.H - gap_ext > pending_min
-                push = do_f & (rH - np.int32(gap_ext) > ps["pmin"])
+                push = do_f & (rH - np.int32(gap_ext) > pmin)
                 bad = bad | (push & (sp >= np.int32(SCAP)))
                 push = push & ~bad
                 new_lorc = jnp.where(absent, okz[:, c, 1], _ftake(tlorc, b))
-                pf = dict(
+                pushes.append((sp, push, dict(
                     lo=lo_c.astype(dt), hi=hi_c.astype(dt), lorc=new_lorc.astype(dt),
                     H=nH, F=nF, rlen=nrl, qlen=nql,
-                )
-                for f in stack:
-                    stack[f] = _onehot_set(stack[f], sp, pf[f], push)
+                )))
                 sp = sp + push
-                # write back merged table words
                 nkey = jnp.where(absent, key_c, cur_key)
                 nsc = _pack_sc(nH, nE, nF, nrl, nql, nHf, nEf, nFf, nFo)
                 npos = _pack_pos(nHp, nEp, nFoff)
-                tkey = _onehot_set(tkey, b, nkey, putm)
-                tsc = _onehot_set(tsc, b, nsc, putm)
-                tpos = _onehot_set(tpos, b, npos, putm)
-                tlorc = _onehot_set(tlorc, b, new_lorc.astype(dt), putm)
+                wbuf.append((b, putm, nkey, nsc, npos, new_lorc.astype(dt)))
+
+            # merged writes: one read+write per array for all 5 puts
+            def write5(arr, vals_at):
+                out = arr
+                for b, putm, *vals in wbuf:
+                    sel = (iota_nb == b[:, None]) & putm[:, None]
+                    out = jnp.where(sel, vals[vals_at][:, None].astype(arr.dtype), out)
+                return out
+
+            tkey = write5(tkey, 0)
+            tsc = write5(tsc, 1)
+            tpos = write5(tpos, 2)
+            tlorc = write5(tlorc, 3)
+            for f in stack:
+                out = stack[f]
+                for slot, push, pf in pushes:
+                    sel = (iota_sc == slot[:, None]) & push[:, None]
+                    out = jnp.where(sel, pf[f][:, None].astype(out.dtype), out)
+                stack[f] = out
 
             return dict(
                 tkey=tkey, tsc=tsc, tpos=tpos, tlorc=tlorc, heap=heap, hlen=hlen,

@@ -185,7 +185,10 @@ Options:
     -b          dump in the ropebwt format (FMR)
     -e          dump in the BRE format
     -T          output the index in the Newick format (for debugging)
-    -S FILE     save the current index to FILE after each input file []""",
+    -S FILE     save the current index to FILE after each input file []
+  TPU:
+    --mesh=DPxIDX  run the merge rank phase over a device mesh: LF lanes
+                over DP devices, occ rows over IDX devices []""",
     "mem": f"""Usage: rb3tpu mem [options] <idx.fmr> <seq.fa> [...]
 Options:
   -l INT      min MEM length [19]
@@ -351,7 +354,7 @@ def load_index(fn: str, load_ssa: bool = False, load_sid: bool = False) -> Dense
 def main_build(argv: list[str]) -> int:
     from .construct import gsa_bwt, merge_plain
 
-    opts, args = ketopt(argv, "l:n:m:t:2sri:LFRo:dbTS:p:e")
+    opts, args = ketopt(argv, "l:n:m:t:2sri:LFRo:dbTS:p:e", ["mesh="])
     fmt = "plain"
     batch_size = 7_000_000_000
     is_line = False
@@ -362,8 +365,16 @@ def main_build(argv: list[str]) -> int:
     sort_order = 0
     out_fn = None
     sais_threads = 0
+    mesh = None
     for o, a in opts:
-        if o == "-p":
+        if o == "--mesh":
+            # DPxIDX device mesh: the merge rank phase runs sharded (LF lanes
+            # over dp, occ rows over idx; parallel/merge_sharded.py)
+            from .parallel.mesh import make_mesh
+
+            dd, _, ii = a.lower().partition("x")
+            mesh = make_mesh(int(dd), int(ii) if ii else 1)
+        elif o == "-p":
             sais_threads = atoi(a)
         elif o == "-m":
             batch_size = parse_num(a)
@@ -463,7 +474,7 @@ def main_build(argv: list[str]) -> int:
                 f = DenseFMIndex.from_bwt(pending)
                 pending = None
                 log.info("encoded the partial BWT for %d symbols", f.n, func="main_build")
-            f = merge_plain(f, bwt)
+            f = merge_plain(f, bwt, mesh=mesh)
             log.info("merged the partial BWT for %d symbols", len(bwt), func="main_build")
 
     def checkpoint():

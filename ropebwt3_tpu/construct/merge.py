@@ -198,12 +198,20 @@ def merge_rank_native(fa: DenseFMIndex, seq: np.ndarray, n_threads: int | None =
     return acc2, rec
 
 
-def merge_plain(fa: DenseFMIndex, seq: np.ndarray, engine: str = "auto") -> DenseFMIndex:
+def merge_plain(fa: DenseFMIndex, seq: np.ndarray, engine: str = "auto", mesh=None) -> DenseFMIndex:
     """Merge a plain partial BWT `seq` (B2) into dense index `fa` (B1) and
     return the merged dense index. Stable counting merge replaces the rope
-    insertion of rb3_fmi_merge_plain (fm-index.c:279-303)."""
+    insertion of rb3_fmi_merge_plain (fm-index.c:279-303).
+
+    mesh: a (dp, idx) jax Mesh — the rank phase then runs sharded (LF lanes
+    over dp, occ rows over idx; parallel/merge_sharded.py)."""
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     m2 = int(np.count_nonzero(seq == 0))
+    if mesh is not None:
+        from ..parallel.merge_sharded import merge_rank_sharded
+
+        _, ins = merge_rank_sharded(fa, seq, mesh)
+        return _merge_apply(fa, seq, ins)
     if engine in ("auto", "native"):
         from ..native import get_sw_lib
 

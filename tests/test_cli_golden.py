@@ -110,6 +110,18 @@ def test_mem_mesh_golden(ref_bin, ref_index, corpus):
     assert run_ours(args + ["--engine=jax", "--mesh=4x2"]) == run_ref(ref_bin, args)
 
 
+def test_build_mesh_golden(ref_bin, corpus, tmp_path):
+    """Multi-batch build with the merge rank phase on a sharded (dp, idx)
+    mesh (build --mesh): FMD bytes identical to the reference build."""
+    ref_fmd = tmp_path / "ref.fmd"
+    our_fmd = tmp_path / "ours.fmd"
+    fa = str(corpus / "genomes.fa")
+    run_ref(ref_bin, ["build", "-do", str(ref_fmd), fa])
+    # -m16k forces several batches through merge_plain(mesh=...)
+    run_ours(["build", "-m16k", "--mesh=2x4", "-do", str(our_fmd), fa])
+    assert our_fmd.read_bytes() == ref_fmd.read_bytes()
+
+
 def test_mem_toy_readme(ref_bin, tmp_path):
     idx = tmp_path / "toy.fmd"
     seq = b"TGAACTCTACACAACATATTTTGTCACCAAG\n"

@@ -549,3 +549,33 @@ def test_native_lf2_and_merge_apply():
         wantm[pos2] = seq
         wantm[mask] = bwt1
         assert np.array_equal(merged, wantm)
+
+
+def test_sharded_merge_rank(dense_index):
+    """merge_rank_sharded == merge_rank_plain on a toy B2 batch (LF lanes
+    over dp, rank psum over idx)."""
+    import jax
+
+    from ropebwt3_tpu.construct.merge import merge_rank_plain
+    from ropebwt3_tpu.parallel.mesh import make_mesh
+    from ropebwt3_tpu.parallel.merge_sharded import merge_rank_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import numpy as np
+
+    from ropebwt3_tpu.construct.sa import gsa_bwt
+    from ropebwt3_tpu.nt6 import revcomp
+
+    rng = np.random.default_rng(3)
+    parts = []
+    for _ in range(5):  # 10 sequences incl. rc -> odd lane count, pad path
+        s = rng.integers(1, 5, 300).astype(np.uint8)
+        parts += [s, np.zeros(1, np.uint8), revcomp(s), np.zeros(1, np.uint8)]
+    b2 = gsa_bwt(np.concatenate(parts), backend="numpy")
+
+    mesh = make_mesh(2, 4)
+    acc2a, ins_a = merge_rank_plain(dense_index, b2)
+    acc2b, ins_b = merge_rank_sharded(dense_index, b2, mesh)
+    assert (acc2a == acc2b).all()
+    assert (ins_a == ins_b).all()
