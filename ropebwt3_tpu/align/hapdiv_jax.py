@@ -61,6 +61,12 @@ BIGI = np.int32(0x7FFFFFFF)
 KEY_EMPTY = np.int64(-1)
 KEY_HUGE = np.int64(0x7FFFFFFFFFFFFFFF)
 
+# timing ablations (WRONG RESULTS when set — perf triage only):
+# RB3TPU_HAPDIV_ABLATE=closure,sort,bucket,extend,scan
+import os as _os
+
+_ABLATE = set(filter(None, _os.environ.get("RB3TPU_HAPDIV_ABLATE", "").split(",")))
+
 
 def _splitmix(x):
     """kh_hash_uint64 (khashl-km.h): splitmix64 finalizer truncated to u32."""
@@ -319,7 +325,11 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
             [row["lo"], row["lorc"], jnp.where(row["valid"], row["hi"] - row["lo"], jnp.zeros((), dt))],
             axis=-1,
         )
-        ok = rank_extend(idx, ik.reshape(W * N, 3), jnp.ones((W * N,), bool)).reshape(W, N, 6, 3)
+        if "extend" in _ABLATE:  # timing ablation: fake extend results
+            fake = jnp.stack([ik[..., 0], ik[..., 1], jnp.maximum(ik[..., 2] - jnp.ones((), dt), jnp.zeros((), dt))], axis=-1)
+            ok = jnp.broadcast_to(fake[:, :, None, :], (W, N, 6, 3))
+        else:
+            ok = rank_extend(idx, ik.reshape(W * N, 3), jnp.ones((W * N,), bool)).reshape(W, N, 6, 3)
 
         # ---- candidate slots (reference insert order: cell k, c=1..5, E) --
         pH, pE = row["H"], row["E"]
@@ -385,7 +395,10 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         bad = bad | jnp.any(cand["valid"] & (cand["H"] > 4095), axis=1)  # tsc pack cap
 
         # ---- phase A: sorted-segment dedup + running-max merge -------------
-        perm = jnp.argsort(cand["key"], axis=1, stable=True)
+        if "sort" in _ABLATE:  # timing ablation: skip all sorts (WRONG results)
+            perm = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (W, S))
+        else:
+            perm = jnp.argsort(cand["key"], axis=1, stable=True)
         def aperm(a):
             return _ftake2(a, perm)
 
@@ -428,7 +441,10 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         # compact uniques in FIRST-OCCURRENCE order (khashl insert order)
         first_s = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(head, slot_s, BIGI)))
         ukey_src = jnp.where(head & valid_s, first_s, BIGI)
-        uperm = jnp.argsort(ukey_src, axis=1, stable=True)
+        if "sort" in _ABLATE:
+            uperm = perm
+        else:
+            uperm = jnp.argsort(ukey_src, axis=1, stable=True)
         def uperm_take(a):
             return _ftake2(a, uperm)
 
@@ -462,6 +478,8 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
 
         def bk_cond(st):
             u, _, _ = st
+            if "bucket" in _ABLATE:  # timing ablation: no probe loop
+                return u < 0
             return u < max_u
 
         def bk_body(st):
@@ -562,6 +580,8 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
 
         def cl_cond(st):
             sp = st["sp"]
+            if "closure" in _ABLATE:  # timing ablation: skip the F closure
+                return jnp.asarray(False)
             return jnp.any((sp > 0) & ~st["bad"]) & (st["rounds"] < np.int32(1024))
 
         iota_sc = jax.lax.broadcasted_iota(jnp.int32, (W, SCAP), 1)

@@ -938,7 +938,9 @@ def main_fa2kmer(argv: list[str]) -> int:
 _LONG_OPTS = ["no-ssa", "seq", "gap=", "cov", "old-mem", "all-e2e", "no-kalloc", "dbg-dawg", "dbg-sw", "dbg-qname", "dbg-bt", "engine=", "mesh="]
 
 
-def main_search(argv: list[str], cmd: str) -> int:
+def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
+    """_preloaded: (index_path, DenseFMIndex, engine-or-None) — the resident
+    server (server.py) re-enters here with its warm index/engine."""
     try:
         opts, args = ketopt(argv, "Ll:c:t:K:MdN:A:B:O:E:C:m:k:uj:ey:a:w:p:bg:", _LONG_OPTS, strict=True)
     except KetoptUnknown:
@@ -1053,7 +1055,29 @@ def main_search(argv: list[str], cmd: str) -> int:
     if len(args) < 2:
         return _usage(cmd)
 
-    f = load_index(args[0], load_ssa=load_all, load_sid=load_all)
+    if _preloaded is not None:
+        srv_path, f, srv_eng = _preloaded
+        import os as _os
+
+        if _os.path.realpath(args[0]) != _os.path.realpath(srv_path):
+            return _err(f"server holds '{srv_path}', not '{args[0]}'")
+    else:
+        srv_eng = None
+        # a resident server (rb3tpu serve) holding this index answers mem
+        # requests at warm-engine speed; route there on auto (the tunneled
+        # TPU costs 60-300 s of remote compiles per fresh process)
+        if cmd != "search" and algo == "mem_tg" and engine in ("auto", "server"):
+            from .server import client_run, server_available
+
+            if server_available(args[0]):
+                try:
+                    return client_run(args[0], argv)
+                except Exception as e:
+                    if engine == "server":
+                        return _err(f"server request failed: {e}")
+            elif engine == "server":
+                return _err(f"no server for '{args[0]}' (start one: rb3tpu serve {args[0]})")
+        f = load_index(args[0], load_ssa=load_all, load_sid=load_all)
     if max_pos > 0 and (f.ssa is None or f.sid is None):
         return _err("failed to load suffix array samples or sequence names/lengths")
     if not f.is_symmetric():
@@ -1066,13 +1090,19 @@ def main_search(argv: list[str], cmd: str) -> int:
             return run_sw_cli(f, args[1:], is_line, sw_opts)
         return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w, engine=engine)
 
-    return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec)
+    return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec, jax_eng=srv_eng)
 
 
-def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec=None) -> int:
+def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec=None, jax_eng=None) -> int:
     out = sys.stdout
     if mesh_spec and engine == "auto":
         engine = "jax"  # --mesh only means anything on the sharded engine
+    if jax_eng is not None and algo == "mem_tg":
+        engine = "jax"  # resident server engine (server.py)
+        if hasattr(jax_eng, "engine_for"):
+            jax_eng = jax_eng.engine_for(min_occ, min_len)
+    else:
+        jax_eng = None
     seq_id = 0
     native_batch = None
     if engine in ("auto", "native") and algo == "mem_tg":
@@ -1084,7 +1114,7 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             raise RuntimeError("native SMEM engine unavailable")
     # TPU engine, created lazily and only when opted into (--engine=jax) or
     # when the native library is unavailable — see the routing note in flush()
-    _jax_state: dict = {"eng": None, "failed": engine not in ("auto", "jax") or algo != "mem_tg"}
+    _jax_state: dict = {"eng": jax_eng if algo == "mem_tg" else None, "failed": engine not in ("auto", "jax") or algo != "mem_tg"}
 
     def jax_engine():
         if _jax_state["eng"] is None and not _jax_state["failed"]:
@@ -1333,6 +1363,12 @@ Commands:
     cmd, rest = argv[0], argv[1:]
     if cmd in ("search", "sw", "mem", "hapdiv"):
         return main_search(rest, cmd)
+    if cmd == "serve":
+        # rb3tpu extension (not in the reference command list, which must
+        # byte-match): resident TPU engine server — see server.py
+        from .server import main_serve
+
+        return main_serve(rest)
     if cmd == "build":
         return main_build(rest)
     if cmd == "merge":

@@ -1,0 +1,224 @@
+"""Resident engine server — the answer to the tunneled TPU's cold-start cost.
+
+One process attaches to the chip, loads the index, builds the device engine
+and pays the remote compiles ONCE; thin CLI clients then stream `mem`
+requests over a unix socket and get BED bytes back at resident-engine speed
+(fresh-process TPU warmup measured 60-300 s on this runtime even with the
+persistent XLA cache; the native host engine needs no server).
+
+    rb3tpu serve idx.fmd &          # warm the TPU engine for this index
+    rb3tpu mem -l31 idx.fmd q.fa    # auto-routes to the server when up
+
+The socket is keyed by the index's realpath, so clients can only reach a
+server holding the same index.  Requests are serialized (the chip runs one
+program at a time anyway); the protocol is length-prefixed JSON + raw bytes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import io
+import json
+import os
+import socket
+import struct
+import sys
+import tempfile
+
+MAGIC_Q = b"RB3Q"
+MAGIC_R = b"RB3R"
+
+
+class EngineCache:
+    """Per-(min_occ, min_len) BatchedSmemTG engines over one loaded index
+    (those parameters are compile-time constants of the kernel)."""
+
+    def __init__(self, f):
+        self.f = f
+        self._engs: dict = {}
+
+    def engine_for(self, min_occ: int, min_len: int):
+        key = (int(min_occ), int(min_len))
+        if key not in self._engs:
+            from .ops.smem import BatchedSmemTG
+
+            self._engs[key] = BatchedSmemTG(self.f, min_occ=key[0], min_len=key[1])
+        return self._engs[key]
+
+
+def sock_path(index_path: str) -> str:
+    h = hashlib.sha1(os.path.realpath(index_path).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"rb3tpu-serve-{h}.sock")
+
+
+def _send(conn, magic: bytes, meta: dict, *payloads: bytes) -> None:
+    m = json.dumps(meta).encode()
+    conn.sendall(magic + struct.pack("<I", len(m)) + m + struct.pack("<I", len(payloads)))
+    for p in payloads:
+        conn.sendall(struct.pack("<Q", len(p)))
+        conn.sendall(p)
+
+
+def _recv_exact(conn, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        got = conn.recv(min(1 << 20, n - len(buf)))
+        if not got:
+            raise ConnectionError("peer closed")
+        buf += got
+    return buf
+
+
+def _recv(conn, magic: bytes):
+    got = _recv_exact(conn, 4)
+    if got != magic:
+        raise ConnectionError(f"bad magic {got!r}")
+    (mlen,) = struct.unpack("<I", _recv_exact(conn, 4))
+    meta = json.loads(_recv_exact(conn, mlen))
+    (np_,) = struct.unpack("<I", _recv_exact(conn, 4))
+    payloads = []
+    for _ in range(np_):
+        (plen,) = struct.unpack("<Q", _recv_exact(conn, 8))
+        payloads.append(_recv_exact(conn, plen))
+    return meta, payloads
+
+
+def server_available(index_path: str) -> bool:
+    p = sock_path(index_path)
+    if not os.path.exists(p):
+        return False
+    try:
+        s = socket.socket(socket.AF_UNIX)
+        s.settimeout(2.0)
+        s.connect(p)
+        _send(s, MAGIC_Q, {"cmd": "ping"})
+        meta, _ = _recv(s, MAGIC_R)
+        s.close()
+        return meta.get("rc") == 0
+    except Exception:
+        return False
+
+
+def client_run(index_path: str, argv: list[str], timeout: float = 3600.0) -> int:
+    """Run `mem argv` on the resident server; stream stdout/stderr here.
+    Returns the remote rc; raises on transport errors (caller falls back)."""
+    s = socket.socket(socket.AF_UNIX)
+    s.settimeout(timeout)
+    s.connect(sock_path(index_path))
+    # absolutize file args so the server resolves them regardless of its cwd
+    argv = [os.path.abspath(a) if os.path.exists(a) else a for a in argv]
+    _send(s, MAGIC_Q, {"cmd": "mem", "argv": argv})
+    meta, payloads = _recv(s, MAGIC_R)
+    s.close()
+    if payloads:
+        sys.stdout.buffer.write(payloads[0])
+        sys.stdout.buffer.flush()
+    if len(payloads) > 1 and payloads[1]:
+        sys.stderr.buffer.write(payloads[1])
+        sys.stderr.buffer.flush()
+    return int(meta.get("rc", 1))
+
+
+def main_serve(argv: list[str]) -> int:
+    """`rb3tpu serve [options] <idx>`: hold a warm mem engine for <idx>.
+
+    Options: --engine=jax|native (default jax: that is the engine worth
+    keeping resident), --warm-len=INT,INT (read-length buckets to precompile),
+    --stop (shut down a running server for this index)."""
+    from . import cli as _cli
+
+    engine = "jax"
+    warm_lens = ["19:150", "31:150"]
+    stop = False
+    args = []
+    for a in argv:
+        if a.startswith("--engine="):
+            engine = a.split("=", 1)[1]
+        elif a.startswith("--warm="):
+            warm_lens = [x for x in a.split("=", 1)[1].split(",") if x]
+        elif a == "--stop":
+            stop = True
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: rb3tpu serve [--engine=jax] [--warm=MINLEN:READLEN,...] [--stop] <idx>", file=sys.stderr)
+        return 1
+    index_path = args[0]
+    sp = sock_path(index_path)
+
+    if stop:
+        try:
+            s = socket.socket(socket.AF_UNIX)
+            s.settimeout(5.0)
+            s.connect(sp)
+            _send(s, MAGIC_Q, {"cmd": "stop"})
+            _recv(s, MAGIC_R)
+            print("server stopped", file=sys.stderr)
+            return 0
+        except Exception as e:
+            print(f"no server to stop ({e})", file=sys.stderr)
+            return 1
+
+    f = _cli.load_index(index_path, load_ssa=True, load_sid=True)
+    eng = None
+    if engine == "jax":
+        eng = EngineCache(f)
+        # precompile the packed kernel for the expected workloads
+        import numpy as np
+
+        for spec in warm_lens:
+            min_len, _, L = spec.partition(":")
+            min_len, L = int(min_len), int(L or 150)
+            rng = np.random.default_rng(0)
+            qs = [rng.integers(1, 5, L).astype(np.uint8) for _ in range(64)]
+            print(f"[serve] warming -l{min_len} L={L} ...", file=sys.stderr, flush=True)
+            eng.engine_for(1, min_len).run(qs)
+    try:
+        os.unlink(sp)
+    except FileNotFoundError:
+        pass
+    srv = socket.socket(socket.AF_UNIX)
+    srv.bind(sp)
+    srv.listen(8)
+    print(f"[serve] ready on {sp} (engine={engine})", file=sys.stderr, flush=True)
+    try:
+        while True:
+            conn, _ = srv.accept()
+            try:
+                meta, _payloads = _recv(conn, MAGIC_Q)
+                cmd = meta.get("cmd")
+                if cmd == "ping":
+                    _send(conn, MAGIC_R, {"rc": 0})
+                    continue
+                if cmd == "stop":
+                    _send(conn, MAGIC_R, {"rc": 0})
+                    break
+                if cmd != "mem":
+                    _send(conn, MAGIC_R, {"rc": 1, "err": "unknown cmd"})
+                    continue
+                out_b = io.BytesIO()
+                err_t = io.StringIO()
+                out_t = io.TextIOWrapper(out_b, write_through=True)
+                with contextlib.redirect_stdout(out_t), contextlib.redirect_stderr(err_t):
+                    try:
+                        rc = _cli.main_search(
+                            list(meta["argv"]), "mem",
+                            _preloaded=(index_path, f, eng),
+                        )
+                    except BaseException as e:  # report, keep serving
+                        rc = 1
+                        print(f"ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+                out_t.flush()
+                _send(conn, MAGIC_R, {"rc": rc}, out_b.getvalue(), err_t.getvalue().encode())
+            except ConnectionError:
+                pass
+            finally:
+                conn.close()
+    finally:
+        srv.close()
+        try:
+            os.unlink(sp)
+        except FileNotFoundError:
+            pass
+    return 0

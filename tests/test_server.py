@@ -1,0 +1,73 @@
+"""Resident engine server (server.py): golden mem via the socket route.
+
+Starts `rb3tpu serve` (CPU backend, device engine) on the tiny index, lets a
+plain `mem` CLI invocation auto-route to it, and byte-compares the BED with
+the reference binary."""
+
+import os
+import subprocess
+import sys
+import time
+
+from .conftest import run_ref
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    e = dict(os.environ)
+    e["PYTHONPATH"] = ""
+    e["JAX_PLATFORMS"] = "cpu"
+    return e
+
+
+def test_mem_via_server_golden(ref_bin, ref_index, corpus):
+    from ropebwt3_tpu.server import server_available, sock_path
+
+    idx = str(ref_index)
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "ropebwt3_tpu", "serve", "--warm=13:150", idx],
+        env=_env(), cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        for _ in range(600):
+            if server_available(idx):
+                break
+            if srv.poll() is not None:
+                raise AssertionError(f"server died: {srv.communicate()[1].decode()[-2000:]}")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("server never became ready")
+
+        want = run_ref(ref_bin, ["mem", "-l13", idx, str(corpus / "reads.fa")])
+        r = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "mem", "-l13", idx, str(corpus / "reads.fa")],
+            env=_env(), cwd=ROOT, capture_output=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        assert r.stdout == want
+        # second request reuses the warm engine (same bytes)
+        r2 = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "mem", "-l13", idx, str(corpus / "reads.fa")],
+            env=_env(), cwd=ROOT, capture_output=True, timeout=600,
+        )
+        assert r2.stdout == want
+        # --engine=native must BYPASS the server and still match
+        r3 = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "mem", "--engine=native", "-l13", idx, str(corpus / "reads.fa")],
+            env=_env(), cwd=ROOT, capture_output=True, timeout=600,
+        )
+        assert r3.stdout == want
+    finally:
+        subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "serve", "--stop", idx],
+            env=_env(), cwd=ROOT, capture_output=True, timeout=60,
+        )
+        try:
+            srv.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+        try:
+            os.unlink(sock_path(idx))
+        except FileNotFoundError:
+            pass
