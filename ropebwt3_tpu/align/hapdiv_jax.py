@@ -337,19 +337,26 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         cand = {}
         sym = (iota_s % 6 + 1)  # 1..5 H-cands, 6 => E-slot
         is_e = sym == 6
-        kcol = iota_s // 6  # source row cell
-        # gather per-slot extend rows: ok[(w, kcol, sym)] for H slots
         sym_c = jnp.minimum(sym, 5)
-        flat = (jnp.arange(W, dtype=jnp.int32)[:, None] * np.int32(N * 6 * 3)) + kcol * np.int32(18) + sym_c * np.int32(3)
-        okf = ok.reshape(-1)
-        e_lo = jnp.take(okf, flat)
-        e_rc = jnp.take(okf, flat + 1)
-        e_sz = jnp.take(okf, flat + 2)
-        pHk = _ftake2(pH, kcol)
-        pEk = _ftake2(pE, kcol)
-        pqlen = _ftake2(row["qlen"], kcol)
-        prlen = _ftake2(row["rlen"], kcol)
-        pvalid = _ftake2(row["valid"].astype(jnp.int32), kcol) == 1
+
+        def rep6(a):
+            # candidate slot s = (k, c): per-cell values repeat along c —
+            # pure reshape/broadcast, NOT a gather (element gathers measured
+            # 9 ns/elem on this chip, scripts/op_probe.py)
+            return jnp.broadcast_to(a[:, :, None], (W, N, 6)).reshape(W, S)
+
+        # ok slots (k, c=1..5) come from a reshape; the E slot (unused ok
+        # fields) duplicates c=5
+        ok15 = ok[:, :, 1:6, :]  # (W, N, 5, 3)
+        ok16 = jnp.concatenate([ok15, ok15[:, :, 4:5, :]], axis=2)  # (W,N,6,3)
+        e_lo = ok16[..., 0].reshape(W, S)
+        e_rc = ok16[..., 1].reshape(W, S)
+        e_sz = ok16[..., 2].reshape(W, S)
+        pHk = rep6(pH)
+        pEk = rep6(pE)
+        pqlen = rep6(row["qlen"])
+        prlen = rep6(row["rlen"])
+        pvalid = rep6(row["valid"].astype(jnp.int32)) == 1
         sc = jnp.where((sym_c == c_n) & (sym_c != 5), np.int32(match), np.int32(-mis))
         h_pass = (
             pvalid
@@ -360,21 +367,20 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         )
         # stale lo_rc for the E-slot: lo_rc of the cell's LAST passing H-cand
         # (bwa-sw.c:418 quirk — only lo/hi are set on the E path)
-        hp_i = jnp.where(h_pass & ~is_e, sym_c, 0)
-        last_c = jnp.max(hp_i.reshape(W, N, 6), axis=2)  # (W,N) 0 => none
-        okf_rc = ok[..., 1].reshape(W, N * 6)
-        stale_rc = jnp.where(
-            (last_c > 0),
-            _ftake2(okf_rc, (jnp.arange(N, dtype=jnp.int32)[None, :] * 6 + jnp.minimum(last_c, 5))),
-            jnp.zeros((), dt),
-        )  # (W,N)
-        stale_rc_s = _ftake2(stale_rc, kcol)
+        hp_full = (h_pass & ~is_e).reshape(W, N, 6)
+        hp_i = jnp.where(hp_full, jax.lax.broadcasted_iota(jnp.int32, (W, N, 6), 2) + 1, 0)
+        last_c = jnp.max(hp_i, axis=2)  # (W,N) 0 => none; value = c (1..5)
+        oh_last = (
+            jax.lax.broadcasted_iota(jnp.int32, (W, N, 5), 2) + 1 == last_c[:, :, None]
+        ).astype(dt)
+        stale_rc = jnp.sum(ok15[..., 1] * oh_last, axis=2, dtype=dt)  # (W,N)
+        stale_rc_s = rep6(stale_rc)
         e_open = pHk - np.int32(gap_open) > pEk
         e_val = jnp.where(e_open, pHk - np.int32(gap_open), pEk) - np.int32(gap_ext)
         e_from = jnp.where(e_open, np.int32(FROM_OPEN), np.int32(FROM_EXT))
         e_pass = pvalid & is_e & (e_val > 0) & (pqlen >= np.int32(end_len))
-        p_lo = _ftake2(row["lo"], kcol)
-        p_hi = _ftake2(row["hi"], kcol)
+        p_lo = rep6(row["lo"])
+        p_hi = rep6(row["hi"])
         cand["valid"] = h_pass | e_pass
         lo_s = jnp.where(is_e, p_lo, e_lo)
         hi_s = jnp.where(is_e, p_hi, e_lo + e_sz)
@@ -390,84 +396,107 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         cand["qlen"] = pqlen + 1
         cand["Hfrom"] = jnp.where(is_e, np.int32(FROM_E), np.int32(FROM_H))
         cand["Efrom"] = jnp.where(is_e, e_from, np.int32(0))
+        kcol = iota_s // 6  # source row cell of slot s
         cand["Hpos"] = jnp.where(is_e, np.int32(-1), pos_base + kcol)
         cand["Epos"] = jnp.where(is_e, pos_base + kcol, np.int32(-1))
         bad = bad | jnp.any(cand["valid"] & (cand["H"] > 4095), axis=1)  # tsc pack cap
 
         # ---- phase A: sorted-segment dedup + running-max merge -------------
-        if "sort" in _ABLATE:  # timing ablation: skip all sorts (WRONG results)
-            perm = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (W, S))
-        else:
-            perm = jnp.argsort(cand["key"], axis=1, stable=True)
-        def aperm(a):
-            return _ftake2(a, perm)
-
-        key_s = aperm(cand["key"])
-        slot_s = perm.astype(jnp.int32)
+        # ONE variadic stable sort carries every candidate field alongside the
+        # key (element gathers cost ~9 ns/elem on this chip — applying an
+        # argsort permutation to 10 field arrays was ~50 ms/node;
+        # scripts/op_probe.py), then ONE forward segmented scan computes all
+        # running maxes WITH the first-attainment From fields riding in the
+        # monoid, and ONE backward scan broadcasts each segment's final values
+        # back to its head.
+        spos = jax.lax.broadcasted_iota(jnp.int32, (W, S), 1)
+        cvalid = cand["valid"]
+        scw0 = _pack_sc(
+            jnp.where(cvalid, cand["H"], 0), jnp.where(cvalid, cand["E"], 0),
+            jnp.zeros((W, S), jnp.int32), jnp.where(cvalid, cand["rlen"], 0),
+            jnp.where(cvalid, cand["qlen"], 0), cand["Hfrom"], cand["Efrom"],
+            jnp.zeros((W, S), jnp.int32), jnp.zeros((W, S), jnp.int32),
+        )
+        posw0 = _pack_pos(
+            jnp.where(cand["Hpos"] < 0, _PNONE, cand["Hpos"]),
+            jnp.where(cand["Epos"] < 0, _PNONE, cand["Epos"]),
+            jnp.full((W, S), UNSET, jnp.int32),
+        )
+        key_s, slot_s, scw_s, posw_s, lorc_s = jax.lax.sort(
+            (cand["key"], spos, scw0, posw0, cand["lorc"]),
+            dimension=1, is_stable=True, num_keys=1,
+        )
         valid_s = key_s != KEY_HUGE
         head = jnp.concatenate(
             [jnp.ones((W, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1
         )
-        H_s = jnp.where(valid_s, aperm(cand["H"]), np.int32(-1))
-        E_s = jnp.where(valid_s, aperm(cand["E"]), np.int32(-1))
-        rl_s = aperm(cand["rlen"])
-        ql_s = aperm(cand["qlen"])
-        maxH = _seg_broadcast_from_tail(head, _seg_scan_max(head, H_s))
-        maxE = _seg_broadcast_from_tail(head, _seg_scan_max(head, E_s))
-        maxRL = _seg_broadcast_from_tail(head, _seg_scan_max(head, rl_s))
-        maxQL = _seg_broadcast_from_tail(head, _seg_scan_max(head, ql_s))
-        # first attainment positions (sorted-axis coordinates)
-        spos = jax.lax.broadcasted_iota(jnp.int32, (W, S), 1)
-        eH = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(H_s == maxH, spos, BIGI)))
-        eE = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(E_s == maxE, spos, BIGI)))
-        head_pos = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(head, spos, BIGI)))
-        Hfrom_s = aperm(cand["Hfrom"])
-        Hpos_s = aperm(cand["Hpos"])
-        Efrom_s = aperm(cand["Efrom"])
-        Epos_s = aperm(cand["Epos"])
-        gHfrom = _ftake2(Hfrom_s, eH)
-        gHposE1 = _ftake2(Hpos_s, eH)
-        gHposHead = _ftake2(Hpos_s, head_pos)
-        # H_from_pos rule: e1==head -> head's value (absent-insert copies all
-        # fields); e1 H-type -> e1's value; e1 E-type past head -> the exact
-        # value needs the event chain -> bad-flag (see module doc)
-        ambiguous = (eH != head_pos) & (gHfrom == np.int32(FROM_E))
+        H_s, E_s, _, rl_s, ql_s, Hfrom_s, Efrom_s, _, _ = _unpack_sc(scw_s)
+        Hpos_s, Epos_s, _ = _unpack_pos(posw_s)
+
+        # forward segmented scan: first-attainment argmax monoid — on a
+        # strict increase the element's From fields replace the carry; ties
+        # keep the left (earlier) tuple, reproducing sw_update_candset's
+        # strict `<` merges (bwa-sw.c:265-284)
+        def fcomb(a, b):
+            fa = a["f"]
+            fb = b["f"]
+            o = {"f": fa | fb}
+            upH = b["mH"] > a["mH"]
+            for k in ("mH", "hf", "hp"):
+                o[k] = jnp.where(fb, b[k], jnp.where(upH, b[k], a[k]))
+            o["hstart"] = jnp.where(fb, b["hstart"], jnp.where(upH, False, a["hstart"]))
+            upE = b["mE"] > a["mE"]
+            for k in ("mE", "ef", "ep"):
+                o[k] = jnp.where(fb, b[k], jnp.where(upE, b[k], a[k]))
+            o["mrl"] = jnp.where(fb, b["mrl"], jnp.maximum(a["mrl"], b["mrl"]))
+            o["mql"] = jnp.where(fb, b["mql"], jnp.maximum(a["mql"], b["mql"]))
+            # value-at-segment-head fields: keep the left's unless b resets
+            for k in ("hp_head", "slot_head", "lorc_head", "key_head"):
+                o[k] = jnp.where(fb, b[k], a[k])
+            return o
+
+        elems = dict(
+            f=head, mH=H_s, hf=Hfrom_s, hp=Hpos_s, hstart=jnp.ones((W, S), bool),
+            mE=E_s, ef=Efrom_s, ep=Epos_s, mrl=rl_s, mql=ql_s,
+            hp_head=Hpos_s, slot_head=slot_s, lorc_head=lorc_s, key_head=key_s,
+        )
+        fw = jax.lax.associative_scan(fcomb, elems, axis=1)
+
+        # backward: broadcast each segment's TAIL aggregate to all elements
+        tail = jnp.concatenate([head[:, 1:], jnp.ones((W, 1), bool)], axis=1)
+
+        def bcomb(a, b):
+            o = {"f": a["f"] | b["f"]}
+            for k in a:
+                if k != "f":
+                    o[k] = jnp.where(b["f"], b[k], a[k])
+            return o
+
+        bw_in = {k: jnp.flip(v, 1) for k, v in fw.items() if k not in ("hp_head", "slot_head", "lorc_head", "key_head")}
+        bw_in["f"] = jnp.flip(tail, 1)
+        bw = {k: jnp.flip(v, 1) for k, v in jax.lax.associative_scan(bcomb, bw_in, axis=1).items()}
+
+        # H_from_pos rule: first attainment at the segment head -> head's own
+        # value (absent-insert copies all fields); H-type -> its value;
+        # E-type past the head needs the event chain -> bad-flag (module doc)
+        ambiguous = (~bw["hstart"]) & (bw["hf"] == np.int32(FROM_E))
         bad = bad | jnp.any(head & valid_s & ambiguous, axis=1)
-        gHpos = jnp.where(eH == head_pos, gHposHead, gHposE1)
-        gEfrom = _ftake2(Efrom_s, eE)
-        gEpos = _ftake2(Epos_s, eE)
-        lorc_s = aperm(cand["lorc"])  # lo_rc is NOT merged: head's value wins
+        gHpos = jnp.where(bw["hstart"], fw["hp_head"], bw["hp"])
 
-        # compact uniques in FIRST-OCCURRENCE order (khashl insert order)
-        first_s = _seg_broadcast_from_tail(head, _seg_scan_min(head, jnp.where(head, slot_s, BIGI)))
-        ukey_src = jnp.where(head & valid_s, first_s, BIGI)
-        if "sort" in _ABLATE:
-            uperm = perm
-        else:
-            uperm = jnp.argsort(ukey_src, axis=1, stable=True)
-        def uperm_take(a):
-            return _ftake2(a, uperm)
-
-        u_valid = uperm_take(ukey_src) != BIGI
+        # compact uniques in FIRST-OCCURRENCE order (khashl insert order):
+        # one more variadic sort over the head rows
+        u_scw = _pack_sc(
+            bw["mH"], bw["mE"], jnp.zeros((W, S), jnp.int32), bw["mrl"], bw["mql"],
+            bw["hf"], bw["ef"], jnp.zeros((W, S), jnp.int32), jnp.zeros((W, S), jnp.int32),
+        )
+        u_posw = _pack_pos(gHpos, bw["ep"], jnp.full((W, S), UNSET, jnp.int32))
+        ukey_src = jnp.where(head & valid_s, fw["slot_head"], BIGI)
+        ukey_sorted, u_key, u_sc, u_pos, u_lorc = jax.lax.sort(
+            (ukey_src, jnp.where(head & valid_s, key_s, KEY_EMPTY), u_scw, u_posw, lorc_s),
+            dimension=1, is_stable=True, num_keys=1,
+        )
+        u_valid = ukey_sorted != BIGI
         u_count = jnp.sum(u_valid, axis=1).astype(jnp.int32)
-        u_key = jnp.where(u_valid, uperm_take(key_s), KEY_EMPTY)
-        u_lorc = uperm_take(lorc_s)
-        u_sc = _pack_sc(
-            jnp.where(u_valid, uperm_take(maxH), 0),
-            jnp.where(u_valid, uperm_take(maxE), 0),
-            jnp.zeros((W, S), jnp.int32),
-            uperm_take(maxRL),
-            uperm_take(maxQL),
-            uperm_take(gHfrom),
-            uperm_take(gEfrom),
-            jnp.zeros((W, S), jnp.int32),
-            jnp.zeros((W, S), jnp.int32),
-        )
-        u_pos = _pack_pos(
-            jnp.where(uperm_take(gHpos) < 0, _PNONE, uperm_take(gHpos)),
-            jnp.where(uperm_take(gEpos) < 0, _PNONE, uperm_take(gEpos)),
-            jnp.full((W, S), UNSET, jnp.int32),
-        )
         bad = bad | (u_count >= np.int32(MAXC))  # khashl would resize mid-node
 
         # ---- bucket assignment: replay khashl inserts (first-occurrence) --
@@ -500,30 +529,25 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
 
         _, used_f, u_bucket = jax.lax.while_loop(bk_cond, bk_body, (jnp.asarray(0, jnp.int32), used0, buckets0))
 
-        # ---- materialize the 128-bucket table (sort + binary search) ------
-        bsort_key = jnp.where(u_valid & ~bad[:, None], u_bucket, np.int32(NB + 1))
-        bperm = jnp.argsort(bsort_key, axis=1, stable=True)
-        sbuck = _ftake2(bsort_key, bperm)
-
-        # for each bucket j: index of the unique with bucket == j (or miss)
-        def bsearch(sorted_vals, queries):
-            lo = jnp.zeros_like(queries)
-            hi = jnp.full_like(queries, S)
-            for _ in range(S.bit_length()):
-                mid = (lo + hi) // 2
-                v = _ftake2(sorted_vals, jnp.minimum(mid, S - 1))
-                go = v < queries
-                lo = jnp.where(go, mid + 1, lo)
-                hi = jnp.where(go, hi, mid)
-            return lo
-
-        posj = bsearch(sbuck, iota_nb)
-        hitj = _ftake2(sbuck, jnp.minimum(posj, S - 1)) == iota_nb
-        srcu = _ftake2(bperm.astype(jnp.int32), jnp.minimum(posj, S - 1))
-        tkey = jnp.where(hitj, _ftake2(u_key, srcu), KEY_EMPTY)
-        tsc = jnp.where(hitj, _ftake2(u_sc, srcu), np.int64(0))
-        tpos = jnp.where(hitj, _ftake2(u_pos, srcu), _pack_pos(jnp.full((W, NB), _PNONE), jnp.full((W, NB), _PNONE), jnp.full((W, NB), UNSET)))
-        tlorc = jnp.where(hitj, _ftake2(u_lorc, srcu), jnp.zeros((), dt))
+        # ---- materialize the 128-bucket table -----------------------------
+        # buckets are unique per window, so a one-hot (W, S, NB) reduction
+        # yields each bucket's source row directly, and ONE row-gather pulls
+        # all four field words (scatter-free; replaces a binary search whose
+        # per-step element gathers cost ~5 ms each)
+        bvalid = u_valid & ~bad[:, None]
+        oh_b = (u_bucket[:, :, None] == iota_nb[:, None, :]) & bvalid[:, :, None]
+        hitj = jnp.any(oh_b, axis=1)
+        uiota = jax.lax.broadcasted_iota(jnp.int32, (W, S, 1), 1)
+        srcu = jnp.sum(oh_b * uiota, axis=1)  # (W, NB)
+        rows_u = jnp.stack(
+            [u_key, u_sc, u_pos, u_lorc.astype(jnp.int64)], axis=-1
+        ).reshape(W * S, 4)
+        base_w = (jnp.arange(W, dtype=jnp.int32) * np.int32(S))[:, None]
+        g = jnp.take(rows_u, base_w + srcu, axis=0)  # (W, NB, 4) row gather
+        tkey = jnp.where(hitj, g[..., 0], KEY_EMPTY)
+        tsc = jnp.where(hitj, g[..., 1], np.int64(0))
+        tpos = jnp.where(hitj, g[..., 2], _pack_pos(jnp.full((W, NB), _PNONE), jnp.full((W, NB), _PNONE), jnp.full((W, NB), UNSET)))
+        tlorc = jnp.where(hitj, g[..., 3].astype(dt), jnp.zeros((), dt))
         count = jnp.where(bad, 0, u_count)
 
         # ---- first selection: top-N by (H << 32 | bucket) ------------------
@@ -554,13 +578,19 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         st_bucket = _ftake2(rb, st_perm)
         st_n = jnp.sum(elig, axis=1).astype(jnp.int32)
 
+        def table_rows(tk, ts, tp, tl, bcol):
+            """(key, sc, pos, lorc) words at buckets bcol — ONE row gather."""
+            rows = jnp.stack([tk, ts, tp, tl.astype(jnp.int64)], axis=-1).reshape(W * NB, 4)
+            bw_ = (jnp.arange(W, dtype=jnp.int32) * np.int32(NB))[:, None]
+            return jnp.take(rows, bw_ + bcol, axis=0)  # (W, ncol, 4)
+
         def from_table(bcol):
-            k = _ftake2(tkey, bcol)
-            scw = _ftake2(tsc, bcol)
-            H, E, F, rl, ql, *_ = _unpack_sc(scw)
+            g = table_rows(tkey, tsc, tpos, tlorc, bcol)
+            k = g[..., 0]
+            H, E, F, rl, ql, *_ = _unpack_sc(g[..., 1])
             return dict(
                 lo=(k >> 32).astype(dt), hi=(k & np.int64(0xFFFFFFFF)).astype(dt),
-                lorc=_ftake2(tlorc, bcol), H=H, F=F, rlen=rl, qlen=ql,
+                lorc=g[..., 3].astype(dt), H=H, F=F, rlen=rl, qlen=ql,
             )
 
         stc = from_table(st_bucket)
@@ -731,10 +761,8 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         row_x = topn(tkey, tsc)
         r_valid = row_x >= 0
         rbuck = (row_x & np.int64(0xFFFFFFFF)).astype(jnp.int32)
-        rkey = _ftake2(tkey, rbuck)
-        rsc = _ftake2(tsc, rbuck)
-        rpos = _ftake2(tpos, rbuck)
-        rlorc = _ftake2(tlorc, rbuck)
+        gr = table_rows(tkey, tsc, tpos, tlorc, rbuck)
+        rkey, rsc, rpos, rlorc = gr[..., 0], gr[..., 1], gr[..., 2], gr[..., 3].astype(dt)
         rH, rE, rF, rrl, rql, rHf, rEf, rFf, rFo = _unpack_sc(rsc)
         rHp, rEp, rFoff = _unpack_pos(rpos)
 

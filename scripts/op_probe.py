@@ -34,8 +34,14 @@ c32 = jnp.asarray(np.random.randint(0, 1 << 30, (W, 150)).astype(np.int32))
 
 bench("sort (W,128) i64 desc", lambda a: jnp.sort(a ^ 1, axis=1, descending=True), k64)
 bench("sort (W,128) i32 desc", lambda a: jnp.sort(a ^ 1, axis=1, descending=True), k32)
-bench("argsort (W,150) i64 stable", lambda a: jnp.take(a, jnp.argsort(a, axis=1, stable=True)[:, 0], axis=1) + a, c64)
-bench("argsort (W,150) i32 stable", lambda a: jnp.take(a, jnp.argsort(a, axis=1, stable=True)[:, 0], axis=1) + a, c32)
+def apply_perm(a):
+    perm = jnp.argsort(a, axis=1, stable=True)
+    base = (jnp.arange(W, dtype=jnp.int32) * np.int32(a.shape[1]))[:, None]
+    return jnp.take(a.reshape(-1), base + perm.astype(jnp.int32)) + jnp.ones((), a.dtype)
+
+
+bench("argsort+perm (W,150) i64 stable", apply_perm, c64)
+bench("argsort+perm (W,150) i32 stable", apply_perm, c32)
 
 
 def segmax(a):
