@@ -697,14 +697,20 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
                 nFoff = jnp.where(chF, nfp, tFoff)  # node-local fpar index
                 fpar = _onehot_set(fpar, nfp, zkey, do_f)
                 nfp = nfp + do_f
-                # heap insert x = (rH << 32) | UINT32_MAX
+                # heap insert x = (rH << 32) | UINT32_MAX.  The heap is a
+                # sorted-ascending array with -1 empties at the FRONT, so
+                # grow == replace-min(-1): shift everything below x's sorted
+                # position left by one and splice x in — a handful of selects
+                # instead of a (W, N+1) i64 sort (those cost ~0.4 ms each and
+                # run 5x per closure round)
                 x = (rH.astype(jnp.int64) << 32) | np.int64(0xFFFFFFFF)
                 grow = do_f & (hlen < N)
                 repl = do_f & (hlen >= N) & (x > heap[:, 0])
-                xa = jnp.where(grow | repl, x, np.int64(-2))
-                base = jnp.where(repl[:, None] & (iota_n == 0), np.int64(-1), heap)
-                both = jnp.sort(jnp.concatenate([base, xa[:, None]], axis=1), axis=1)[:, 1:]
-                heap = jnp.where((grow | repl)[:, None], both, heap)
+                ins = grow | repl
+                p = jnp.sum(heap < x[:, None], axis=1).astype(jnp.int32)  # #entries below x
+                shifted = jnp.concatenate([heap[:, 1:], heap[:, -1:]], axis=1)
+                cand_h = jnp.where(iota_n < p[:, None] - 1, shifted, jnp.where(iota_n == p[:, None] - 1, x[:, None], heap))
+                heap = jnp.where(ins[:, None], cand_h, heap)
                 hlen = hlen + grow
                 # push q.copy() when r.H - gap_ext > pending_min
                 push = do_f & (rH - np.int32(gap_ext) > pmin)
