@@ -203,16 +203,53 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto") -> in
     # (search.c:327-353); batching cannot change any output row.
     CAP = 16384 if native_sw_available() else 64
     dev_engine = None
-    if engine == "jax":
+    hybrid_pool = None
+    dev_share = 0.0
+    if engine in ("jax", "hybrid"):
         from .hapdiv_jax import HapdivDeviceEngine
 
         dev_engine = HapdivDeviceEngine(f, opt)
         CAP = dev_engine.lanes
+        if engine == "hybrid":
+            # device and native host engines run CONCURRENTLY on disjoint
+            # window slices: the native DP releases the GIL on its 4 threads
+            # while the device chews its share.  The split ratio adapts to
+            # the measured rates (device solo is slower than native -t4 on
+            # this chip — PERF_NOTES.md — but the sum beats either alone).
+            import os as _os
+
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            hybrid_pool = _TPE(1)
+            dev_share = float(_os.environ.get("RB3TPU_HAPDIV_SPLIT", "0.10"))
+            CAP = 4 * dev_engine.lanes
+
+    _rates = {"dev": None, "nat": None}
 
     def _compute(batch_wins):
-        if dev_engine is not None:
+        if dev_engine is None:
+            return rb3_hapdiv_multi(opt, f, batch_wins)
+        if hybrid_pool is None:
             return dev_engine.run(batch_wins)
-        return rb3_hapdiv_multi(opt, f, batch_wins)
+        import time as _t
+
+        nonlocal dev_share
+        nd = int(len(batch_wins) * dev_share)
+        dev_part = batch_wins[:nd]
+        fut = hybrid_pool.submit(lambda: (_t.perf_counter(), dev_engine.run(dev_part), _t.perf_counter())) if dev_part else None
+        t0 = _t.perf_counter()
+        nat = rb3_hapdiv_multi(opt, f, batch_wins[nd:])
+        t1 = _t.perf_counter()
+        if len(batch_wins) > nd:
+            _rates["nat"] = (len(batch_wins) - nd) / max(t1 - t0, 1e-6)
+        if fut is not None:
+            d0, dev, d1 = fut.result()
+            _rates["dev"] = nd / max(d1 - d0, 1e-6)
+        else:
+            dev = []
+        if _rates["dev"] and _rates["nat"]:
+            dev_share = min(0.5, max(0.02, _rates["dev"] / (_rates["dev"] + _rates["nat"])))
+        return list(dev) + list(nat)
     pend: list[tuple[str, list[int]]] = []
     wins: list = []
     from concurrent.futures import ThreadPoolExecutor
@@ -274,4 +311,6 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto") -> in
         done_pend, fut = _inflight.pop(0)
         _emit(done_pend, fut.result())
     _ex.shutdown()
+    if hybrid_pool is not None:
+        hybrid_pool.shutdown()
     return 0

@@ -218,7 +218,9 @@ Options:
   -a INT      annotate sliding INT-mers [101]
   -w INT      k-mer step size for annotation [50]
 {_SW_SCORING}
-{_SEARCH_COMMON}""",
+{_SEARCH_COMMON}
+  --engine=STR  DP engine: auto (native host), jax (TPU device DP),
+                hybrid (device + native concurrently) [auto]""",
     "search": "Usage: rb3tpu search [options] <idx.fmr> <seq.fa> [...]",
     "merge": """Usage: rb3tpu merge [options] <base.fmr> <other1.fmr> [...]
 Options:

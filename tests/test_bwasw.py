@@ -48,6 +48,14 @@ def test_hapdiv_custom_k_w(ref_bin, ref_index, sw_reads):
     assert run_ours(cmd) == run_ref(ref_bin, cmd)
 
 
+def test_hapdiv_engine_hybrid_golden(ref_bin, ref_index, sw_reads):
+    """hapdiv --engine=hybrid (device + native concurrently on disjoint
+    slices) byte-matches the reference."""
+    ref_cmd = ["hapdiv", str(ref_index), str(sw_reads)]
+    ours_cmd = ["hapdiv", "--engine=hybrid", str(ref_index), str(sw_reads)]
+    assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
+
+
 @pytest.mark.parametrize("extra", [[], ["-a61", "-w25"]])
 def test_hapdiv_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
     """hapdiv --engine=jax (device DP, align/hapdiv_jax.py) byte-matches the
