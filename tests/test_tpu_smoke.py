@@ -59,6 +59,7 @@ import numpy as np
 from ropebwt3_tpu.formats import fmd
 from ropebwt3_tpu.index.dense import DenseFMIndex
 from ropebwt3_tpu.ops.smem import BatchedSmemTG
+from ropebwt3_tpu.nt6 import char2nt6
 from ropebwt3_tpu.seqio import read_seqs
 
 import jax
@@ -66,7 +67,7 @@ assert jax.devices()[0].platform != "cpu", jax.devices()
 
 _, syms, lens = fmd.read_fmd(sys.argv[1])
 f = DenseFMIndex.from_runs(syms, lens)
-qs = [q for _, q in read_seqs(sys.argv[2])]
+qs = [char2nt6(rec.seq) for rec in read_seqs(sys.argv[2])]
 packed = BatchedSmemTG(f, min_occ=1, min_len=13, pack=True).run(qs)
 unpacked = BatchedSmemTG(f, min_occ=1, min_len=13, pack=False).run(qs)
 for a, b in zip(packed, unpacked):
