@@ -62,12 +62,22 @@ print(f"[ab] Q={Q} LBUF={LBUF} NPL={NPL} M={M} chunks={len(chunks)} platform={ja
 
 
 UNROLL = int(os.environ.get("RB3TPU_AB_UNROLL", 1))
+SEED_K = int(os.environ.get("RB3TPU_AB_SEED", 0))
+seed_tab = None
+if SEED_K:
+    from ropebwt3_tpu.ops.seed import build_seed_table
+
+    t0 = time.time()
+    seed_tab = build_seed_table(idx, SEED_K)
+    jax.block_until_ready(seed_tab)
+    print(f"[ab] seed table k={SEED_K}: {time.time()-t0:.1f}s", file=sys.stderr)
 
 
 def run(ch):
     return smem_tg_batch(
         idx, ch[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M,
         max_iters=RCAP * LBUF + 64, unroll=UNROLL,
+        seed_tab=seed_tab, seed_k=SEED_K,
         segments=(seg_off, seg_len, ch[1]),
     )
 
