@@ -118,7 +118,7 @@ def _emit_sw(out, f, sw_opts, name, q, hits, minus_hits) -> None:
             out.write(f"{name}\t{len(q)}\t*\t*\t*\t*\t*\t*\t*\t0\t0\t0\n")
 
 
-def run_sw_cli(f, files, is_line, sw_opts) -> int:
+def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto") -> int:
     from . import bwasw as _bw
 
     opt = _opt_from_dict(sw_opts)
@@ -128,18 +128,28 @@ def run_sw_cli(f, files, is_line, sw_opts) -> int:
         out.write("CC\tQH  refCount   score     editDist   cs   strand   nOut   totAln\n")
         out.write("CC\n")
     both = sw_opts["write_all"] and sw_opts["both_dir"]
-    use_batch = _bw.native_sw_available()
+    dev_engine = None
+    if engine == "jax":
+        from .sw_jax import SwDeviceEngine
+
+        dev_engine = SwDeviceEngine(f, opt)
+    use_batch = _bw.native_sw_available() or dev_engine is not None
     BATCH = 4096  # threads idle during the serial PAF emit between native
     # calls; bigger batches amortize it (4.9 -> 4.7 s on 10k x 150 bp)
     seq_id = 0
+
+    def _sw_batch(qs):
+        if dev_engine is not None:
+            return dev_engine.run(qs)
+        return _bw.rb3_sw_batch(opt, f, qs)
 
     def compute(batch):
         qs = [q for _, q in batch]
         if both:
             allq = qs + [revcomp(q) for q in qs]
-            allh = _bw.rb3_sw_batch(opt, f, allq)
+            allh = _sw_batch(allq)
             return allh[: len(qs)], allh[len(qs) :]
-        return _bw.rb3_sw_batch(opt, f, qs), [None] * len(qs)
+        return _sw_batch(qs), [None] * len(qs)
 
     def emit(batch, fwd, rev):
         for (name, q), hits, mh in zip(batch, fwd, rev):

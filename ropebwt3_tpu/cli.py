@@ -212,7 +212,9 @@ Options:
   --all-e2e   write all end-to-end hits in a compact format (forcing -e)
   -g INT      cap the number of --all-e2e output to INT (forcing --all-e2e)
   --no-ssa    ignore the sampled suffix array
-{_SEARCH_COMMON}""",
+{_SEARCH_COMMON}
+  --engine=STR  DP engine: auto (native host), jax (TPU device scoring +
+                host backtrack) [auto]""",
     "hapdiv": f"""Usage: rb3tpu hapdiv [options] <idx.fmr> <seq.fa> [...]
 Options:
   -a INT      annotate sliding INT-mers [101]
@@ -1089,7 +1091,7 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
         from .align.cli_hooks import run_sw_cli, run_hapdiv_cli
 
         if algo == "sw":
-            return run_sw_cli(f, args[1:], is_line, sw_opts)
+            return run_sw_cli(f, args[1:], is_line, sw_opts, engine=engine)
         return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w, engine=engine)
 
     return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec, jax_eng=srv_eng)

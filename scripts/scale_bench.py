@@ -103,9 +103,12 @@ def build(scale):
     fmd = os.path.join(out, "idx.fmd")
     if not os.path.exists(fmd):
         t0 = time.time()
-        log(f"{scale}: building FMD (our CLI, host path) ...")
+        log(f"{scale}: building FMD (our CLI, host path, -m320m batches) ...")
+        # -m320m: large SINGLE batches crawl on the host SA-IS (cache-miss
+        # bound); the multi-batch merge path is the measured-fast regime
+        # (PERF_NOTES: 2.4G in 28 min via -m320m vs ~hours single-batch)
         subprocess.run(
-            [sys.executable, "-m", "ropebwt3_tpu", "build", "-do", fmd, os.path.join(out, "genomes.fa")],
+            [sys.executable, "-m", "ropebwt3_tpu", "build", "-m320m", "-do", fmd, os.path.join(out, "genomes.fa")],
             check=True, env=scrub_env(), cwd=ROOT,
         )
         log(f"{scale}: build {time.time()-t0:.1f}s")

@@ -65,6 +65,16 @@ def test_hapdiv_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
     assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
 
 
+@pytest.mark.parametrize("extra", [[], ["-e"], ["-u", "--seq", "-p3"]])
+def test_sw_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
+    """sw --engine=jax (device scoring DP, align/sw_jax.py + host backtrack)
+    byte-matches the reference end-to-end, including host fallback for
+    flagged/ineligible reads."""
+    ref_cmd = ["sw"] + extra + [str(ref_index), str(sw_reads)]
+    ours_cmd = ["sw", "--engine=jax"] + extra + [str(ref_index), str(sw_reads)]
+    assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
+
+
 def test_sw_debug_streams(ref_bin, ref_index, sw_reads):
     """--dbg-dawg/--dbg-sw/--dbg-bt/--dbg-qname stderr traces byte-match."""
     import os
