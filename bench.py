@@ -335,6 +335,23 @@ def main():
     if ref:
         log(f"reference (-t{ref['threads']}): {ref['wall_s']:.2f}s = {ref['reads_per_s']:,.0f} reads/s")
     rec = {"metric": "smem_mem31_reads_per_s", "value": round(reads_per_s, 1), "unit": "reads/s", "vs_baseline": round(vs, 3) if vs == vs else None}
+    try:
+        # the framework's host engine on the same workload, for the record
+        # (the CLI's one-shot `mem` default; host CPU speed varies per round)
+        from ropebwt3_tpu.ops.smem_native import smem_tg_flat_native
+
+        flat = np.ascontiguousarray(reads.reshape(-1))
+        offs = np.arange(N_READS + 1, dtype=np.int64) * READ_LEN
+        fn = ensure_dense(fmd)
+        nwall = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            smem_tg_flat_native(fn, flat, offs, 1, MIN_LEN)
+            nwall = min(nwall, time.time() - t0)
+        del fn
+        rec["native_reads_per_s"] = round(N_READS / nwall, 1)
+    except Exception:
+        pass
     if os.environ.get("RB3TPU_BENCH_FAST") != "1":
         try:
             curve = scale_curve()

@@ -212,10 +212,13 @@ class HapdivDeviceEngine:
         self.lanes = lanes
         self.idx = None  # lazy: building device tables costs seconds
         # packed-word limits: scores 12 bits, rlen/qlen 9 bits, F_from_off
-        # archive field 5 bits, key packing lo/hi < 2^32
+        # archive field 5 bits, key packing lo/hi < 2^32.  n_best >= 17 keeps
+        # kh_resize(n_best*4) at 128 buckets — the kernel's NB/Fibonacci-shift
+        # are baked for bits=7, and a 64-bucket table (n_best < 17) has a
+        # different probe order, i.e. different score-tie breaking.
         self.supported = (
             f.n < (1 << 32)
-            and 1 <= opt.n_best <= 31
+            and 17 <= opt.n_best <= 31
             and opt.e2e_drop < 0
             and (opt.flag & (RB3_SWF_E2E | RB3_SWF_HAPDIV)) == (RB3_SWF_E2E | RB3_SWF_HAPDIV)
         )

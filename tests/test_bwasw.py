@@ -56,7 +56,7 @@ def test_hapdiv_engine_hybrid_golden(ref_bin, ref_index, sw_reads):
     assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
 
 
-@pytest.mark.parametrize("extra", [[], ["-a61", "-w25"]])
+@pytest.mark.parametrize("extra", [[], ["-a61", "-w25"], ["-N10"]])
 def test_hapdiv_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
     """hapdiv --engine=jax (device DP, align/hapdiv_jax.py) byte-matches the
     reference end-to-end, including the host fallback for flagged windows."""
