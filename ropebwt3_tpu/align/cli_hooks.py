@@ -118,7 +118,7 @@ def _emit_sw(out, f, sw_opts, name, q, hits, minus_hits) -> None:
             out.write(f"{name}\t{len(q)}\t*\t*\t*\t*\t*\t*\t*\t0\t0\t0\n")
 
 
-def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto") -> int:
+def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None) -> int:
     from . import bwasw as _bw
 
     opt = _opt_from_dict(sw_opts)
@@ -130,9 +130,12 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto") -> int:
     both = sw_opts["write_all"] and sw_opts["both_dir"]
     dev_engine = None
     if engine == "jax":
-        from .sw_jax import SwDeviceEngine
+        if dev_cache is not None and hasattr(dev_cache, "sw_engine_for"):
+            dev_engine = dev_cache.sw_engine_for(opt)  # resident server cache
+        else:
+            from .sw_jax import SwDeviceEngine
 
-        dev_engine = SwDeviceEngine(f, opt)
+            dev_engine = SwDeviceEngine(f, opt)
     use_batch = _bw.native_sw_available() or dev_engine is not None
     BATCH = 4096  # threads idle during the serial PAF emit between native
     # calls; bigger batches amortize it (4.9 -> 4.7 s on 10k x 150 bp)
@@ -199,7 +202,7 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto") -> int:
     return 0
 
 
-def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto") -> int:
+def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto", dev_cache=None) -> int:
     opt = _opt_from_dict(sw_opts)
     opt.flag |= RB3_SWF_E2E | RB3_SWF_HAPDIV
     out = sys.stdout
@@ -216,9 +219,12 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto") -> in
     hybrid_pool = None
     dev_share = 0.0
     if engine in ("jax", "hybrid"):
-        from .hapdiv_jax import HapdivDeviceEngine
+        if dev_cache is not None and hasattr(dev_cache, "hapdiv_engine_for"):
+            dev_engine = dev_cache.hapdiv_engine_for(opt)  # resident server cache
+        else:
+            from .hapdiv_jax import HapdivDeviceEngine
 
-        dev_engine = HapdivDeviceEngine(f, opt)
+            dev_engine = HapdivDeviceEngine(f, opt)
         CAP = dev_engine.lanes
         if engine == "hybrid":
             # device and native host engines run CONCURRENTLY on disjoint

@@ -1070,12 +1070,18 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
         # a resident server (rb3tpu serve) holding this index answers mem
         # requests at warm-engine speed; route there on auto (the tunneled
         # TPU costs 60-300 s of remote compiles per fresh process)
-        if cmd != "search" and algo == "mem_tg" and engine in ("auto", "server"):
+        route_srv = (algo == "mem_tg" and engine in ("auto", "server")) or (
+            # device sw/hapdiv engines cost 60-300 s of remote compiles per
+            # fresh process; a resident server holds them warm.  auto stays
+            # local (the native host engine needs no warmup and wins one-shot)
+            algo in ("sw", "hapdiv") and engine in ("jax", "hybrid", "server")
+        )
+        if cmd != "search" and route_srv:
             from .server import client_run, server_available
 
             if server_available(args[0]):
                 try:
-                    return client_run(args[0], argv)
+                    return client_run(args[0], argv, cmd=cmd)
                 except Exception as e:
                     if engine == "server":
                         return _err(f"server request failed: {e}")
@@ -1091,8 +1097,8 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
         from .align.cli_hooks import run_sw_cli, run_hapdiv_cli
 
         if algo == "sw":
-            return run_sw_cli(f, args[1:], is_line, sw_opts, engine=engine)
-        return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w, engine=engine)
+            return run_sw_cli(f, args[1:], is_line, sw_opts, engine=engine, dev_cache=srv_eng)
+        return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w, engine=engine, dev_cache=srv_eng)
 
     return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec, jax_eng=srv_eng)
 

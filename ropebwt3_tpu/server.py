@@ -31,12 +31,15 @@ MAGIC_R = b"RB3R"
 
 
 class EngineCache:
-    """Per-(min_occ, min_len) BatchedSmemTG engines over one loaded index
-    (those parameters are compile-time constants of the kernel)."""
+    """Per-(min_occ, min_len) BatchedSmemTG engines plus per-SwOpt device
+    sw/hapdiv engines over one loaded index (those parameters are
+    compile-time constants of the kernels)."""
 
     def __init__(self, f):
         self.f = f
         self._engs: dict = {}
+        self._sw: dict = {}
+        self._hapdiv: dict = {}
 
     def engine_for(self, min_occ: int, min_len: int):
         key = (int(min_occ), int(min_len))
@@ -45,6 +48,27 @@ class EngineCache:
 
             self._engs[key] = BatchedSmemTG(self.f, min_occ=key[0], min_len=key[1])
         return self._engs[key]
+
+    @staticmethod
+    def _opt_key(opt):
+        return (opt.flag, opt.n_best, opt.min_sc, opt.end_len, opt.match, opt.mis,
+                opt.e2e_drop, opt.gap_open, opt.gap_ext, opt.min_mem_len, opt.max_pos)
+
+    def sw_engine_for(self, opt):
+        key = self._opt_key(opt)
+        if key not in self._sw:
+            from .align.sw_jax import SwDeviceEngine
+
+            self._sw[key] = SwDeviceEngine(self.f, opt)
+        return self._sw[key]
+
+    def hapdiv_engine_for(self, opt):
+        key = self._opt_key(opt)
+        if key not in self._hapdiv:
+            from .align.hapdiv_jax import HapdivDeviceEngine
+
+            self._hapdiv[key] = HapdivDeviceEngine(self.f, opt)
+        return self._hapdiv[key]
 
 
 def sock_path(index_path: str) -> str:
@@ -100,15 +124,15 @@ def server_available(index_path: str) -> bool:
         return False
 
 
-def client_run(index_path: str, argv: list[str], timeout: float = 3600.0) -> int:
-    """Run `mem argv` on the resident server; stream stdout/stderr here.
+def client_run(index_path: str, argv: list[str], timeout: float = 3600.0, cmd: str = "mem") -> int:
+    """Run `<cmd> argv` on the resident server; stream stdout/stderr here.
     Returns the remote rc; raises on transport errors (caller falls back)."""
     s = socket.socket(socket.AF_UNIX)
     s.settimeout(timeout)
     s.connect(sock_path(index_path))
     # absolutize file args so the server resolves them regardless of its cwd
     argv = [os.path.abspath(a) if os.path.exists(a) else a for a in argv]
-    _send(s, MAGIC_Q, {"cmd": "mem", "argv": argv})
+    _send(s, MAGIC_Q, {"cmd": cmd, "argv": argv})
     meta, payloads = _recv(s, MAGIC_R)
     s.close()
     if payloads:
@@ -194,7 +218,7 @@ def main_serve(argv: list[str]) -> int:
                 if cmd == "stop":
                     _send(conn, MAGIC_R, {"rc": 0})
                     break
-                if cmd != "mem":
+                if cmd not in ("mem", "sw", "hapdiv"):
                     _send(conn, MAGIC_R, {"rc": 1, "err": "unknown cmd"})
                     continue
                 out_b = io.BytesIO()
@@ -203,7 +227,7 @@ def main_serve(argv: list[str]) -> int:
                 with contextlib.redirect_stdout(out_t), contextlib.redirect_stderr(err_t):
                     try:
                         rc = _cli.main_search(
-                            list(meta["argv"]), "mem",
+                            list(meta["argv"]), cmd,
                             _preloaded=(index_path, f, eng),
                         )
                     except BaseException as e:  # report, keep serving

@@ -23,9 +23,10 @@ READ_LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
 MIN_LEN = 31
 
 CONFIGS = [
-    ("M256_Q2048", {}),
-    ("M96_Q2048", {"RB3TPU_LR_M": "96"}),
-    ("M256_Q1024", {"RB3TPU_PACK_Q": "1024"}),
+    ("M256_Q256", {"RB3TPU_PACK_Q": "256"}),
+    ("M256_Q128", {"RB3TPU_PACK_Q": "128"}),
+    ("M256_Q64", {"RB3TPU_PACK_Q": "64"}),
+    ("M96_Q256", {"RB3TPU_LR_M": "96", "RB3TPU_PACK_Q": "256"}),
 ]
 
 

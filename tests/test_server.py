@@ -58,6 +58,19 @@ def test_mem_via_server_golden(ref_bin, ref_index, corpus):
             env=_env(), cwd=ROOT, capture_output=True, timeout=600,
         )
         assert r3.stdout == want
+        # sw/hapdiv --engine=jax route to the same server (device DP engines
+        # held warm per SwOpt) and stay byte-golden
+        lines = open(corpus / "reads.fa").read().strip().split("\n")
+        swr = corpus / "reads_srv.fa"
+        swr.write_text("\n".join(lines[:12]) + "\n")
+        for cmd in (["sw", "-p2"], ["hapdiv", "-a61", "-w25"]):
+            want_c = run_ref(ref_bin, cmd + [idx, str(swr)])
+            rc = subprocess.run(
+                [sys.executable, "-m", "ropebwt3_tpu", cmd[0], "--engine=jax"] + cmd[1:] + [idx, str(swr)],
+                env=_env(), cwd=ROOT, capture_output=True, timeout=600,
+            )
+            assert rc.returncode == 0, (cmd[0], rc.stderr.decode()[-2000:])
+            assert rc.stdout == want_c, cmd[0]
     finally:
         subprocess.run(
             [sys.executable, "-m", "ropebwt3_tpu", "serve", "--stop", idx],
