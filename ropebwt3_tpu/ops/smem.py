@@ -207,7 +207,7 @@ class BatchedSmemTG:
     PACK_LBUF_LONG = 32768  # long-read lane buffer (covers HiFi-length reads)
     PACK_R = 32  # max reads per lane
 
-    def _run_packed(self, queries: list[np.ndarray], results: list, idxs: list[int], Lbuf: int | None = None, M: int | None = None) -> None:
+    def _run_packed(self, queries: list[np.ndarray], results: list, idxs: list[int], Lbuf: int | None = None, M: int | None = None, q_lanes: int | None = None) -> None:
         """Pack several reads per lane: one (Q, R, Lbuf) program covers every
         read length up to Lbuf-1, and per-lane iteration counts average over
         the lane's reads, shrinking the max-over-lanes tail that sets the
@@ -217,7 +217,7 @@ class BatchedSmemTG:
 
         Lbuf = Lbuf or self.PACK_LBUF
         Rcap = self.PACK_R
-        Q = int(os.environ.get("RB3TPU_PACK_Q", 0)) or max(256, self.lanes // 4)
+        Q = int(os.environ.get("RB3TPU_PACK_Q", 0)) or q_lanes or max(256, self.lanes // 4)
         if self.mesh is not None:  # lanes shard evenly over the dp axis
             dp = self.mesh.shape["dp"]
             Q = (Q + dp - 1) // dp * dp
@@ -370,9 +370,13 @@ class BatchedSmemTG:
 
                 # M=96 measured ~8% faster than 256 on 2k x 10 kb (the
                 # one-hot emit select scales with M x Q); overflowing reads
-                # rerun on the native host engine in one batch
+                # rerun on the native host engine in one batch.  Q=256 lanes
+                # measured optimal for 32 KB buffers (2.69 s -> 2.35 s on
+                # 2k x 10 kb; per-iteration cost scales with Q while deeper
+                # multi-dispatch pipelining absorbs the extra chunks —
+                # scripts/lr_ab.py sweep, PERF_NOTES round 2 session 3)
                 lr_m = int(os.environ.get("RB3TPU_LR_M", 0)) or (max(96, self.max_mems) if self.max_mems else 96)
-                self._run_packed(queries, results, longr, Lbuf=self.PACK_LBUF_LONG, M=lr_m)
+                self._run_packed(queries, results, longr, Lbuf=self.PACK_LBUF_LONG, M=lr_m, q_lanes=256)
         buckets: dict[int, list[int]] = {}
         for t in order:
             L = max(64, 1 << (max(1, len(queries[t]) - 1)).bit_length())
