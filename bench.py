@@ -172,7 +172,10 @@ def bench_native(f, reads, ref):
 
 
 def measure_index(f, reads, passes=3):
-    """Packed-kernel throughput on dense index `f` (same shapes as main)."""
+    """TPU packed-kernel + native + measured-hybrid throughput on dense
+    index `f` (same kernel shapes as main).  Returns a dict of walls."""
+    import threading
+
     import jax
     import jax.numpy as jnp
 
@@ -188,20 +191,23 @@ def measure_index(f, reads, passes=3):
     for r in range(NPL):
         so[:, r] = r * (READ_LEN + 1)
         sl[:, r] = READ_LEN
-    chunks = []
-    for c0 in range(0, len(reads), per):
-        got = reads[c0 : c0 + per]
-        block = np.zeros((LANES, LBUF), np.uint8)
-        ns = np.zeros(LANES, np.int32)
-        for t, rd in enumerate(got):
-            lane, slot = t % LANES, t // LANES
-            block[lane, slot * (READ_LEN + 1) : slot * (READ_LEN + 1) + READ_LEN] = rd
-            ns[lane] = max(ns[lane], slot + 1)
-        chunks.append((jax.device_put(block), jax.device_put(jnp.asarray(ns))))
     seg_off = jax.device_put(jnp.asarray(so))
     seg_len = jax.device_put(jnp.asarray(sl))
     qlen = jnp.zeros(LANES, jnp.int32)
-    jax.block_until_ready([c[0] for c in chunks])
+
+    def stage(rds):
+        chunks = []
+        for c0 in range(0, len(rds), per):
+            got = rds[c0 : c0 + per]
+            block = np.zeros((LANES, LBUF), np.uint8)
+            ns = np.zeros(LANES, np.int32)
+            for t, rd in enumerate(got):
+                lane, slot = t % LANES, t // LANES
+                block[lane, slot * (READ_LEN + 1) : slot * (READ_LEN + 1) + READ_LEN] = rd
+                ns[lane] = max(ns[lane], slot + 1)
+            chunks.append((jax.device_put(block), jax.device_put(jnp.asarray(ns))))
+        jax.block_until_ready([c[0] for c in chunks])
+        return chunks
 
     def run(ch):
         return smem_tg_batch(
@@ -210,6 +216,7 @@ def measure_index(f, reads, passes=3):
             segments=(seg_off, seg_len, ch[1]),
         )
 
+    chunks = stage(reads)
     np.asarray(run(chunks[0])[1])  # warmup/compile
     wall, tot_mems = float("inf"), 0
     for p in range(passes):
@@ -221,14 +228,57 @@ def measure_index(f, reads, passes=3):
         dt = time.time() - t0
         if dt < wall:
             wall, tot_mems = dt, tm
-    return wall, tot_mems
+    out = {"tpu_wall": wall, "mems": tot_mems}
+
+    # native engine on the same workload, then the measured hybrid: device
+    # and native chew disjoint read slices CONCURRENTLY (the production
+    # `mem --engine=hybrid` split); device share follows the solo rates,
+    # rounded to whole staged chunks
+    try:
+        from ropebwt3_tpu.ops.smem_native import smem_tg_flat_native
+
+        flat = np.ascontiguousarray(reads.reshape(-1))
+        offs = np.arange(len(reads) + 1, dtype=np.int64) * READ_LEN
+        nwall = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            smem_tg_flat_native(f, flat, offs, 1, MIN_LEN)
+            nwall = min(nwall, time.time() - t0)
+        out["native_wall"] = nwall
+
+        share = (1 / wall) / (1 / wall + 1 / nwall)
+        nd = int(len(reads) * share)  # partial last chunk stages fine
+        chunks_h = stage(reads[:nd])
+        sub = np.ascontiguousarray(flat[nd * READ_LEN :])
+        offs_h = np.arange(len(reads) - nd + 1, dtype=np.int64) * READ_LEN
+
+        def dev_part():
+            for ch in chunks_h:
+                np.asarray(run(ch)[1])
+
+        hwall = float("inf")
+        for _ in range(2):
+            th = threading.Thread(target=dev_part)
+            t0 = time.time()
+            th.start()
+            if len(sub):
+                smem_tg_flat_native(f, sub, offs_h, 1, MIN_LEN)
+            th.join()
+            hwall = min(hwall, time.time() - t0)
+        out["hybrid_wall"] = hwall
+        out["hybrid_dev_share"] = round(nd / len(reads), 3)
+    except Exception as e:
+        log(f"native/hybrid measurement skipped: {e}")
+    return out
 
 
 def scale_curve():
-    """Measure the 640M / 1.34G indexes when their cached artifacts exist
-    (scripts/scale_bench.py builds them); returns {label: {...}}."""
+    """Measure the 640M / 1.34G / 2.4G(int64) indexes when their cached
+    artifacts exist (scripts/scale_bench.py builds them); returns
+    {label: {...}} with tpu / native / measured-hybrid numbers."""
     out = {}
-    for scale, label in (("s640", "640M"), ("mtb13", "1338M")):
+    # big2g (2.4 Gsym) exercises the int64 megablock layout on the chip
+    for scale, label in (("s640", "640M"), ("mtb13", "1338M"), ("big2g", "2400M")):
         d = os.path.join(BENCH, scale)
         npz = os.path.join(d, "dense.npz")
         rnpy = os.path.join(d, "reads.npy")
@@ -241,15 +291,21 @@ def scale_curve():
         f = DenseFMIndex(bwt=z["bwt"], n=int(z["n"]), acc=z["acc"], occ_block=z["occ_block"], occ_super=z["occ_super"])
         reads_s = np.load(rnpy)
         log(f"scale {label}: n={f.n:,} ...")
-        wall, _ = measure_index(f, reads_s)
+        res = measure_index(f, reads_s)
         ref = json.load(open(rt))
-        ours = len(reads_s) / wall
+        n = len(reads_s)
+        ours = n / res["tpu_wall"]
         out[label] = {
             "ours_reads_per_s": round(ours, 1),
             "ref_t4_reads_per_s": round(ref["reads_per_s"], 1),
             "ratio": round(ours / ref["reads_per_s"], 3),
         }
-        log(f"scale {label}: ours {ours:,.0f} vs ref -t4 {ref['reads_per_s']:,.0f} ({out[label]['ratio']}x)")
+        if "native_wall" in res:
+            out[label]["native_reads_per_s"] = round(n / res["native_wall"], 1)
+        if "hybrid_wall" in res:
+            out[label]["hybrid_reads_per_s"] = round(n / res["hybrid_wall"], 1)
+            out[label]["hybrid_ratio"] = round(n / res["hybrid_wall"] / ref["reads_per_s"], 3)
+        log(f"scale {label}: tpu {ours:,.0f} | native {out[label].get('native_reads_per_s', 0):,.0f} | hybrid {out[label].get('hybrid_reads_per_s', 0):,.0f} vs ref {ref['reads_per_s']:,.0f} ({out[label]['ratio']}x tpu, {out[label].get('hybrid_ratio', 0)}x hybrid)")
         del f
     return out
 
@@ -266,101 +322,49 @@ def main():
 
     import jax
 
-    from ropebwt3_tpu.ops.rank import DeviceIndex
-    from ropebwt3_tpu.ops.smem import smem_tg_batch
-
-    idx = DeviceIndex.from_dense(f)
-    del f
-    import jax.numpy as jnp
-
-    # multi-read lane packing (ops/smem_fsm.py `segments`): per-lane iteration
-    # counts average over the lane's reads, shrinking the max-over-lanes tail
-    # that sets the while-loop trip count (36.7k -> 62k reads/s measured at
-    # Q=2048, 13 reads/lane; -> 72k at 27 reads/lane, scripts/pack_ab.py)
-    LANES = 2048
-    LBUF = 4096
-    RCAP = 32
-    NPL = LBUF // (READ_LEN + 1)  # 27 reads per lane
-    M = 64
-    per = LANES * NPL
-    so = np.zeros((LANES, RCAP), np.int32)
-    sl = np.zeros((LANES, RCAP), np.int32)
-    for r in range(NPL):
-        so[:, r] = r * (READ_LEN + 1)
-        sl[:, r] = READ_LEN
-    chunks = []
-    for c0 in range(0, N_READS, per):
-        got = reads[c0 : c0 + per]
-        block = np.zeros((LANES, LBUF), np.uint8)
-        ns = np.zeros(LANES, np.int32)
-        for t, rd in enumerate(got):
-            lane, slot = t % LANES, t // LANES
-            block[lane, slot * (READ_LEN + 1) : slot * (READ_LEN + 1) + READ_LEN] = rd
-            ns[lane] = max(ns[lane], slot + 1)
-        chunks.append((jax.device_put(block), jax.device_put(jnp.asarray(ns))))
-    seg_off = jax.device_put(jnp.asarray(so))
-    seg_len = jax.device_put(jnp.asarray(sl))
-    qlen = jnp.zeros(LANES, jnp.int32)
-    jax.block_until_ready([c[0] for c in chunks])
-
-    def run(ch):
-        return smem_tg_batch(
-            idx, ch[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M,
-            max_iters=RCAP * LBUF + 64, unroll=2,
-            segments=(seg_off, seg_len, ch[1]),
-        )
-
-    log(f"warmup/compile ({jax.devices()[0].platform}) ...")
-    jax.block_until_ready(run(chunks[0]))
-    log("timing (best of 3 passes; the tunneled TPU pool's latency varies heavily) ...")
-    wall = float("inf")
-    tot_mems = 0
-    for p in range(3):
-        t0 = time.time()
-        tm = 0
-        for ch in chunks:
-            mems, n_mem, _ = run(ch)
-            # sync per chunk via host materialization: on the tunneled axon
-            # backend block_until_ready returns early, and queuing many
-            # dynamic while-loop programs unsynced degrades ~100x
-            tm += int(np.asarray(n_mem).sum())
-        dt = time.time() - t0
-        log(f"pass {p}: {dt:.2f}s")
-        wall = min(wall, dt)
-        tot_mems = tm
-    reads_per_s = N_READS / wall
-    mbp_per_s = N_READS * READ_LEN / wall / 1e6
-    log(f"ours: {wall:.2f}s = {reads_per_s:,.0f} reads/s = {mbp_per_s:.1f} Mbp/s ({tot_mems} MEMs)")
-    vs = reads_per_s / ref["reads_per_s"] if ref else float("nan")
+    log(f"measuring on {jax.devices()[0].platform}: tpu kernel, native engine, measured hybrid split ...")
+    res = measure_index(f, reads)
+    tpu_rps = N_READS / res["tpu_wall"]
+    nat_rps = N_READS / res["native_wall"] if "native_wall" in res else None
+    hyb_rps = N_READS / res["hybrid_wall"] if "hybrid_wall" in res else None
+    log(f"tpu kernel: {res['tpu_wall']:.2f}s = {tpu_rps:,.0f} reads/s ({res['mems']} MEMs)")
+    if nat_rps:
+        log(f"native engine: {res['native_wall']:.2f}s = {nat_rps:,.0f} reads/s")
+    if hyb_rps:
+        log(f"hybrid (dev share {res['hybrid_dev_share']}): {res['hybrid_wall']:.2f}s = {hyb_rps:,.0f} reads/s")
     if ref:
         log(f"reference (-t{ref['threads']}): {ref['wall_s']:.2f}s = {ref['reads_per_s']:,.0f} reads/s")
-    rec = {"metric": "smem_mem31_reads_per_s", "value": round(reads_per_s, 1), "unit": "reads/s", "vs_baseline": round(vs, 3) if vs == vs else None}
-    try:
-        # the framework's host engine on the same workload, for the record
-        # (the CLI's one-shot `mem` default; host CPU speed varies per round)
-        from ropebwt3_tpu.ops.smem_native import smem_tg_flat_native
-
-        flat = np.ascontiguousarray(reads.reshape(-1))
-        offs = np.arange(N_READS + 1, dtype=np.int64) * READ_LEN
-        fn = ensure_dense(fmd)
-        nwall = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            smem_tg_flat_native(fn, flat, offs, 1, MIN_LEN)
-            nwall = min(nwall, time.time() - t0)
-        del fn
-        rec["native_reads_per_s"] = round(N_READS / nwall, 1)
-    except Exception:
-        pass
+    # headline = the framework's best measured single-machine throughput:
+    # the chip and the host cores work CONCURRENTLY on disjoint read slices
+    # (`mem --engine=hybrid`, golden-tested) when that beats the chip alone
+    best = max(x for x in (tpu_rps, hyb_rps) if x)
+    engine_used = "hybrid" if hyb_rps and hyb_rps >= tpu_rps else "tpu"
+    vs = best / ref["reads_per_s"] if ref else float("nan")
+    rec = {
+        "metric": "smem_mem31_reads_per_s", "value": round(best, 1), "unit": "reads/s",
+        "vs_baseline": round(vs, 3) if vs == vs else None, "engine": engine_used,
+        "tpu_reads_per_s": round(tpu_rps, 1),
+    }
+    if nat_rps:
+        rec["native_reads_per_s"] = round(nat_rps, 1)
+    if hyb_rps:
+        rec["hybrid_reads_per_s"] = round(hyb_rps, 1)
+        rec["hybrid_dev_share"] = res["hybrid_dev_share"]
     if os.environ.get("RB3TPU_BENCH_FAST") != "1":
         try:
             curve = scale_curve()
             if curve:
-                curve["64M"] = {
-                    "ours_reads_per_s": rec["value"],
+                e64 = {
+                    "ours_reads_per_s": rec["tpu_reads_per_s"],
                     "ref_t4_reads_per_s": round(ref["reads_per_s"], 1) if ref else None,
-                    "ratio": rec["vs_baseline"],
+                    "ratio": round(tpu_rps / ref["reads_per_s"], 3) if ref else None,
                 }
+                if nat_rps:
+                    e64["native_reads_per_s"] = rec["native_reads_per_s"]
+                if hyb_rps:
+                    e64["hybrid_reads_per_s"] = rec["hybrid_reads_per_s"]
+                    e64["hybrid_ratio"] = round(hyb_rps / ref["reads_per_s"], 3) if ref else None
+                curve["64M"] = e64
                 rec["scale"] = curve
         except Exception as e:  # scale curve must never kill the headline metric
             log(f"scale curve skipped: {e}")

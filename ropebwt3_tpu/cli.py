@@ -197,7 +197,8 @@ Options:
   --gap=NUM   output regions >=NUM that are not covered by MEMs [0]
   --cov       output breadth of coverage
 {_SEARCH_COMMON}
-  --engine=STR  SMEM engine: auto, jax (TPU), native, py [auto]
+  --engine=STR  SMEM engine: auto, jax (TPU), native, py,
+                hybrid (TPU + native concurrently on disjoint slices) [auto]
   --mesh=DPxIDX shard over a device mesh with --engine=jax: reads over DP
                 devices, occ tables over IDX devices (e.g. --mesh=4x2) []""",
     "sw": f"""Usage: rb3tpu sw [options] <idx.fmr> <seq.fa> [...]
@@ -1070,7 +1071,7 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
         # a resident server (rb3tpu serve) holding this index answers mem
         # requests at warm-engine speed; route there on auto (the tunneled
         # TPU costs 60-300 s of remote compiles per fresh process)
-        route_srv = (algo == "mem_tg" and engine in ("auto", "server")) or (
+        route_srv = (algo == "mem_tg" and engine in ("auto", "server", "hybrid")) or (
             # device sw/hapdiv engines cost 60-300 s of remote compiles per
             # fresh process; a resident server holds them warm.  auto stays
             # local (the native host engine needs no warmup and wins one-shot)
@@ -1103,28 +1104,46 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
     return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec, jax_eng=srv_eng)
 
 
+def _emit_hybrid(emit_flat, names, offs, nd, fd, fnat):
+    """Emit one hybrid batch in input order: device slice (reads 0..nd-1)
+    first, then the native slice."""
+    if fd is not None:
+        cd, rd = fd.result()
+        emit_flat(names[:nd], offs[: nd + 1], cd, rd)
+    cn, rn = fnat.result()
+    emit_flat(names[nd:], offs[nd:] - offs[nd], cn, rn)
+
+
 def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec=None, jax_eng=None) -> int:
     out = sys.stdout
     if mesh_spec and engine == "auto":
         engine = "jax"  # --mesh only means anything on the sharded engine
     if jax_eng is not None and algo == "mem_tg":
-        engine = "jax"  # resident server engine (server.py)
+        if engine in ("auto", "server"):
+            # server-side: the hybrid chip+host split is the best measured
+            # engine (PERF_NOTES round 2); pure device if the native lib is
+            # missing
+            from .ops.smem_native import native_smem_lib
+
+            engine = "hybrid" if native_smem_lib() is not None else "jax"
+        elif engine != "hybrid":
+            engine = "jax"  # resident server engine (server.py)
         if hasattr(jax_eng, "engine_for"):
             jax_eng = jax_eng.engine_for(min_occ, min_len)
     else:
         jax_eng = None
     seq_id = 0
     native_batch = None
-    if engine in ("auto", "native") and algo == "mem_tg":
+    if engine in ("auto", "native", "hybrid") and algo == "mem_tg":
         from .ops.smem_native import native_smem_lib, smem_tg_batch_native
 
         if native_smem_lib() is not None:
             native_batch = smem_tg_batch_native
-        elif engine == "native":
+        elif engine in ("native", "hybrid"):
             raise RuntimeError("native SMEM engine unavailable")
     # TPU engine, created lazily and only when opted into (--engine=jax) or
     # when the native library is unavailable — see the routing note in flush()
-    _jax_state: dict = {"eng": jax_eng if algo == "mem_tg" else None, "failed": engine not in ("auto", "jax") or algo != "mem_tg"}
+    _jax_state: dict = {"eng": jax_eng if algo == "mem_tg" else None, "failed": engine not in ("auto", "jax", "hybrid") or algo != "mem_tg"}
 
     def jax_engine():
         if _jax_state["eng"] is None and not _jax_state["failed"]:
@@ -1283,10 +1302,58 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
             write_records([(name, len(q)) for name, q in batch], all_mems, pos_iter)
 
         batches = None
-        if native_batch is not None and engine in ("native", "auto"):
+        if native_batch is not None and engine in ("native", "auto", "hybrid"):
             from .seqio import iter_flat_batches
 
             batches = iter_flat_batches(fn, is_line, batch_size)
+        if batches is not None and engine == "hybrid":
+            # device and native engines run CONCURRENTLY on disjoint read
+            # slices of each flat batch (same scheme as hapdiv --engine=
+            # hybrid): the native DP releases the GIL on its threads while
+            # the device chews its share; the split adapts to measured rates.
+            import os as _os
+            import time as _t
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            from .ops.smem_native import smem_tg_flat_native
+
+            share = float(_os.environ.get("RB3TPU_MEM_SPLIT", "0.35"))
+            rates = {"dev": None, "nat": None}
+
+            def dev_run(flat, offs, nd):
+                t0 = _t.perf_counter()
+                qs = [flat[offs[i] : offs[i + 1]] for i in range(nd)]
+                mems = jax_engine().run(qs)
+                counts = np.fromiter((len(l) for l in mems), np.int64, nd)
+                rows = np.array(
+                    [[m.start, m.end, m.size, m.lo, m.lo_rc] for l in mems for m in l],
+                    np.int64,
+                ).reshape(-1, 5)
+                rates["dev"] = nd / max(_t.perf_counter() - t0, 1e-6)
+                return counts, rows
+
+            def nat_run(flat, offs, nd):
+                t0 = _t.perf_counter()
+                sub = np.ascontiguousarray(flat[offs[nd] :])
+                counts, rows = smem_tg_flat_native(f, sub, np.ascontiguousarray(offs[nd:] - offs[nd]), min_occ, min_len)
+                rates["nat"] = (len(offs) - 1 - nd) / max(_t.perf_counter() - t0, 1e-6)
+                return counts, rows
+
+            with ThreadPoolExecutor(2) as ex:
+                pend = None
+                for names, flat, offs in batches:
+                    nd = int(len(names) * share) if jax_engine() is not None else 0
+                    fd = ex.submit(dev_run, flat, offs, nd) if nd else None
+                    fnat = ex.submit(nat_run, flat, offs, nd)
+                    if pend is not None:
+                        _emit_hybrid(emit_flat, *pend)
+                    pend = (names, offs, nd, fd, fnat)
+                    if rates["dev"] and rates["nat"]:
+                        share = min(0.8, max(0.05, rates["dev"] / (rates["dev"] + rates["nat"])))
+                if pend is not None:
+                    _emit_hybrid(emit_flat, *pend)
+            continue
         if batches is not None:
             # pipeline: the native call releases the GIL, so batch i's emit
             # (Python formatting + writes) overlaps batch i+1's compute

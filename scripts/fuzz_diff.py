@@ -142,12 +142,15 @@ def scenarios(rng: random.Random, fmd: str, fa: str, reads: str):
         mem += ["--cov"]
     elif rng.random() < 0.4:
         mem += ["-p", str(rng.choice([1, 3, 7]))]
-    if rng.random() < 0.25:
+    r_eng = rng.random()
+    if r_eng < 0.25:
         # exercise the batched-lane kernel (and sometimes the sharded mesh)
         # on the CPU backend — tiny corpora keep the lock-step loop cheap
         mem += ["--engine=jax"]
         if rng.random() < 0.5:
             mem += ["--mesh=" + rng.choice(["2x1", "2x2", "1x2"])]
+    elif r_eng < 0.4:
+        mem += ["--engine=hybrid"]  # device + native concurrent split
     yield mem + [fmd, reads]
 
     sw = ["sw"]
@@ -171,10 +174,17 @@ def scenarios(rng: random.Random, fmd: str, fa: str, reads: str):
             sw += ["-b"]
     elif mode < 0.3:
         sw += ["-g", str(rng.choice([1, 3]))]
+    if rng.random() < 0.25:
+        # device sw scoring + host backtrack (align/sw_jax.py) on the CPU
+        # backend; ineligible/flagged reads fall back to the host engine
+        sw += ["--engine=jax"]
     yield sw + [fmd, reads]
 
+    hd = ["hapdiv", "-a", str(rng.choice([31, 51, 101])), "-w", str(rng.choice([10, 50]))]
+    if rng.random() < 0.25:
+        hd += ["--engine=" + rng.choice(["jax", "hybrid"])]
     if rng.random() < 0.5:
-        yield ["hapdiv", "-a", str(rng.choice([31, 51, 101])), "-w", str(rng.choice([10, 50])), fmd, reads]
+        yield hd + [fmd, reads]
     if rng.random() < 0.5:
         yield ["suffix", fmd, reads]
     if rng.random() < 0.5:

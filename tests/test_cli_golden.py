@@ -103,6 +103,14 @@ def test_mem_golden(ref_bin, ref_index, corpus, extra):
     assert run_ours(args + ["--engine=ref"]) == run_ref(ref_bin, args)
 
 
+@pytest.mark.parametrize("extra", [[], ["-p3"]])
+def test_mem_hybrid_golden(ref_bin, ref_index, corpus, extra):
+    """mem --engine=hybrid (device + native concurrently on disjoint read
+    slices, adaptive split): byte-identical BED in input order."""
+    args = ["mem", "-l21"] + extra + [str(ref_index), str(corpus / "reads.fa")]
+    assert run_ours(args + ["--engine=hybrid"]) == run_ref(ref_bin, args)
+
+
 def test_mem_mesh_golden(ref_bin, ref_index, corpus):
     """mem over a sharded (dp, idx) device mesh (--mesh with --engine=jax):
     byte-identical BED on the 8-device virtual mesh the tests run under."""

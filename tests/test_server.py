@@ -58,6 +58,14 @@ def test_mem_via_server_golden(ref_bin, ref_index, corpus):
             env=_env(), cwd=ROOT, capture_output=True, timeout=600,
         )
         assert r3.stdout == want
+        # mem --engine=hybrid routes to the server too (device + native
+        # split inside the server process) and stays byte-golden
+        r4 = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "mem", "--engine=hybrid", "-l13", idx, str(corpus / "reads.fa")],
+            env=_env(), cwd=ROOT, capture_output=True, timeout=600,
+        )
+        assert r4.returncode == 0, r4.stderr.decode()[-2000:]
+        assert r4.stdout == want
         # sw/hapdiv --engine=jax route to the same server (device DP engines
         # held warm per SwOpt) and stay byte-golden
         lines = open(corpus / "reads.fa").read().strip().split("\n")

@@ -52,6 +52,22 @@ def test_mem_jax_golden_on_chip(ref_bin, ref_index, corpus):
     assert r.stdout == want
 
 
+def test_sw_hapdiv_jax_golden_on_chip(ref_bin, ref_index, corpus, tmp_path):
+    """CLI `sw --engine=jax` and `hapdiv --engine=jax` (device DP engines)
+    byte-match the reference on the attached chip."""
+    lines = open(corpus / "reads.fa").read().strip().split("\n")
+    swr = tmp_path / "reads8.fa"
+    swr.write_text("\n".join(lines[:16]) + "\n")
+    for cmd in (["sw"], ["hapdiv", "-a61", "-w25"]):
+        want = run_ref(ref_bin, cmd + [str(ref_index), str(swr)])
+        r = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", cmd[0], "--engine=jax"] + cmd[1:] + [str(ref_index), str(swr)],
+            env=tpu_env(), capture_output=True, timeout=2400, cwd=ROOT,
+        )
+        assert r.returncode == 0, (cmd[0], r.stderr.decode()[-3000:])
+        assert r.stdout == want, cmd[0]
+
+
 WORKER = r"""
 import sys
 import numpy as np
