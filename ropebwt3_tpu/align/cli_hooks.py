@@ -129,22 +129,53 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None)
         out.write("CC\n")
     both = sw_opts["write_all"] and sw_opts["both_dir"]
     dev_engine = None
-    if engine == "jax":
+    hybrid_pool = None
+    dev_share = 0.0
+    if engine in ("jax", "hybrid"):
         if dev_cache is not None and hasattr(dev_cache, "sw_engine_for"):
             dev_engine = dev_cache.sw_engine_for(opt)  # resident server cache
         else:
             from .sw_jax import SwDeviceEngine
 
             dev_engine = SwDeviceEngine(f, opt)
+        if engine == "hybrid":
+            import os as _os
+
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            hybrid_pool = _TPE(1)
+            dev_share = float(_os.environ.get("RB3TPU_SW_SPLIT", "0.10"))
     use_batch = _bw.native_sw_available() or dev_engine is not None
     BATCH = 4096  # threads idle during the serial PAF emit between native
     # calls; bigger batches amortize it (4.9 -> 4.7 s on 10k x 150 bp)
     seq_id = 0
+    _rates = {"dev": None, "nat": None}
 
     def _sw_batch(qs):
-        if dev_engine is not None:
+        if dev_engine is None:
+            return _bw.rb3_sw_batch(opt, f, qs)
+        if hybrid_pool is None:
             return dev_engine.run(qs)
-        return _bw.rb3_sw_batch(opt, f, qs)
+        # device + native concurrently on disjoint read slices, adaptive
+        # split (same scheme as hapdiv --engine=hybrid)
+        import time as _t
+
+        nonlocal dev_share
+        nd = int(len(qs) * dev_share)
+        fut = hybrid_pool.submit(lambda: (_t.perf_counter(), dev_engine.run(qs[:nd]), _t.perf_counter())) if nd else None
+        t0 = _t.perf_counter()
+        nat = _bw.rb3_sw_batch(opt, f, qs[nd:])
+        t1 = _t.perf_counter()
+        if len(qs) > nd:
+            _rates["nat"] = (len(qs) - nd) / max(t1 - t0, 1e-6)
+        if fut is not None:
+            d0, dev, d1 = fut.result()
+            _rates["dev"] = nd / max(d1 - d0, 1e-6)
+        else:
+            dev = []
+        if _rates["dev"] and _rates["nat"]:
+            dev_share = min(0.5, max(0.02, _rates["dev"] / (_rates["dev"] + _rates["nat"])))
+        return list(dev) + list(nat)
 
     def compute(batch):
         qs = [q for _, q in batch]
@@ -199,6 +230,8 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None)
         b0, fut = inflight.pop(0)
         emit(b0, *fut.result())
     _ex.shutdown()
+    if hybrid_pool is not None:
+        hybrid_pool.shutdown()
     return 0
 
 

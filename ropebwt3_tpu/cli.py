@@ -215,7 +215,8 @@ Options:
   --no-ssa    ignore the sampled suffix array
 {_SEARCH_COMMON}
   --engine=STR  DP engine: auto (native host), jax (TPU device scoring +
-                host backtrack) [auto]""",
+                host backtrack), hybrid (device + native concurrently)
+                [auto]""",
     "hapdiv": f"""Usage: rb3tpu hapdiv [options] <idx.fmr> <seq.fa> [...]
 Options:
   -a INT      annotate sliding INT-mers [101]

@@ -65,6 +65,14 @@ def test_hapdiv_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
     assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
 
 
+def test_sw_engine_hybrid_golden(ref_bin, ref_index, sw_reads):
+    """sw --engine=hybrid (device + native concurrently on disjoint read
+    slices) byte-matches the reference."""
+    ref_cmd = ["sw", str(ref_index), str(sw_reads)]
+    ours_cmd = ["sw", "--engine=hybrid", str(ref_index), str(sw_reads)]
+    assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
+
+
 @pytest.mark.parametrize("extra", [[], ["-e"], ["-u", "--seq", "-p3"]])
 def test_sw_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
     """sw --engine=jax (device scoring DP, align/sw_jax.py + host backtrack)
