@@ -144,7 +144,9 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None)
             from concurrent.futures import ThreadPoolExecutor as _TPE
 
             hybrid_pool = _TPE(1)
-            dev_share = float(_os.environ.get("RB3TPU_SW_SPLIT", "0.10"))
+            # device sw measured ~100x slower than the native DP at 64M
+            # (PERF_NOTES round 2 session 3): start tiny, let rates adapt
+            dev_share = float(_os.environ.get("RB3TPU_SW_SPLIT", "0.01"))
     use_batch = _bw.native_sw_available() or dev_engine is not None
     BATCH = 4096  # threads idle during the serial PAF emit between native
     # calls; bigger batches amortize it (4.9 -> 4.7 s on 10k x 150 bp)
@@ -174,7 +176,7 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None)
         else:
             dev = []
         if _rates["dev"] and _rates["nat"]:
-            dev_share = min(0.5, max(0.02, _rates["dev"] / (_rates["dev"] + _rates["nat"])))
+            dev_share = min(0.5, max(0.002, _rates["dev"] / (_rates["dev"] + _rates["nat"])))
         return list(dev) + list(nat)
 
     def compute(batch):
