@@ -66,7 +66,7 @@ def main():
         nm = sum(len(o) for o in out)
         print(f"native host: {dt:.2f}s = {mbp/dt:.1f} Mbp/s ({nm} MEMs)")
 
-    if ENGINE in ("tpu", "all"):
+    if ENGINE in ("tpu", "all", "hybrid"):
         from ropebwt3_tpu.ops.smem import BatchedSmemTG
 
         eng = BatchedSmemTG(f, min_occ=1, min_len=MIN_LEN)
@@ -79,6 +79,31 @@ def main():
             best = min(best, time.time() - t0)
         nm = sum(len(o) for o in out)
         print(f"tpu packed kernel: {best:.2f}s = {mbp/best:.1f} Mbp/s ({nm} MEMs)")
+
+    if ENGINE in ("hybrid", "all"):
+        # measured chip+host split on long reads (mem --engine=hybrid)
+        import threading
+
+        from ropebwt3_tpu.ops.smem_native import smem_tg_flat_native
+
+        flat = np.ascontiguousarray(reads.reshape(-1))
+        offs = np.arange(N_READS + 1, dtype=np.int64) * READ_LEN
+        tn = time.time()
+        smem_tg_flat_native(f, flat, offs, 1, MIN_LEN)
+        tn = time.time() - tn
+        share = (1 / best) / (1 / best + 1 / tn)
+        nd = int(N_READS * share)
+        sub = np.ascontiguousarray(flat[nd * READ_LEN :])
+        offs_h = np.arange(N_READS - nd + 1, dtype=np.int64) * READ_LEN
+        hbest = float("inf")
+        for p in range(2):
+            th = threading.Thread(target=lambda: eng.run(qs[:nd]))
+            t0 = time.time()
+            th.start()
+            smem_tg_flat_native(f, sub, offs_h, 1, MIN_LEN)
+            th.join()
+            hbest = min(hbest, time.time() - t0)
+        print(f"hybrid (dev share {nd/N_READS:.2f}): {hbest:.2f}s = {mbp/hbest:.1f} Mbp/s")
 
 
 if __name__ == "__main__":
