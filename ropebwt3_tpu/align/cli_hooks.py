@@ -272,7 +272,7 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto", dev_c
             from concurrent.futures import ThreadPoolExecutor as _TPE
 
             hybrid_pool = _TPE(1)
-            dev_share = float(_os.environ.get("RB3TPU_HAPDIV_SPLIT", "0.10"))
+            dev_share = float(_os.environ.get("RB3TPU_HAPDIV_SPLIT", "0.05"))
             CAP = 4 * dev_engine.lanes
 
     _rates = {"dev": None, "nat": None}

@@ -154,6 +154,8 @@ def main_serve(argv: list[str]) -> int:
 
     engine = "jax"
     warm_lens = ["19:150", "31:150"]
+    warm_hapdiv: list[int] = []
+    warm_sw: list[int] = []
     stop = False
     args = []
     for a in argv:
@@ -161,12 +163,20 @@ def main_serve(argv: list[str]) -> int:
             engine = a.split("=", 1)[1]
         elif a.startswith("--warm="):
             warm_lens = [x for x in a.split("=", 1)[1].split(",") if x]
+        elif a.startswith("--warm-hapdiv="):
+            warm_hapdiv = [int(x) for x in a.split("=", 1)[1].split(",") if x]
+        elif a.startswith("--warm-sw="):
+            warm_sw = [int(x) for x in a.split("=", 1)[1].split(",") if x]
         elif a == "--stop":
             stop = True
         else:
             args.append(a)
     if not args:
-        print("Usage: rb3tpu serve [--engine=jax] [--warm=MINLEN:READLEN,...] [--stop] <idx>", file=sys.stderr)
+        print(
+            "Usage: rb3tpu serve [--engine=jax] [--warm=MINLEN:READLEN,...]"
+            " [--warm-hapdiv=K,...] [--warm-sw=READLEN,...] [--stop] <idx>",
+            file=sys.stderr,
+        )
         return 1
     index_path = args[0]
     sp = sock_path(index_path)
@@ -198,6 +208,19 @@ def main_serve(argv: list[str]) -> int:
             qs = [rng.integers(1, 5, L).astype(np.uint8) for _ in range(64)]
             print(f"[serve] warming -l{min_len} L={L} ...", file=sys.stderr, flush=True)
             eng.engine_for(1, min_len).run(qs)
+        if warm_hapdiv or warm_sw:
+            from .align.bwasw import RB3_SWF_E2E, RB3_SWF_HAPDIV, SwOpt
+
+            rng = np.random.default_rng(0)
+            for k in warm_hapdiv:
+                opt = SwOpt()
+                opt.flag, opt.end_len = RB3_SWF_E2E | RB3_SWF_HAPDIV, 1
+                print(f"[serve] warming hapdiv K={k} ...", file=sys.stderr, flush=True)
+                eng.hapdiv_engine_for(opt).run([rng.integers(1, 5, k).astype(np.uint8) for _ in range(32)])
+            for L in warm_sw:
+                opt = SwOpt()
+                print(f"[serve] warming sw L={L} ...", file=sys.stderr, flush=True)
+                eng.sw_engine_for(opt).run([rng.integers(1, 5, L).astype(np.uint8) for _ in range(8)])
     try:
         os.unlink(sp)
     except FileNotFoundError:
