@@ -14,7 +14,7 @@ import numpy as np
 from . import __version__
 from .bufio import write_all
 from .index.dense import DenseFMIndex
-from .nt6 import NT6_TABLE, char2nt6, nt6_to_str, revcomp
+from .nt6 import COMP_TABLE, NT6_TABLE, char2nt6, nt6_to_str, revcomp
 from .seqio import batch_nt6_flat, iter_flat_batches, read_batch_nt6, read_seqs, read_sid
 
 REF_VERSION = "3.10-r281"  # ropebwt3 version whose formats/outputs we match
@@ -887,9 +887,29 @@ def main_fa2line(argv: list[str]) -> int:
             continue
         fb = iter_flat_batches(fn, False, 1 << 26)
         if fb is not None:
-            # the [fwd, 0][, rc, 0] construction layout IS the fa2line output
-            # under the "\nACGTX" map (separators become the line breaks)
             for _names, bflat, boffs in fb:
+                nrec = len(boffs) - 1
+                if nrec and len(bflat) >= (nrec << 8):
+                    # long records: two whole-buffer maps + per-record slice
+                    # views beat the interleaving scatter (record i's rc line
+                    # is a contiguous window of the globally reversed buffer)
+                    fwd = tab[bflat]
+                    parts: list[bytes] = []
+                    if no_rev:
+                        for i in range(nrec):
+                            parts += [fwd[boffs[i] : boffs[i + 1]].tobytes(), b"\n"]
+                    else:
+                        crev = tab[COMP_TABLE[bflat]][::-1]
+                        T = len(bflat)
+                        for i in range(nrec):
+                            parts += [
+                                fwd[boffs[i] : boffs[i + 1]].tobytes(), b"\n",
+                                crev[T - boffs[i + 1] : T - boffs[i]].tobytes(), b"\n",
+                            ]
+                    write_all(sys.stdout.buffer, b"".join(parts))
+                    continue
+                # the [fwd, 0][, rc, 0] construction layout IS the fa2line
+                # output under the "\nACGTX" map (separators = line breaks)
                 _, seq = batch_nt6_flat(bflat, boffs, True, not no_rev)
                 write_all(sys.stdout.buffer, tab[seq].tobytes())
             continue

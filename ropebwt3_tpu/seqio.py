@@ -245,15 +245,18 @@ def batch_nt6_flat(flat: np.ndarray, offs: np.ndarray, is_for: bool = True, is_r
     np.cumsum(unit[:-1], out=base[1:])
     total = int(base[-1] + unit[-1])
     dest = np.zeros(total, dtype=np.uint8)  # separators stay 0
-    pos = np.arange(len(flat), dtype=np.int64)
+    # int32 index vectors halve the fill/scatter traffic (all dest indices
+    # are < total, and fwd offsets are nonnegative since unit >= lens)
+    idt = np.int32 if total < 2**31 else np.int64
+    pos = np.arange(len(flat), dtype=idt)
     # per-record dest offsets expanded with np.repeat (C-speed, no gathers):
     # fwd bytes land ascending from base - offs; rc bytes land DESCENDING
     # from the rc span's end, which reverses each record in the scatter
     if is_for:
-        dest[pos + np.repeat(base - offs[:-1], lens)] = flat
+        dest[pos + np.repeat((base - offs[:-1]).astype(idt), lens)] = flat
     if is_rev:
         end_rc = base + (lens + 1 if is_for else 0) + (lens - 1) + offs[:-1]
-        dest[np.repeat(end_rc, lens) - pos] = COMP_TABLE[flat]
+        dest[np.repeat(end_rc.astype(idt), lens) - pos] = COMP_TABLE[flat]
     return n * strands, dest
 
 
