@@ -118,9 +118,23 @@ def _emit_sw(out, f, sw_opts, name, q, hits, minus_hits) -> None:
             out.write(f"{name}\t{len(q)}\t*\t*\t*\t*\t*\t*\t*\t0\t0\t0\n")
 
 
-def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None) -> int:
+def _mesh_from_spec(spec):
+    """--mesh=DPxIDX for sw/hapdiv: windows/reads run data-parallel over the
+    dp axis with tables replicated (use --mesh=N or Nx1; an idx axis only
+    replicates work here, unlike mem's table-sharded extend)."""
+    if not spec:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    dd, _, ii = spec.lower().partition("x")
+    return make_mesh(int(dd), int(ii) if ii else 1)
+
+
+def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None, mesh_spec=None) -> int:
     from . import bwasw as _bw
 
+    if mesh_spec and engine == "auto":
+        engine = "jax"  # --mesh only means anything on the device engine
     opt = _opt_from_dict(sw_opts)
     out = sys.stdout
     if sw_opts["write_all"]:
@@ -137,7 +151,7 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None)
         else:
             from .sw_jax import SwDeviceEngine
 
-            dev_engine = SwDeviceEngine(f, opt)
+            dev_engine = SwDeviceEngine(f, opt, mesh=_mesh_from_spec(mesh_spec))
         if engine == "hybrid":
             import os as _os
 
@@ -237,7 +251,9 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None)
     return 0
 
 
-def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto", dev_cache=None) -> int:
+def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto", dev_cache=None, mesh_spec=None) -> int:
+    if mesh_spec and engine == "auto":
+        engine = "jax"
     opt = _opt_from_dict(sw_opts)
     opt.flag |= RB3_SWF_E2E | RB3_SWF_HAPDIV
     out = sys.stdout
@@ -259,7 +275,7 @@ def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto", dev_c
         else:
             from .hapdiv_jax import HapdivDeviceEngine
 
-            dev_engine = HapdivDeviceEngine(f, opt)
+            dev_engine = HapdivDeviceEngine(f, opt, mesh=_mesh_from_spec(mesh_spec))
         CAP = dev_engine.lanes
         if engine == "hybrid":
             # device and native host engines run CONCURRENTLY on disjoint

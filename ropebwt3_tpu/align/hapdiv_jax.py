@@ -204,12 +204,16 @@ class HapdivDeviceEngine:
     exact host fallback for flagged windows (and for option/scale corners the
     kernel's packed words cannot represent)."""
 
-    def __init__(self, f, opt, lanes: int = 4096):
+    def __init__(self, f, opt, lanes: int = 4096, mesh=None):
         from .bwasw import RB3_SWF_E2E, RB3_SWF_HAPDIV
 
         self.f = f
         self.opt = opt
         self.lanes = lanes
+        # windows run data-parallel over the mesh's `dp` axis (tables
+        # replicated): the DP is independent per window, so GSPMD partitions
+        # it from the input sharding alone — validated in dryrun_multichip
+        self.mesh = mesh
         self.idx = None  # lazy: building device tables costs seconds
         # packed-word limits: scores 12 bits, rlen/qlen 9 bits, F_from_off
         # archive field 5 bits, key packing lo/hi < 2^32.  n_best >= 17 keeps
@@ -223,6 +227,14 @@ class HapdivDeviceEngine:
             and (opt.flag & (RB3_SWF_E2E | RB3_SWF_HAPDIV)) == (RB3_SWF_E2E | RB3_SWF_HAPDIV)
         )
 
+    def _stage(self, a: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(a)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(a, NamedSharding(self.mesh, P("dp", *([None] * (a.ndim - 1)))))
+
     def run(self, wins: list[np.ndarray]) -> list:
         """Returns a list of HapDiv (never None; a no-alignment window is the
         all-zero HapDiv, which emits identically to the host's None)."""
@@ -235,6 +247,11 @@ class HapdivDeviceEngine:
             return [r if r is not None else HapDiv() for r in rb3_hapdiv_multi(self.opt, self.f, wins)]
         if self.idx is None:
             self.idx = DeviceIndex.from_dense(self.f)
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self.idx = jax.device_put(self.idx, NamedSharding(self.mesh, P()))
         o = self.opt
         arr = np.zeros((len(wins), K), np.int32)
         for i, w in enumerate(wins):
@@ -243,13 +260,16 @@ class HapdivDeviceEngine:
         bad_idx: list[int] = []
         # small batches compile at a smaller power-of-two lane bucket
         lanes = min(self.lanes, max(64, 1 << (len(wins) - 1).bit_length()))
+        if self.mesh is not None:  # lane count must tile over the dp axis
+            dp = self.mesh.shape["dp"]
+            lanes = -(-lanes // dp) * dp
         for c0 in range(0, len(wins), lanes):
             chunk = arr[c0 : c0 + lanes]
             wn = len(chunk)
             if wn < lanes:  # pad: all-$ windows produce empty rows
                 chunk = np.concatenate([chunk, np.zeros((lanes - wn, K), np.int32)])
             n_al, max_ed, n_hap, bad = hapdiv_device(
-                self.idx, jnp.asarray(chunk), K, n_best=o.n_best, min_sc=o.min_sc,
+                self.idx, self._stage(chunk), K, n_best=o.n_best, min_sc=o.min_sc,
                 end_len=o.end_len, match=o.match, mis=o.mis, gap_open=o.gap_open,
                 gap_ext=o.gap_ext,
             )

@@ -651,18 +651,29 @@ class SwDeviceEngine:
 
     NC_BUCKETS = (64, 128, 256, 384)
 
-    def __init__(self, f, opt, lanes: int = 256):
+    def __init__(self, f, opt, lanes: int = 256, mesh=None):
         from .bwasw import RB3_SWF_HAPDIV
 
         self.f = f
         self.opt = opt
         self.lanes = lanes
+        # reads run data-parallel over the mesh's `dp` axis (tables
+        # replicated), same GSPMD layout as the hapdiv engine
+        self.mesh = mesh
         self.idx = None
         self.supported = (
             f.n < (1 << 31)
             and opt.n_best == N_BEST
             and not (opt.flag & RB3_SWF_HAPDIV)
         )
+
+    def _stage(self, a):
+        if self.mesh is None:
+            return jnp.asarray(a)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(a, NamedSharding(self.mesh, P("dp", *([None] * (a.ndim - 1)))))
 
     def _dawg(self, seq):
         from .bwasw import RB3_SWF_E2E
@@ -681,6 +692,11 @@ class SwDeviceEngine:
             return rb3_sw_batch(o, self.f, seqs)
         if self.idx is None:
             self.idx = DeviceIndex.from_dense(self.f)
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self.idx = jax.device_put(self.idx, NamedSharding(self.mesh, P()))
 
         # per-read gating: prefilter + DAWG shape caps
         gs: list = [None] * len(seqs)
@@ -715,6 +731,9 @@ class SwDeviceEngine:
                 chunk = grp[b0 : b0 + self.lanes]
                 W = len(chunk)
                 Wp = max(8, 1 << (W - 1).bit_length())
+                if self.mesh is not None:  # lane count must tile over dp
+                    dp = self.mesh.shape["dp"]
+                    Wp = -(-Wp // dp) * dp
                 node_c = np.zeros((Wp, nc), np.int32)
                 pre = np.full((Wp, nc, P_MAX), -1, np.int32)
                 n_node = np.ones(Wp, np.int32)
@@ -726,7 +745,7 @@ class SwDeviceEngine:
                         for pj, pp in enumerate(nd.pre):
                             pre[r, ni, pj] = pp
                 a_lo, a_hi, a_rc, a_w, bsc, bpos, bad = sw_device(
-                    self.idx, jnp.asarray(node_c), jnp.asarray(pre), jnp.asarray(n_node), nc,
+                    self.idx, self._stage(node_c), self._stage(pre), self._stage(n_node), nc,
                     min_sc=o.min_sc, end_len=o.end_len, match=o.match, mis=o.mis,
                     gap_open=o.gap_open, gap_ext=o.gap_ext,
                 )

@@ -216,7 +216,9 @@ Options:
 {_SEARCH_COMMON}
   --engine=STR  DP engine: auto (native host), jax (TPU device scoring +
                 host backtrack), hybrid (device + native concurrently)
-                [auto]""",
+                [auto]
+  --mesh=N      run the device DP data-parallel over N devices (reads over
+                the dp axis, tables replicated; implies --engine=jax) []""",
     "hapdiv": f"""Usage: rb3tpu hapdiv [options] <idx.fmr> <seq.fa> [...]
 Options:
   -a INT      annotate sliding INT-mers [101]
@@ -224,7 +226,9 @@ Options:
 {_SW_SCORING}
 {_SEARCH_COMMON}
   --engine=STR  DP engine: auto (native host), jax (TPU device DP),
-                hybrid (device + native concurrently) [auto]""",
+                hybrid (device + native concurrently) [auto]
+  --mesh=N      run the device DP data-parallel over N devices (windows over
+                the dp axis, tables replicated; implies --engine=jax) []""",
     "search": "Usage: rb3tpu search [options] <idx.fmr> <seq.fa> [...]",
     "merge": """Usage: rb3tpu merge [options] <base.fmr> <other1.fmr> [...]
 Options:
@@ -1119,8 +1123,8 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
         from .align.cli_hooks import run_sw_cli, run_hapdiv_cli
 
         if algo == "sw":
-            return run_sw_cli(f, args[1:], is_line, sw_opts, engine=engine, dev_cache=srv_eng)
-        return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w, engine=engine, dev_cache=srv_eng)
+            return run_sw_cli(f, args[1:], is_line, sw_opts, engine=engine, dev_cache=srv_eng, mesh_spec=mesh_spec)
+        return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w, engine=engine, dev_cache=srv_eng, mesh_spec=mesh_spec)
 
     return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec, jax_eng=srv_eng)
 

@@ -65,6 +65,14 @@ def test_hapdiv_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
     assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
 
 
+def test_hapdiv_mesh_golden(ref_bin, ref_index, sw_reads):
+    """hapdiv --mesh=4x2 (device DP data-parallel over the dp axis, tables
+    replicated): byte-identical on the 8-device virtual mesh."""
+    ref_cmd = ["hapdiv", str(ref_index), str(sw_reads)]
+    ours_cmd = ["hapdiv", "--mesh=4x2", str(ref_index), str(sw_reads)]
+    assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
+
+
 def test_sw_engine_hybrid_golden(ref_bin, ref_index, sw_reads):
     """sw --engine=hybrid (device + native concurrently on disjoint read
     slices) byte-matches the reference."""
@@ -80,6 +88,14 @@ def test_sw_engine_jax_golden(ref_bin, ref_index, sw_reads, extra):
     flagged/ineligible reads."""
     ref_cmd = ["sw"] + extra + [str(ref_index), str(sw_reads)]
     ours_cmd = ["sw", "--engine=jax"] + extra + [str(ref_index), str(sw_reads)]
+    assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
+
+
+def test_sw_mesh_golden(ref_bin, ref_index, sw_reads):
+    """sw --mesh=4 (device scoring data-parallel over dp, host backtrack):
+    byte-identical PAF on the virtual mesh."""
+    ref_cmd = ["sw", str(ref_index), str(sw_reads)]
+    ours_cmd = ["sw", "--mesh=4", str(ref_index), str(sw_reads)]
     assert run_ours(ours_cmd) == run_ref(ref_bin, ref_cmd)
 
 
