@@ -239,7 +239,9 @@ Options:
 Options:
   -t INT     number of threads [4]
   -s INT     sample rate one SA per 2**INT bases [8]
-  -o FILE    output to file [stdout]""",
+  -o FILE    output to file [stdout]
+  --mesh=DPxIDX  generate on a device mesh: LF-walk lanes shard over the
+                 dp axis, each shard walking its lanes independently []""",
     "plain2fmd": "Usage: rb3tpu plain2fmd [-o output.fmd] <in.txt>",
     "get": "Usage: rb3tpu get <idx.fmr> <int> [...]",
     "stat": "Usage: rb3tpu stat [-M] <idx.fmd>",
@@ -638,23 +640,33 @@ def main_ssa(argv: list[str]) -> int:
     from .formats.ssa import write_ssa
     from .ssa_ops import ssa_gen
 
-    opts, args = ketopt(argv, "t:s:o:")
-    ssa_shift, out_fn = 8, None
+    opts, args = ketopt(argv, "t:s:o:", ["mesh="])
+    ssa_shift, out_fn, mesh = 8, None, None
     for o, a in opts:
         if o == "-s":
             ssa_shift = atoi(a)
+        elif o == "--mesh":
+            from .parallel.mesh import make_mesh
+
+            dd, _, ii = a.lower().partition("x")
+            mesh = make_mesh(int(dd), int(ii) if ii else 1)
         elif o == "-o":
             out_fn = a
     if not args:
         return _usage("ssa")
     f = load_index(args[0])
     sa = None
-    try:
-        from .ssa_ops import ssa_gen_native
+    if mesh is not None:
+        from .ssa_ops import ssa_gen_device
 
-        sa = ssa_gen_native(f, ssa_shift)
-    except Exception:
-        pass
+        sa = ssa_gen_device(f, ssa_shift, mesh=mesh)
+    if sa is None:
+        try:
+            from .ssa_ops import ssa_gen_native
+
+            sa = ssa_gen_native(f, ssa_shift)
+        except Exception:
+            pass
     if sa is None:
         if int(f.acc[1]) >= 2048 and f.n < (1 << 31) - (1 << 20):
             from .ssa_ops import ssa_gen_device

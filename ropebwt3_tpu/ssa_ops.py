@@ -94,10 +94,16 @@ def ssa_gen(f: DenseFMIndex, ssa_shift: int = 8, batch: int = 1 << 15) -> SSA:
     return SSA(ssa_shift, ms, m, r2i, ssa)
 
 
-def ssa_gen_device(f: DenseFMIndex, ssa_shift: int = 8) -> SSA:
+def ssa_gen_device(f: DenseFMIndex, ssa_shift: int = 8, mesh=None) -> SSA:
     """Device-batched SSA generation: all m sequence LF-walks advance in
     lock-step lanes with one vectorized rank per step (TPU analog of the
-    kt_for in rb3_ssa_gen, ssa.c:54-81).  Produces byte-identical SSA."""
+    kt_for in rb3_ssa_gen, ssa.c:54-81).  Produces byte-identical SSA.
+
+    With `mesh`, lanes shard over the dp axis via shard_map (tables
+    replicated): each shard runs its own while_loop to ITS lanes' death —
+    no lock-step across shards — and the per-shard scatter buffers combine
+    with one pmax at the end (every SSA slot has exactly one writer
+    globally, so max over {-1/0, value} reconstitutes the full array)."""
     from . import _jax_setup
 
     _jax_setup()
@@ -117,40 +123,76 @@ def ssa_gen_device(f: DenseFMIndex, ssa_shift: int = 8) -> SSA:
     n0 = m
     bwt_sym = jnp.asarray(f.bwt[: f.n])  # symbol-at-k lookups
 
-    def body(state):
-        k, alive, l, ssa_l, ssa_lane, death_l, final_k = state
-        c = jnp.take(bwt_sym, k).astype(jnp.int32)
-        ok = rank1a(idx, k)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (m, 6), 1) == c[:, None]).astype(dt)
-        occ_c = jnp.sum(ok * sel, axis=1, dtype=dt)
-        nk = jnp.take(idx.acc, c) + occ_c
-        l = l + 1
-        nz = c != 0
-        hit = alive & nz & (((nk - n0) & mask) == 0)
-        # non-hit lanes scatter into a dummy slot (n_ssa) so duplicate-index
-        # write order can never clobber a real hit
-        x = jnp.where(hit, (nk - n0) >> ssa_shift, n_ssa)
-        lane_ids = jnp.arange(m, dtype=jnp.int32)
-        ssa_l = ssa_l.at[x].set(l)
-        ssa_lane = ssa_lane.at[x].set(lane_ids)
-        died = alive & ~nz
-        death_l = jnp.where(died, l, death_l)
-        final_k = jnp.where(died, nk, final_k)
-        alive2 = alive & nz
-        k = jnp.where(alive2, nk, k)
-        return k, alive2, l, ssa_l, ssa_lane, death_l, final_k
+    def mk_body(ix, bwt):
+        def body(state):
+            k, alive, l, ssa_l, ssa_lane, death_l, final_k, lane_ids = state
+            c = jnp.take(bwt, k).astype(jnp.int32)
+            ok = rank1a(ix, k)
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (k.shape[0], 6), 1) == c[:, None]).astype(dt)
+            occ_c = jnp.sum(ok * sel, axis=1, dtype=dt)
+            nk = jnp.take(ix.acc, c) + occ_c
+            l = l + 1
+            nz = c != 0
+            hit = alive & nz & (((nk - n0) & mask) == 0)
+            # non-hit lanes scatter into a dummy slot (n_ssa) so
+            # duplicate-index write order can never clobber a real hit
+            x = jnp.where(hit, (nk - n0) >> ssa_shift, n_ssa)
+            ssa_l = ssa_l.at[x].set(l)
+            ssa_lane = ssa_lane.at[x].set(lane_ids)
+            died = alive & ~nz
+            death_l = jnp.where(died, l, death_l)
+            final_k = jnp.where(died, nk, final_k)
+            alive2 = alive & nz
+            k = jnp.where(alive2, nk, k)
+            return k, alive2, l, ssa_l, ssa_lane, death_l, final_k, lane_ids
 
-    state = (
-        jnp.arange(m, dtype=dt),
-        jnp.ones((m,), jnp.bool_),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((n_ssa + 1,), jnp.int32),
-        jnp.full((n_ssa + 1,), -1, jnp.int32),
-        jnp.zeros((m,), jnp.int32),
-        jnp.zeros((m,), dt),
-    )
-    state = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, state)
-    _, _, _, ssa_l, ssa_lane, death_l, final_k = (np.asarray(s) for s in state)
+        return body
+
+    def init_state(k0, alive0, lane_ids):
+        return (
+            k0,
+            alive0,
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((n_ssa + 1,), jnp.int32),
+            jnp.full((n_ssa + 1,), -1, jnp.int32),
+            jnp.zeros(k0.shape, jnp.int32),
+            jnp.zeros(k0.shape, dt),
+            lane_ids,
+        )
+
+    if mesh is None:
+        state = init_state(jnp.arange(m, dtype=dt), jnp.ones((m,), jnp.bool_), jnp.arange(m, dtype=jnp.int32))
+        state = jax.lax.while_loop(lambda s: jnp.any(s[1]), mk_body(idx, bwt_sym), state)
+        _, _, _, ssa_l, ssa_lane, death_l, final_k, _ = (np.asarray(s) for s in state)
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["dp"]
+        mp = -(-m // dp) * dp  # pad lanes are born dead and slice off below
+        k0 = np.zeros(mp, dtype=np.int64 if dt == jnp.int64 else np.int32)
+        k0[:m] = np.arange(m)
+        alive0 = np.zeros(mp, bool)
+        alive0[:m] = True
+        lids = np.arange(mp, dtype=np.int32)
+        rep = NamedSharding(mesh, P())
+        idx_r, bwt_r = jax.device_put(idx, rep), jax.device_put(bwt_sym, rep)
+
+        def shard_fn(ix, bwt, k0s, a0s, lid_s):
+            st = init_state(k0s, a0s, lid_s)
+            st = jax.lax.while_loop(lambda s: jnp.any(s[1]), mk_body(ix, bwt), st)
+            _, _, _, ssa_l, ssa_lane, death_l, final_k, _ = st
+            # one writer per slot globally: pmax over {0/-1, value} merges
+            return jax.lax.pmax(ssa_l, "dp"), jax.lax.pmax(ssa_lane, "dp"), death_l, final_k
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp")),
+            out_specs=(P(), P(), P("dp"), P("dp")),
+            check_rep=False,
+        )
+        ssa_l, ssa_lane, death_l, final_k = (np.asarray(x) for x in fn(idx_r, bwt_r, k0, alive0, lids))
+        death_l, final_k = death_l[:m], final_k[:m]
     ssa_l, ssa_lane = ssa_l[:n_ssa], ssa_lane[:n_ssa]
     r2i = np.zeros(m, dtype=np.uint64)
     r2i[final_k] = np.arange(m, dtype=np.uint64)

@@ -97,6 +97,13 @@ def test_ssa_golden(ref_bin, ref_index):
     assert run_ours(["ssa", str(ref_index)]) == run_ref(ref_bin, ["ssa", str(ref_index)])
 
 
+def test_ssa_mesh_golden(ref_bin, ref_index):
+    """ssa --mesh (LF-walk lanes sharded over dp via shard_map, per-shard
+    independent loops, pmax buffer merge): byte-identical SSA dump."""
+    ours = run_ours(["ssa", "--mesh=4x2", str(ref_index)])
+    assert ours == run_ref(ref_bin, ["ssa", str(ref_index)])
+
+
 @pytest.mark.parametrize("extra", [[], ["--old-mem"], ["-l31"], ["--gap", "20"], ["--cov"], ["-l31", "-p3"]])
 def test_mem_golden(ref_bin, ref_index, corpus, extra):
     args = ["mem", "-l21"] + extra + [str(ref_index), str(corpus / "reads.fa")]
