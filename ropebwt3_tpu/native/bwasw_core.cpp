@@ -1866,23 +1866,24 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
   Fmi f{bwt, occ_block, occ_super, acc, n};
   Opt o = opt_from(opt9);
   if (n_threads < 1) n_threads = 1;
-  auto work = [&](int64_t w0, int64_t w1) {
+  // dynamic claiming (out rows are per-window; schedule can't reorder them)
+  std::atomic<int64_t> cursor(0);
+  auto work = [&]() {
     Engine eng;
     eng.f = f;
     eng.o = o;
-    for (int64_t w = w0; w < w1; ++w) hapdiv_one(eng, seqs + w * k, k, out + w * 10);
+    for (;;) {
+      int64_t w = cursor.fetch_add(1, std::memory_order_relaxed);
+      if (w >= n_win) break;
+      hapdiv_one(eng, seqs + w * k, k, out + w * 10);
+    }
   };
   if (n_threads == 1 || n_win < 2) {
-    work(0, n_win);
+    work();
     return;
   }
   std::vector<std::thread> th;
-  int64_t per = (n_win + n_threads - 1) / n_threads;
-  for (int32_t t = 0; t < n_threads; ++t) {
-    int64_t w0 = (int64_t)t * per, w1 = std::min(n_win, w0 + per);
-    if (w0 >= w1) break;
-    th.emplace_back(work, w0, w1);
-  }
+  for (int32_t t = 0; t < n_threads; ++t) th.emplace_back(work);
   for (std::thread& t : th) t.join();
 }
 
@@ -1898,26 +1899,25 @@ uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
   Opt o = opt_from(opt10);
   if (n_threads < 1) n_threads = 1;
   std::vector<std::string> blobs(n_reads);
-  auto work = [&](int64_t r0, int64_t r1) {
+  // dynamic claiming (blobs are per-read; schedule can't reorder output)
+  std::atomic<int64_t> cursor(0);
+  auto work = [&]() {
     Engine eng;
     eng.f = f;
     eng.o = o;
     std::vector<Hit> hits;
-    for (int64_t r = r0; r < r1; ++r) {
+    for (;;) {
+      int64_t r = cursor.fetch_add(1, std::memory_order_relaxed);
+      if (r >= n_reads) break;
       sw_read(eng, seqs + seq_off[r], (int32_t)(seq_off[r + 1] - seq_off[r]), hits);
       serialize_hits(hits, blobs[r]);
     }
   };
   if (n_threads == 1 || n_reads < 2) {
-    work(0, n_reads);
+    work();
   } else {
     std::vector<std::thread> th;
-    int64_t per = (n_reads + n_threads - 1) / n_threads;
-    for (int32_t t = 0; t < n_threads; ++t) {
-      int64_t r0 = (int64_t)t * per, r1 = std::min(n_reads, r0 + per);
-      if (r0 >= r1) break;
-      th.emplace_back(work, r0, r1);
-    }
+    for (int32_t t = 0; t < n_threads && t < n_reads; ++t) th.emplace_back(work);
     for (std::thread& t : th) t.join();
   }
   std::vector<int64_t> offs(n_reads + 1);
@@ -1999,7 +1999,13 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
   // reads interleaved per thread (latency hiding); RB3T_SMEM_G overrides
   const char* genv = getenv("RB3T_SMEM_G");
   const int G = genv ? std::max(1, std::min(64, atoi(genv))) : 16;
-  auto work = [&](int64_t r0, int64_t r1) {
+  // dynamic per-read claiming instead of a static range split: when a core
+  // is partially stolen (e.g. the TPU client's polling thread during
+  // --engine=hybrid), a static partition makes that thread the straggler
+  // for the whole call.  blobs[] is indexed by global read id, so the
+  // schedule cannot change any output byte.
+  std::atomic<int64_t> cursor(0);
+  auto work = [&]() {
     RankCache rc;
     std::vector<SmemSM> sm(G);
     std::vector<std::vector<MemRec>> memv(G);
@@ -2009,12 +2015,12 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
       put_i64(b, (int64_t)memv[gi].size());
       put_bytes(b, memv[gi].data(), memv[gi].size() * sizeof(MemRec));
     };
-    int64_t next = r0;
     for (;;) {
       bool any = false;
       for (int gi = 0; gi < G; ++gi) {
-        while (!sm[gi].live && next < r1) {
-          int64_t r = next++;
+        while (!sm[gi].live) {
+          int64_t r = cursor.fetch_add(1, std::memory_order_relaxed);
+          if (r >= n_reads) break;
           rid[gi] = r;
           memv[gi].clear();
           sm[gi].q = seqs + seq_off[r];
@@ -2030,19 +2036,14 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
           if (!sm[gi].live) flush(gi);
         }
       }
-      if (!any && next >= r1) break;
+      if (!any) break;
     }
   };
   if (n_threads == 1 || n_reads < 2) {
-    work(0, n_reads);
+    work();
   } else {
     std::vector<std::thread> th;
-    int64_t per = (n_reads + n_threads - 1) / n_threads;
-    for (int32_t t = 0; t < n_threads; ++t) {
-      int64_t r0 = (int64_t)t * per, r1 = std::min(n_reads, r0 + per);
-      if (r0 >= r1) break;
-      th.emplace_back(work, r0, r1);
-    }
+    for (int32_t t = 0; t < n_threads && t < n_reads; ++t) th.emplace_back(work);
     for (std::thread& t : th) t.join();
   }
   std::vector<int64_t> offs(n_reads + 1);
@@ -2238,16 +2239,20 @@ void rb3t_ssa_multi_batch(const uint8_t* bwt, const uint16_t* occ_block, const i
                           int64_t* n_out, int32_t n_threads) {
   Fmi f{bwt, occ_block, occ_super, acc, n};
   if (n_threads < 1) n_threads = 1;
-  auto work = [&](int64_t r0, int64_t r1) {
+  // dynamic per-request claiming (outputs go to out_off[r] slots, so the
+  // schedule cannot reorder any result) — a static range split makes a
+  // partially-stolen core the straggler for the whole call
+  std::atomic<int64_t> cursor(0);
+  auto work = [&]() {
     RankCache rc;
     constexpr int G = 16;  // requests interleaved per thread (latency hiding)
     ssa_multi_detail::SM sm[G];
-    int64_t next = r0;
     for (;;) {
       bool any = false;
       for (int i = 0; i < G; ++i) {
-        while (!sm[i].live && next < r1) {
-          int64_t r = next++;
+        while (!sm[i].live) {
+          int64_t r = cursor.fetch_add(1, std::memory_order_relaxed);
+          if (r >= n_req) break;
           sm[i].start(f, ss, ms, r2i, ssa, lo[r], hi[r], max_sa[r],
                       out_sid + out_off[r], out_pos + out_off[r], &n_out[r]);
         }
@@ -2256,20 +2261,15 @@ void rb3t_ssa_multi_batch(const uint8_t* bwt, const uint16_t* occ_block, const i
           sm[i].step(f, rc);
         }
       }
-      if (!any && next >= r1) break;
+      if (!any) break;
     }
   };
   if (n_threads == 1 || n_req < 64) {
-    work(0, n_req);
+    work();
     return;
   }
   std::vector<std::thread> th;
-  int64_t per = (n_req + n_threads - 1) / n_threads;
-  for (int32_t t = 0; t < n_threads; ++t) {
-    int64_t r0 = t * per, r1 = r0 + per < n_req ? r0 + per : n_req;
-    if (r0 >= r1) break;
-    th.emplace_back(work, r0, r1);
-  }
+  for (int32_t t = 0; t < n_threads; ++t) th.emplace_back(work);
   for (auto& x : th) x.join();
 }
 
