@@ -130,11 +130,24 @@ def _mesh_from_spec(spec):
     return make_mesh(int(dd), int(ii) if ii else 1)
 
 
+def _warn_mesh_unused(mesh_spec, engine, dev_cache):
+    """--mesh is honored only when THIS process builds a device engine; warn
+    instead of silently dropping the user's sharding request (outputs stay
+    byte-correct either way)."""
+    if not mesh_spec:
+        return
+    if engine not in ("jax", "hybrid"):
+        sys.stderr.write(f"[W::rb3tpu] --mesh={mesh_spec} ignored with --engine={engine} (host engine)\n")
+    elif dev_cache is not None:
+        sys.stderr.write(f"[W::rb3tpu] --mesh={mesh_spec} ignored: the resident server's cached engine answers (restart `rb3tpu serve` with the mesh to shard it)\n")
+
+
 def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None, mesh_spec=None) -> int:
     from . import bwasw as _bw
 
     if mesh_spec and engine == "auto":
         engine = "jax"  # --mesh only means anything on the device engine
+    _warn_mesh_unused(mesh_spec, engine, dev_cache)
     opt = _opt_from_dict(sw_opts)
     out = sys.stdout
     if sw_opts["write_all"]:
@@ -254,6 +267,7 @@ def run_sw_cli(f, files, is_line, sw_opts, engine: str = "auto", dev_cache=None,
 def run_hapdiv_cli(f, files, is_line, sw_opts, k, w, engine: str = "auto", dev_cache=None, mesh_spec=None) -> int:
     if mesh_spec and engine == "auto":
         engine = "jax"
+    _warn_mesh_unused(mesh_spec, engine, dev_cache)
     opt = _opt_from_dict(sw_opts)
     opt.flag |= RB3_SWF_E2E | RB3_SWF_HAPDIV
     out = sys.stdout

@@ -1883,7 +1883,7 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
     return;
   }
   std::vector<std::thread> th;
-  for (int32_t t = 0; t < n_threads; ++t) th.emplace_back(work);
+  for (int32_t t = 0; t < n_threads && t < n_win; ++t) th.emplace_back(work);
   for (std::thread& t : th) t.join();
 }
 
@@ -2269,7 +2269,7 @@ void rb3t_ssa_multi_batch(const uint8_t* bwt, const uint16_t* occ_block, const i
     return;
   }
   std::vector<std::thread> th;
-  for (int32_t t = 0; t < n_threads; ++t) th.emplace_back(work);
+  for (int32_t t = 0; t < n_threads && t < n_req; ++t) th.emplace_back(work);
   for (auto& x : th) x.join();
 }
 

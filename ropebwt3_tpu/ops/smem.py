@@ -41,6 +41,7 @@ def smem_tg_batch(
     seed_k: int = 0,
     segments=None,
     carry_sp: bool = False,
+    uniform_segments=None,
 ):
     """Returns (mems (Q, max_mems, 5|6) idx_dtype, n_mem (Q,) int32, iters)."""
     return smem_fsm(
@@ -60,6 +61,7 @@ def smem_tg_batch(
         segments=segments,
         extend_one=lambda ik, c, back: extend_c(idx, ik, c, back),
         carry_sp=carry_sp,
+        uniform_segments=uniform_segments,
     )
 
 
@@ -264,7 +266,12 @@ class BatchedSmemTG:
             seg_off[lane_a, rnd_a] = off_a
             seg_len[lane_a, rnd_a] = len_a
             np.maximum.at(n_seg, lane_a, (rnd_a + 1).astype(np.int32))
-            return t + take, dict(qarr=qarr, seg_off=seg_off, seg_len=seg_len, n_seg=n_seg, lane_a=lane_a, rnd_a=rnd_a, rid_a=rid_a)
+            # equal-length takes (the dominant short-read case) qualify for
+            # the uniform-stride kernel: off = seg*(len+1) matches the cumsum
+            # offsets exactly, so the trace is bit-identical to the general
+            # packed kernel while dropping its per-iteration seg-record gather
+            ulen = int(len_a[0]) if take and len_a.min() == len_a.max() and not os.environ.get("RB3TPU_NO_UNIFORM") else -1
+            return t + take, dict(qarr=qarr, seg_off=seg_off, seg_len=seg_len, n_seg=n_seg, lane_a=lane_a, rnd_a=rnd_a, rid_a=rid_a, ulen=ulen)
 
         def dispatch(d):
             if self.mesh is not None:
@@ -280,6 +287,11 @@ class BatchedSmemTG:
                     jax.device_put(d["n_seg"], sh1),
                 )
             else:
+                seg_args: dict = dict(segments=(jnp.asarray(d["seg_off"]), jnp.asarray(d["seg_len"]), jnp.asarray(d["n_seg"])))
+                if d["ulen"] >= 0 and self.seed_k == 0:
+                    stride = np.full(Q, d["ulen"] + 1, np.int32)
+                    rlen = np.where(d["n_seg"] > 0, np.int32(d["ulen"]), np.int32(0))
+                    seg_args = dict(uniform_segments=(jnp.asarray(stride), jnp.asarray(rlen), jnp.asarray(d["n_seg"])))
                 mems, n_mem, _ = smem_tg_batch(
                     self.idx,
                     jnp.asarray(d["qarr"]),
@@ -291,7 +303,7 @@ class BatchedSmemTG:
                     unroll=self.unroll,
                     seed_tab=self.seed_tab,
                     seed_k=self.seed_k,
-                    segments=(jnp.asarray(d["seg_off"]), jnp.asarray(d["seg_len"]), jnp.asarray(d["n_seg"])),
+                    **seg_args,
                 )
             d["mems_dev"], d["n_mem_dev"] = mems, n_mem
             return d

@@ -34,7 +34,7 @@ def emit(mems, n_mem, lane_mask, st, en, ik, seg=None):
     return mems, n_mem
 
 
-def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None, extend_one=None, carry_sp=False):
+def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None, extend_one=None, carry_sp=False, uniform_segments=None):
     """Run the batched TG loop.
 
     extend_all(ik (Q,3), is_back (Q,)) -> (Q,6,3)
@@ -61,12 +61,26 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
     Packing averages per-read iteration counts within a lane, shrinking the
     max-over-lanes tail that sets the loop trip count.  `qlen` is ignored;
     emitted rows gain a 6th column holding the segment id.
+    uniform_segments: optional (stride (Q,), rlen (Q,), n_seg (Q,)) — the
+    per-lane-UNIFORM packing variant: lane l holds n_seg[l] reads, all of
+    length rlen[l], at offsets seg*stride[l].  off/qlen_cur become elementwise
+    arithmetic on loop state instead of the per-iteration seg-record gather —
+    one of the body's 3 gathers (~9 ns/element x Q, PERF_NOTES round 2)
+    disappears, and the remaining dependent-gather chain shortens from
+    seg->q->occf to q->occf.  Values are identical to the general packed path
+    whenever both apply, so the trace (and output) is bit-identical.
     Returns (mems (Q,max_mems,5|6) dt, n_mem (Q,) int32, iters)."""
     Q, L = q.shape
     q_flat = q.reshape(-1)
     lane_base = jnp.arange(Q, dtype=jnp.int32) * L
-    packed = segments is not None
-    if packed:
+    uniform = uniform_segments is not None
+    if uniform:
+        assert segments is None and not carry_sp
+        u_stride, u_rlen, n_seg = uniform_segments
+        u_stride = u_stride.astype(jnp.int32)
+        u_rlen = u_rlen.astype(jnp.int32)
+    packed = segments is not None or uniform
+    if packed and not uniform:
         seg_off, seg_len, n_seg = segments
         R = seg_off.shape[1]
         # (off << 16 | len) packed per slot: ONE flat gather per iteration
@@ -142,7 +156,10 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
     def body(s):
         phase, x, i, j, ik = s["phase"], s["x"], s["i"], s["j"], s["ik"]
         mems, n_mem = s["mems"], s["n_mem"]
-        if packed:
+        if uniform:
+            seg = s["seg"]
+            off, qlen_cur = seg * u_stride, u_rlen  # no gather: per-lane arithmetic
+        elif packed:
             seg = s["seg"]
             sp = s["sp"] if carry_sp else jnp.take(seg_pack_flat, lane_rbase + seg)
             off, qlen_cur = sp >> 16, sp & 0xFFFF

@@ -165,6 +165,14 @@ def test_fa2line_fa2kmer_golden(ref_bin, corpus):
     assert run_ours(["fa2kmer", "-k37", "-w17", fa]) == run_ref(ref_bin, ["fa2kmer", "-k37", "-w17", fa])
 
 
+def test_fa2line_long_records_golden(ref_bin, corpus):
+    """8 kb records take the long-record slice-view fast path (avg record
+    >= 256 B in cli.main_fa2line) — golden with and without -R."""
+    fa = str(corpus / "genomes.fa")
+    assert run_ours(["fa2line", fa]) == run_ref(ref_bin, ["fa2line", fa])
+    assert run_ours(["fa2line", "-R", fa]) == run_ref(ref_bin, ["fa2line", "-R", fa])
+
+
 def test_plain2fmd_golden(ref_bin, corpus, tmp_path):
     plain = run_ref(ref_bin, ["build", str(corpus / "genomes.fa")])
     p = tmp_path / "bwt.txt"

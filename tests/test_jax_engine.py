@@ -269,6 +269,46 @@ def test_carry_sp_matches_base(dense_index, reads):
         assert np.array_equal(m, outs[0][0])
 
 
+def test_uniform_segments_match_general(dense_index, reads):
+    """uniform_segments (per-lane equal-length packing, seg gather replaced by
+    off = seg*stride arithmetic) must be bit-identical to the general packed
+    kernel on the same layout — including empty lanes and partial last
+    rounds."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+
+    idx = DeviceIndex.from_dense(dense_index)
+    Q, R, LBUF, RL = 16, 6, 512, 73
+    qarr = np.zeros((Q, LBUF), np.uint8)
+    seg_off = np.zeros((Q, R), np.int32)
+    seg_len = np.zeros((Q, R), np.int32)
+    n_seg = np.zeros(Q, np.int32)
+    rng = np.random.default_rng(11)
+    for lane in range(Q - 2):  # last two lanes stay empty
+        ns = int(rng.integers(1, R + 1))
+        for s in range(ns):
+            r = reads[int(rng.integers(0, len(reads)))][:RL]
+            qarr[lane, s * (RL + 1) : s * (RL + 1) + RL] = r
+            seg_off[lane, s], seg_len[lane, s] = s * (RL + 1), RL
+        n_seg[lane] = ns
+    args = dict(min_occ=1, min_len=13, max_mems=32, max_iters=8 * LBUF)
+    stride = np.full(Q, RL + 1, np.int32)
+    rlen = np.where(n_seg > 0, np.int32(RL), np.int32(0))
+    outs = []
+    for unroll in (1, 2):
+        mg, ng, _ = smem_tg_batch(idx, jnp.asarray(qarr), jnp.zeros(Q, jnp.int32), unroll=unroll,
+                                  segments=(jnp.asarray(seg_off), jnp.asarray(seg_len), jnp.asarray(n_seg)), **args)
+        mu, nu, _ = smem_tg_batch(idx, jnp.asarray(qarr), jnp.zeros(Q, jnp.int32), unroll=unroll,
+                                  uniform_segments=(jnp.asarray(stride), jnp.asarray(rlen), jnp.asarray(n_seg)), **args)
+        outs.append((np.asarray(mg), np.asarray(ng), np.asarray(mu), np.asarray(nu)))
+    for mg, ng, mu, nu in outs:
+        assert np.array_equal(ng, nu)
+        assert np.array_equal(mg, mu)
+
+
 def test_extend_c_matches_extend_row(dense_index):
     """ops/rank.extend_c must equal row c of ops/rank.extend for every
     (interval, symbol, direction) — the SMEM loop's bit-exactness rests on
