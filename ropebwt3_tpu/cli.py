@@ -6,6 +6,7 @@ get, stat, kount, fa2line, fa2kmer, version.
 from __future__ import annotations
 
 import getopt
+import os
 import re
 import sys
 
@@ -369,6 +370,7 @@ def main_build(argv: list[str]) -> int:
     opts, args = ketopt(argv, "l:n:m:t:2sri:LFRo:dbTS:p:e", ["mesh="])
     fmt = "plain"
     batch_size = 7_000_000_000
+    user_m = False
     is_line = False
     is_for, is_rev = True, True
     fn_in = fn_tmp = None
@@ -390,6 +392,7 @@ def main_build(argv: list[str]) -> int:
             sais_threads = atoi(a)
         elif o == "-m":
             batch_size = parse_num(a)
+            user_m = True
         elif o == "-l":
             block_len = atoi(a)
         elif o == "-n":
@@ -429,6 +432,22 @@ def main_build(argv: list[str]) -> int:
         f = load_index(fn_in)
 
     from . import log
+
+    if not user_m and sort_order == 0:
+        # auto-batching: the host SA-IS goes superlinear past its cache knee
+        # (measured: 64M batch 7.5 s, 120M 16 s, 240M 62 s single vs 49 s at
+        # -m60m, byte-equal), while total merge work grows with batch COUNT —
+        # split large single batches at ~total/6, clamped to the measured
+        # good range (2.4G was built at -m320m).  File sizes approximate
+        # symbols (gzip inputs underestimate and may stay single-batch).
+        try:
+            est = sum(os.path.getsize(fn) for fn in args if fn != "-" and os.path.exists(fn))
+        except OSError:
+            est = 0
+        est *= int(is_for) + int(is_rev)
+        if est > 160_000_000:
+            batch_size = min(max(est // 6, 48_000_000), 320_000_000)
+            log.info("auto batch size %d for ~%d input symbols (pass -m to override)", batch_size, est, func="main_build")
 
     def batches():
         nonlocal n_batches

@@ -104,27 +104,53 @@ class DeviceIndex:
             row = self.occf[bi]
             bits = jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32)
             if dt == jnp.int32:
-                return bits, row[..., 6:].astype(dt)
-            lo = jax.lax.bitcast_convert_type(row[..., 6:], jnp.uint32).astype(dt)
+                return bits, row[..., 6:12].astype(dt)
+            lo = jax.lax.bitcast_convert_type(row[..., 6:12], jnp.uint32).astype(dt)
             ns = self.occ_super.shape[0]
             mi = (bi >> MEGA_BLOCK_SHIFT).astype(jnp.int32)
             oh = (jax.lax.broadcasted_iota(jnp.int32, mi.shape + (ns,), mi.ndim) == mi[..., None]).astype(dt)
-            base = jnp.sum(oh[..., None] * self.occ_super, axis=-2, dtype=dt)
+            base = jnp.sum(oh[..., None] * self.occ_super[:, :ASIZE], axis=-2, dtype=dt)
             return bits, base + lo
         si = bi // BLOCKS_PER_SUPER
         return self.occ_bits[bi], self.occ_super[si] + self.occ_block[bi].astype(dt)
+
+    def bits_base_pre(self, bi: jax.Array, dt) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Prefix-occ rows only (occf width 18): gathered (., 6) uint32
+        planes, (., 6) dt counts-before-block, and (., 6) dt complement-order
+        PREFIX sums before the block (pre[c] = sum of counts of symbols
+        preceding c in the 0,4,3,2,1,5 extend order) — the extension's
+        secondary-coordinate term as a stored column instead of a 6-wide dot
+        (round-2 lever list #2)."""
+        row = self.occf[bi]
+        bits = jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32)
+        if dt == jnp.int32:
+            return bits, row[..., 6:12].astype(dt), row[..., 12:18].astype(dt)
+        lo = jax.lax.bitcast_convert_type(row[..., 6:18], jnp.uint32).astype(dt)
+        ns = self.occ_super.shape[0]
+        mi = (bi >> MEGA_BLOCK_SHIFT).astype(jnp.int32)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, mi.shape + (ns,), mi.ndim) == mi[..., None]).astype(dt)
+        base12 = jnp.sum(oh[..., None] * self.occ_super, axis=-2, dtype=dt)  # (., 12)
+        return bits, base12[..., :6] + lo[..., :6], base12[..., 6:] + lo[..., 6:]
+
+    @property
+    def has_prefix(self) -> bool:
+        return self.occf is not None and self.occf.shape[-1] == 18
 
     @property
     def idx_dtype(self):
         return self.acc.dtype
 
     @classmethod
-    def from_dense(cls, f: DenseFMIndex, idx_dtype=None) -> "DeviceIndex":
+    def from_dense(cls, f: DenseFMIndex, idx_dtype=None, prefix: bool | None = None) -> "DeviceIndex":
         if idx_dtype is None:
             idx_dtype = jnp.int32 if f.n < (1 << 31) - (1 << 20) else jnp.int64
+        if prefix is None:
+            import os
+
+            prefix = bool(os.environ.get("RB3TPU_PREFIX_OCC"))
         comp = jnp.asarray(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32))
         acc = jnp.asarray(f.acc.astype(idx_dtype))
-        occf, mega = build_occf(f, int64=idx_dtype == jnp.int64)
+        occf, mega = build_occf(f, int64=idx_dtype == jnp.int64, prefix=prefix)
         return cls(
             occ_bits=None,
             occ_block=None,
@@ -136,22 +162,28 @@ class DeviceIndex:
         )
 
 
-def build_occf(f: DenseFMIndex, int64: bool) -> tuple[np.ndarray, np.ndarray | None]:
-    """Host-side fused row table: (occf (nb, 12) int32, mega | None).
+def build_occf(f: DenseFMIndex, int64: bool, prefix: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
+    """Host-side fused row table: (occf (nb, 12|18) int32, mega | None).
 
     int32 mode: absolute counts, mega None.  int64 mode: uint32 counts
     relative to the containing 2^32-symbol megablock plus the tiny (n_mega,
-    6) int64 base table; chunked so int64 temporaries stay cache-sized at
-    terabase nb."""
+    6|12) int64 base table; chunked so int64 temporaries stay cache-sized at
+    terabase nb.  prefix=True appends 6 complement-order prefix-sum columns
+    (cols 12:18; megablock-relative in int64 mode, with the base prefix in
+    mega cols 6:12) — see DeviceIndex.bits_base_pre."""
     nb = len(f.occ_block)
-    occf = np.empty((nb, 12), np.int32)
+    W = 18 if prefix else 12
+    occf = np.empty((nb, W), np.int32)
     occf[:, :6] = pack_bitplanes(f.bwt[: nb * BLOCK].reshape(nb, BLOCK)).view(np.int32)
     if not int64:
-        occf[:, 6:] = np.repeat(f.occ_super, BLOCKS_PER_SUPER, axis=0)[:nb] + f.occ_block
+        cnt = np.repeat(f.occ_super, BLOCKS_PER_SUPER, axis=0)[:nb] + f.occ_block
+        occf[:, 6:12] = cnt
+        if prefix:
+            occf[:, 12:18] = cnt @ _EXT_PREFIX.T
         return occf, None
     mega_blocks = 1 << MEGA_BLOCK_SHIFT
     n_mega = (nb + mega_blocks - 1) // mega_blocks
-    mega = np.zeros((n_mega, ASIZE), np.int64)
+    mega = np.zeros((n_mega, 2 * ASIZE if prefix else ASIZE), np.int64)
     step = 1 << 20
     for b0 in range(0, nb, step):
         b1 = min(b0 + step, nb)
@@ -159,6 +191,8 @@ def build_occf(f: DenseFMIndex, int64: bool) -> tuple[np.ndarray, np.ndarray | N
         sup = np.repeat(f.occ_super[s0 : (b1 - 1) // BLOCKS_PER_SUPER + 1], BLOCKS_PER_SUPER, axis=0)
         sup = sup[b0 - s0 * BLOCKS_PER_SUPER : b0 - s0 * BLOCKS_PER_SUPER + (b1 - b0)]
         glob = sup + f.occ_block[b0:b1]
+        if prefix:
+            glob = np.concatenate([glob, glob @ _EXT_PREFIX.T.astype(np.int64)], axis=1)
         for mb in range(b0 >> MEGA_BLOCK_SHIFT, ((b1 - 1) >> MEGA_BLOCK_SHIFT) + 1):
             r = mb << MEGA_BLOCK_SHIFT
             if b0 <= r < b1:
@@ -280,6 +314,37 @@ def _inblock_c_and_prefix(bits: jax.Array, off: jax.Array, kc: jax.Array) -> tup
     return occ.astype(jnp.int32), pre.astype(jnp.int32)
 
 
+def _extend_c_prefix(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) -> jax.Array:
+    """extend_c on a prefix-occ index (occf width 18) — bit-identical.
+
+    The complement-order prefix sum (the extension's secondary-coordinate
+    term) is a stored column: one one-hot select from the gathered row's
+    prefix cols + the in-block lt circuit replace the 6-wide sz vector and
+    its prefix-matrix dot (round-2 lever list #2).  The in-block part uses
+    the eq/lt circuits of extend_c_circuit; the keyed symbol KEY[c] equals
+    the nt6 complement arithmetic (KEY = position in the 0,4,3,2,1,5 order)."""
+    dt = idx.idx_dtype
+    ik = ik.astype(dt)
+    prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
+    kl = jnp.stack([prim, prim + ik[..., 2]], axis=0)  # (2, Q)
+    bi = (kl // BLOCK).astype(jnp.int32)
+    bits, base, basep = idx.bits_base_pre(bi, dt)  # (2, Q, 6) each
+    off = (kl % BLOCK).astype(jnp.int32)
+    kc = jnp.where(c % 5 == 0, c, 5 - c)  # KEY[c] == nt6 complement
+    occ_in, pre_in = _inblock_c_and_prefix(bits, off, kc)  # (2, Q)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, base.shape, base.ndim - 1) == c[None, ..., None]).astype(dt)
+    occ = jnp.sum(base * oh, axis=-1, dtype=dt) + occ_in.astype(dt)  # (2, Q)
+    pre = jnp.sum(basep * oh, axis=-1, dtype=dt) + pre_in.astype(dt)
+    szc = occ[1] - occ[0]
+    acc_c = jnp.sum(idx.acc[:ASIZE] * oh[0], axis=-1, dtype=dt)
+    prim_out = acc_c + occ[0]
+    sec_in = jnp.where(is_back, ik[..., 1], ik[..., 0])
+    sec_out = sec_in + (pre[1] - pre[0])
+    x0 = jnp.where(is_back, prim_out, sec_out)
+    x1 = jnp.where(is_back, sec_out, prim_out)
+    return jnp.stack([x0, x1, szc], axis=-1)
+
+
 def extend_c(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) -> jax.Array:
     """Bidirectional extension by ONE symbol per lane.
 
@@ -291,6 +356,8 @@ def extend_c(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) 
     one-hot arithmetic, not gathers: gathers break XLA fusion and the loop
     body is dispatch-bound (PERF_NOTES.md).
     ik: (Q, 3); c: (Q,) int32; is_back: (Q,) bool.  Returns (Q, 3)."""
+    if idx.has_prefix:
+        return _extend_c_prefix(idx, ik, c, is_back)
     dt = idx.idx_dtype
     ik = ik.astype(dt)
     prim = jnp.where(is_back, ik[..., 0], ik[..., 1])

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..index.dense import DenseFMIndex
 from .rank import DeviceIndex, extend, extend_c, set_intv
-from .smem_fsm import smem_fsm
+from .smem_fsm import smem_fsm, smem_fsm_dual
 from .smem_ref import Mem
 
 
@@ -63,6 +63,43 @@ def smem_tg_batch(
         carry_sp=carry_sp,
         uniform_segments=uniform_segments,
     )
+
+
+@partial(jax.jit, static_argnames=("min_occ", "min_len", "max_mems", "max_iters", "unroll"))
+def smem_tg_batch_dual(
+    idx: DeviceIndex,
+    qa: jax.Array,
+    ua,  # uniform_segments (stride, rlen, n_seg) of population A
+    qb: jax.Array,
+    ub,
+    *,
+    min_occ: int,
+    min_len: int,
+    max_mems: int,
+    max_iters: int,
+    unroll: int = 1,
+):
+    """Two uniform-packed populations in ONE while_loop (smem_fsm_dual): the
+    per-trip fixed cost amortizes over both and their gathers are
+    independent.  Bit-identical per population to smem_tg_batch.
+    Returns ((mems_a, n_mem_a), (mems_b, n_mem_b), iters)."""
+    Q = qa.shape[0]
+    kw = dict(
+        min_occ=min_occ, min_len=min_len, max_mems=max_mems,
+        max_iters=max_iters, return_parts=True,
+    )
+    mk = lambda q, u: smem_fsm(
+        lambda ik, back: extend(idx, ik, back),
+        lambda c: set_intv(idx, c),
+        idx.comp,
+        q.astype(jnp.int32),
+        jnp.zeros(q.shape[0], jnp.int32),
+        idx.idx_dtype,
+        uniform_segments=u,
+        extend_one=lambda ik, c, back: extend_c(idx, ik, c, back),
+        **kw,
+    )
+    return smem_fsm_dual(mk(qa, ua), mk(qb, ub), max_iters, unroll=unroll)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -148,14 +185,15 @@ class BatchedSmemTG:
     def _host_rerun(self, q: np.ndarray) -> list[Mem]:
         return self._host_rerun_many([q])[0]
 
-    def _sharded_step(self, Q, Lbuf, Rcap, M):
-        key = (Q, Lbuf, Rcap, M)
+    def _sharded_step(self, Q, Lbuf, Rcap, M, uniform=False):
+        key = (Q, Lbuf, Rcap, M, uniform)
         if key not in self._sharded_steps:
             from ..parallel.smem_sharded import smem_sharded_fn
 
             self._sharded_steps[key] = smem_sharded_fn(
                 self.sidx, min_occ=self.min_occ, min_len=self.min_len,
                 max_mems=M, max_iters=Rcap * Lbuf + 64, packed=True, unroll=self.unroll,
+                uniform=uniform,
             )
         return self._sharded_steps[key]
 
@@ -277,13 +315,20 @@ class BatchedSmemTG:
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                step = self._sharded_step(Q, Lbuf, Rcap, M)
+                uni = d["ulen"] >= 0 and self.seed_k == 0
+                step = self._sharded_step(Q, Lbuf, Rcap, M, uniform=uni)
                 sh2 = NamedSharding(self.mesh, P("dp", None))
                 sh1 = NamedSharding(self.mesh, P("dp"))
+                if uni:
+                    stride = np.full(Q, d["ulen"] + 1, np.int32)
+                    rlen = np.where(d["n_seg"] > 0, np.int32(d["ulen"]), np.int32(0))
+                    a, b = jax.device_put(stride, sh1), jax.device_put(rlen, sh1)
+                else:
+                    a, b = jax.device_put(d["seg_off"], sh2), jax.device_put(d["seg_len"], sh2)
                 mems, n_mem, _ = step(
                     jax.device_put(d["qarr"], sh2),
-                    jax.device_put(d["seg_off"], sh2),
-                    jax.device_put(d["seg_len"], sh2),
+                    a,
+                    b,
                     jax.device_put(d["n_seg"], sh1),
                 )
             else:

@@ -34,7 +34,7 @@ def emit(mems, n_mem, lane_mask, st, en, ik, seg=None):
     return mems, n_mem
 
 
-def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None, extend_one=None, carry_sp=False, uniform_segments=None):
+def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max_mems, max_iters, unroll=1, seed_tab=None, seed_k=0, segments=None, extend_one=None, carry_sp=False, uniform_segments=None, return_parts=False):
     """Run the batched TG loop.
 
     extend_all(ik (Q,3), is_back (Q,)) -> (Q,6,3)
@@ -330,6 +330,11 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
                 out["sp"] = sp
         return out
 
+    if return_parts:
+        # building blocks for multi-population loops (smem_fsm_dual): the
+        # caller composes states/bodies into one while_loop
+        return state, body
+
     if unroll > 1:
         def outer(s):
             for _ in range(unroll):
@@ -339,3 +344,33 @@ def smem_fsm(extend_all, set_intv_c, comp, q, qlen, dt, *, min_occ, min_len, max
         outer = body
     out = jax.lax.while_loop(cond, outer, state)
     return out["mems"], out["n_mem"], out["it"]
+
+
+def smem_fsm_dual(parts_a, parts_b, max_iters, unroll=1):
+    """Run TWO independent lane populations in ONE while_loop.
+
+    parts_* = (state, body) from smem_fsm(..., return_parts=True).  Each trip
+    applies both bodies: the per-trip fixed cost (the `any` device-wide
+    reduction + loop machinery) amortizes over two populations, and the two
+    bodies' gathers are independent so XLA may interleave them.  Each
+    population's trace is untouched — a population whose lanes are all DONE
+    no-ops (its body is phase-gated) while the other finishes, so outputs are
+    bit-identical to two separate smem_fsm runs.
+    Returns ((mems_a, n_mem_a), (mems_b, n_mem_b), iters)."""
+    state_a, body_a = parts_a
+    state_b, body_b = parts_b
+
+    def cond(s):
+        a, b = s
+        live = jnp.any(a["phase"] != PH_DONE) | jnp.any(b["phase"] != PH_DONE)
+        return live & (a["it"] < max_iters)
+
+    def outer(s):
+        a, b = s
+        for _ in range(unroll):
+            a = body_a(a)
+            b = body_b(b)
+        return (a, b)
+
+    a, b = jax.lax.while_loop(cond, outer, (state_a, state_b))
+    return (a["mems"], a["n_mem"]), (b["mems"], b["n_mem"]), a["it"]

@@ -307,7 +307,7 @@ def smem_tg_pallas(
         # this kernel only supports the absolute int32 layout
         assert idx.idx_dtype == jnp.int32, "pallas SMEM requires the int32 fused layout"
         bits_flat = idx.occf[:, :6].reshape(-1)
-        blk_flat = idx.occf[:, 6:].reshape(-1)
+        blk_flat = idx.occf[:, 6:12].reshape(-1)
         sup_flat = jnp.zeros((6,), dt)
     else:
         bits_flat = jax.lax.bitcast_convert_type(idx.occ_bits, jnp.int32).reshape(-1)

@@ -31,13 +31,18 @@ def _set_intv_tables(acc, c):
     return jnp.stack([acc_c, acc_comp, acc_c1 - acc_c], axis=-1)
 
 
-def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems: int, max_iters: int, packed: bool = False, unroll: int = 1):
+def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems: int, max_iters: int, packed: bool = False, unroll: int = 1, uniform: bool = False):
     """Build a jitted sharded SMEM step: (q (Q,L) u8 sharded over dp, qlen) ->
     (mems, n_mem, iters-per-dp-row).  With packed=True the step instead takes
     (q, seg_off, seg_len, n_seg) — the multi-read lane-packing layout of the
-    single-chip kernel (ops/smem_fsm.py `segments`), all sharded over dp."""
+    single-chip kernel (ops/smem_fsm.py `segments`), all sharded over dp.
+    With uniform=True (implies packed) it takes (q, stride, rlen, n_seg) —
+    the uniform-stride variant (ops/smem_fsm.py `uniform_segments`, measured
+    +25% single-chip): the per-iteration seg gather becomes arithmetic."""
     mesh = sidx.mesh
     nb_local = sidx.nb_local
+    if uniform:
+        packed = True
 
     def inner(tables, acc, comp, q, qlen, *segs):
         mems, n_mem, it = smem_fsm(
@@ -52,12 +57,18 @@ def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems:
             max_mems=max_mems,
             max_iters=max_iters,
             unroll=unroll,
-            segments=segs if packed else None,
+            segments=segs if packed and not uniform else None,
+            uniform_segments=segs if uniform else None,
             extend_one=lambda ik, c, back: extend_sharded_c(tables, acc, nb_local, ik, c, back),
         )
         return mems, n_mem, it[None]
 
-    seg_specs = (P("dp", None), P("dp", None), P("dp")) if packed else ()
+    if uniform:
+        seg_specs = (P("dp"), P("dp"), P("dp"))
+    elif packed:
+        seg_specs = (P("dp", None), P("dp", None), P("dp"))
+    else:
+        seg_specs = ()
     smapped = shard_map(
         inner,
         mesh=mesh,
@@ -69,9 +80,9 @@ def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems:
     if packed:
 
         @jax.jit
-        def step(q, seg_off, seg_len, n_seg):
+        def step(q, a, b, n_seg):  # (seg_off, seg_len) or (stride, rlen)
             Q = q.shape[0]
-            return smapped(sidx.tables, sidx.acc, sidx.comp, q, jnp.zeros(Q, jnp.int32), seg_off, seg_len, n_seg)
+            return smapped(sidx.tables, sidx.acc, sidx.comp, q, jnp.zeros(Q, jnp.int32), a, b, n_seg)
 
     else:
 

@@ -269,6 +269,47 @@ def test_carry_sp_matches_base(dense_index, reads):
         assert np.array_equal(m, outs[0][0])
 
 
+def test_prefix_occ_matches_default(dense_index, reads, monkeypatch):
+    """The prefix-occ layout (occf width 18, stored complement-order prefix
+    columns; _extend_c_prefix's eq/lt circuits) must be bit-identical to the
+    default 12-col layout — extend_c on random intervals, rank1a, and the
+    full packed SMEM kernel, in int32 and (shrunken-megablock) int64 modes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ropebwt3_tpu.ops import rank as rank_mod
+    from ropebwt3_tpu.ops.smem import smem_tg_batch
+
+    monkeypatch.setattr(rank_mod, "MEGA_BLOCK_SHIFT", 6)
+    base32 = rank_mod.DeviceIndex.from_dense(dense_index, prefix=False)
+    rng = np.random.default_rng(3)
+    for dt in (jnp.int32, jnp.int64):
+        pidx = rank_mod.DeviceIndex.from_dense(dense_index, idx_dtype=dt, prefix=True)
+        assert pidx.has_prefix
+        ks = rng.integers(0, dense_index.n + 1, 200)
+        assert np.array_equal(np.asarray(rank_mod.rank1a(pidx, jnp.asarray(ks))), dense_index.rank1a(ks))
+        # random valid intervals: set_intv of random symbols then extend
+        cs = rng.integers(0, 6, 128).astype(np.int32)
+        ik0 = rank_mod.set_intv(pidx, jnp.asarray(cs))
+        c2 = jnp.asarray(rng.integers(0, 6, 128).astype(np.int32))
+        back = jnp.asarray(rng.integers(0, 2, 128).astype(bool))
+        a = rank_mod.extend_c(base32, ik0.astype(jnp.int32), c2, back)
+        b = rank_mod.extend_c(pidx, ik0, c2, back)
+        assert np.array_equal(np.asarray(a).astype(np.int64), np.asarray(b).astype(np.int64))
+        Q, L = 16, 128
+        qarr = np.zeros((Q, L), np.uint8)
+        qlen = np.zeros(Q, np.int32)
+        for t in range(Q):
+            r = reads[t % len(reads)][:L]
+            qarr[t, : len(r)] = r
+            qlen[t] = len(r)
+        args = dict(min_occ=1, min_len=17, max_mems=16, max_iters=4 * L + 64)
+        ma, na, _ = smem_tg_batch(base32, jnp.asarray(qarr), jnp.asarray(qlen), **args)
+        mb, nb_, _ = smem_tg_batch(pidx, jnp.asarray(qarr), jnp.asarray(qlen), **args)
+        assert np.array_equal(np.asarray(na), np.asarray(nb_))
+        assert np.array_equal(np.asarray(ma).astype(np.int64), np.asarray(mb).astype(np.int64))
+
+
 def test_uniform_segments_match_general(dense_index, reads):
     """uniform_segments (per-lane equal-length packing, seg gather replaced by
     off = seg*stride arithmetic) must be bit-identical to the general packed
