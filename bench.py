@@ -186,13 +186,9 @@ def measure_index(f, reads, passes=3):
     LANES, LBUF, RCAP, M = 2048, 4096, 32, 64
     NPL = LBUF // (READ_LEN + 1)
     per = LANES * NPL
-    so = np.zeros((LANES, RCAP), np.int32)
-    sl = np.zeros((LANES, RCAP), np.int32)
-    for r in range(NPL):
-        so[:, r] = r * (READ_LEN + 1)
-        sl[:, r] = READ_LEN
-    seg_off = jax.device_put(jnp.asarray(so))
-    seg_len = jax.device_put(jnp.asarray(sl))
+    # uniform-stride packing (round 3): equal-length reads need no per-slot
+    # seg records — off = seg*(READ_LEN+1) inside the kernel (+25% at 64M)
+    stride_u = jax.device_put(jnp.full((LANES,), READ_LEN + 1, jnp.int32))
     qlen = jnp.zeros(LANES, jnp.int32)
 
     def stage(rds):
@@ -210,10 +206,11 @@ def measure_index(f, reads, passes=3):
         return chunks
 
     def run(ch):
+        rlen = jnp.where(ch[1] > 0, jnp.int32(READ_LEN), jnp.int32(0))
         return smem_tg_batch(
             idx, ch[0], qlen, min_occ=1, min_len=MIN_LEN, max_mems=M,
             max_iters=RCAP * LBUF + 64, unroll=2,
-            segments=(seg_off, seg_len, ch[1]),
+            uniform_segments=(stride_u, rlen, ch[1]),
         )
 
     chunks = stage(reads)
@@ -310,6 +307,62 @@ def scale_curve():
     return out
 
 
+def align_curve():
+    """BWA-SW + hapdiv at mtb152-class scale (BASELINE configs 4/5): e2e CLI
+    wall of `sw -N25 --no-ssa` and `hapdiv -a101` on 2,000 corpus reads vs the
+    reference -t4, at 1.34G and (sw also int64) 2.4G.  Outputs byte-compared;
+    reference timings cached per scale dir."""
+    alpha = np.frombuffer(b"$ACGTN", dtype=np.uint8)
+    ref = ensure_ref_bin()
+    out = {}
+    for scale, label in (("mtb13", "1338M"), ("big2g", "2400M")):
+        d = os.path.join(BENCH, scale)
+        fmd = os.path.join(d, "idx.fmd")
+        rnpy = os.path.join(d, "reads.npy")
+        if not (os.path.exists(fmd) and os.path.exists(rnpy) and ref):
+            continue
+        sub_fa = os.path.join(d, "reads_sw.fa")
+        if not os.path.exists(sub_fa):
+            rd = np.load(rnpy)[:2000]
+            with open(sub_fa, "w") as fh:
+                for i, r in enumerate(rd):
+                    fh.write(f">r{i}\n" + alpha[r].tobytes().decode() + "\n")
+        res = {}
+        for cmd, args_r in (("sw", ["sw", "-t4", "-N25", "--no-ssa"]), ("hapdiv", ["hapdiv", "-t4", "-a101"])):
+            cache = os.path.join(d, f"ref_{cmd}.json")
+            if os.path.exists(cache):
+                rj = json.load(open(cache))
+            else:
+                t0 = time.time()
+                rr = subprocess.run([ref] + args_r + [fmd, sub_fa], capture_output=True)
+                rj = {"wall_s": time.time() - t0}
+                json.dump(rj, open(cache, "w"))
+                with open(os.path.join(d, f"ref_{cmd}.out"), "wb") as fh:
+                    fh.write(rr.stdout)
+            env = dict(os.environ)
+            env["PYTHONPATH"], env["JAX_PLATFORMS"] = "", "cpu"
+            wall = float("inf")
+            ours_out = b""
+            for _ in range(2):
+                t0 = time.time()
+                orun = subprocess.run(
+                    [sys.executable, "-m", "ropebwt3_tpu"] + args_r + ["--engine=native", fmd, sub_fa],
+                    capture_output=True, env=env,
+                )
+                wall = min(wall, time.time() - t0)
+                ours_out = orun.stdout
+            refout = os.path.join(d, f"ref_{cmd}.out")
+            equal = os.path.exists(refout) and open(refout, "rb").read() == ours_out
+            unit = 2000 / wall
+            res[cmd] = {
+                "ours_per_s": round(unit, 1), "ref_t4_per_s": round(2000 / rj["wall_s"], 1),
+                "ratio": round(rj["wall_s"] / wall, 3), "byte_equal": bool(equal),
+            }
+            log(f"align {label} {cmd}: ours {wall:.2f}s vs ref {rj['wall_s']:.2f}s ({res[cmd]['ratio']}x, byte_equal={equal})")
+        out[label] = res
+    return out
+
+
 def main():
     fa, reads_fa, reads = ensure_corpus()
     fmd = ensure_index(fa)
@@ -368,6 +421,12 @@ def main():
                 rec["scale"] = curve
         except Exception as e:  # scale curve must never kill the headline metric
             log(f"scale curve skipped: {e}")
+        try:
+            ac = align_curve()
+            if ac:
+                rec["align_scale"] = ac
+        except Exception as e:
+            log(f"align curve skipped: {e}")
     print(json.dumps(rec))
 
 

@@ -79,12 +79,28 @@ def _splitmix(x):
     return (x & np.uint64(0xFFFFFFFF)).astype(jnp.int64)
 
 
-def _home_bucket(key):
-    """Fibonacci bucket map __kh_h2b(hash, bits) of sw_cell_hash."""
+def _home_bucket(key, nb_bits: int = NB_BITS):
+    """Fibonacci bucket map __kh_h2b(hash, bits) of sw_cell_hash.
+
+    nb_bits follows kh_resize(n_best*4): bits = ceil(log2(4*n_best))
+    (khashl-km.h:135-147) — parameterized so non-default -N values keep the
+    exact reference bucket/probe order (round-3: gate widened from the baked
+    n_best range to any N whose table fits)."""
     lo = (key >> np.int64(32)) & np.int64(0xFFFFFFFF)
     hi = key & np.int64(0xFFFFFFFF)
     h = (_splitmix(lo) + _splitmix(hi)) & np.int64(0xFFFFFFFF)
-    return (((h * np.int64(2654435769)) & np.int64(0xFFFFFFFF)) >> np.int64(32 - NB_BITS)).astype(jnp.int32)
+    return (((h * np.int64(2654435769)) & np.int64(0xFFFFFFFF)) >> np.int64(32 - nb_bits)).astype(jnp.int32)
+
+
+def nb_params(n_best: int) -> tuple[int, int, int]:
+    """(nb_bits, nb, maxc) for kh_resize(n_best*4): bucket count is the
+    power of two >= 4*n_best; max_count = 75% load (khashl-km.h:77-78).
+    A node whose unique-candidate count reaches maxc would make the
+    reference REHASH mid-put (different subsequent probe order) — such
+    windows are flagged `bad` and rerun on the host."""
+    nb_bits = max(2, (4 * int(n_best) - 1).bit_length())
+    nb = 1 << nb_bits
+    return nb_bits, nb, (nb >> 1) + (nb >> 2)
 
 
 def _seg_scan_max(head, vals):
@@ -216,13 +232,14 @@ class HapdivDeviceEngine:
         self.mesh = mesh
         self.idx = None  # lazy: building device tables costs seconds
         # packed-word limits: scores 12 bits, rlen/qlen 9 bits, F_from_off
-        # archive field 5 bits, key packing lo/hi < 2^32.  n_best >= 17 keeps
-        # kh_resize(n_best*4) at 128 buckets — the kernel's NB/Fibonacci-shift
-        # are baked for bits=7, and a 64-bucket table (n_best < 17) has a
-        # different probe order, i.e. different score-tie breaking.
+        # archive field 5 bits, key packing lo/hi < 2^32.  The khashl bucket
+        # table is parameterized on n_best (nb_params: kh_resize(n_best*4)
+        # geometry + matching Fibonacci shift), so any practical -N keeps the
+        # exact reference probe order — round 3 widened the former 17..31
+        # gate (which was baked at 128 buckets).
         self.supported = (
             f.n < (1 << 32)
-            and 17 <= opt.n_best <= 31
+            and 2 <= opt.n_best <= 64
             and opt.e2e_drop < 0
             and (opt.flag & (RB3_SWF_E2E | RB3_SWF_HAPDIV)) == (RB3_SWF_E2E | RB3_SWF_HAPDIV)
         )
@@ -300,6 +317,9 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
     W = seqs.shape[0]
     N = n_best
     S = N * 6  # candidate slots per node: per row cell 5 H-cands + 1 E-cand
+    # khashl table geometry follows kh_resize(n_best*4) so non-default -N
+    # keeps the exact bucket/probe order (shadows the module defaults)
+    NB_BITS_, NB, MAXC = nb_params(n_best)
     dt = idx.idx_dtype
     acc = idx.acc
 
@@ -523,7 +543,7 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         bad = bad | (u_count >= np.int32(MAXC))  # khashl would resize mid-node
 
         # ---- bucket assignment: replay khashl inserts (first-occurrence) --
-        u_home = _home_bucket(u_key)
+        u_home = _home_bucket(u_key, NB_BITS_)
         used0 = jnp.zeros((W, NB), jnp.int32)
         buckets0 = jnp.zeros((W, S), jnp.int32)
         max_u = jnp.max(jnp.where(bad, 0, u_count))
@@ -686,7 +706,7 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
                 lo_c = okz[:, c, 0]
                 hi_c = lo_c + csz
                 key_c = (lo_c.astype(jnp.int64) << 32) | hi_c.astype(jnp.int64)
-                home = _home_bucket(key_c)
+                home = _home_bucket(key_c, NB_BITS_)
                 d = (iota_nb - home[:, None]) & np.int32(NB - 1)
                 elig_b = ((tkey == KEY_EMPTY) & ~occ_extra) | (tkey == key_c[:, None])
                 b = jnp.argmin(jnp.where(elig_b, d, BIGI), axis=1).astype(jnp.int32)

@@ -51,6 +51,7 @@ from .hapdiv_jax import (
     _ftake,
     _ftake2,
     _home_bucket,
+    nb_params,
     _onehot_set,
     _pack_pos,
     _pack_sc,
@@ -112,10 +113,10 @@ def unpack_arch_np(w: np.ndarray):
     return valid, H, Hf, Ef, Ff, Fos, Foffr, Hpos, Epos
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
               min_sc: int = 30, end_len: int = 11, match: int = 1, mis: int = 3,
-              gap_open: int = 5, gap_ext: int = 2):
+              gap_open: int = 5, gap_ext: int = 2, n_best: int = N_BEST):
     """Lock-step sw_core scoring over W padded DAWGs.
 
     node_c: (W, NC) int32 node edge symbols; pre_ids: (W, NC, P_MAX) int32
@@ -124,7 +125,10 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
     row — plus best_score (W,), best_pos (W,) (global cell positions,
     bwa-sw.c:489-490) and bad (W,) host-rerun flags."""
     W = node_c.shape[0]
-    N = N_BEST
+    N = n_best
+    # khashl geometry follows kh_resize(n_best*4) (hapdiv_jax.nb_params):
+    # shadows the module defaults so non-default -N keeps exact probe order
+    NB_BITS_, NB, MAXC = nb_params(n_best)
     P = pre_ids.shape[2]
     PN = P * N
     S = PN * 6  # candidate slots: per pre cell 5 H-cands + 1 E-slot
@@ -328,7 +332,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
         bad = bad | (u_count >= np.int32(MAXC))
 
         # ---- khashl bucket replay (first-occurrence inserts) ---------------
-        u_home = _home_bucket(u_key)
+        u_home = _home_bucket(u_key, NB_BITS_)
         used0 = jnp.zeros((W, NB), jnp.int32)
         buckets0 = jnp.zeros((W, S), jnp.int32)
         max_u = jnp.max(jnp.where(bad, 0, u_count))
@@ -455,7 +459,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
                 lo_c = okz[:, c, 0]
                 hi_c = lo_c + csz
                 key_c = (lo_c.astype(jnp.int64) << 32) | hi_c.astype(jnp.int64)
-                home = _home_bucket(key_c)
+                home = _home_bucket(key_c, NB_BITS_)
                 d = (iota_nb - home[:, None]) & np.int32(NB - 1)
                 elig_b = ((tkey == KEY_EMPTY) & ~occ_extra) | (tkey == key_c[:, None])
                 b = jnp.argmin(jnp.where(elig_b, d, BIGI), axis=1).astype(jnp.int32)
@@ -661,9 +665,11 @@ class SwDeviceEngine:
         # replicated), same GSPMD layout as the hapdiv engine
         self.mesh = mesh
         self.idx = None
+        # khashl geometry is parameterized on n_best (round 3); the former
+        # n_best == 25 gate is widened to any table the packing supports
         self.supported = (
             f.n < (1 << 31)
-            and opt.n_best == N_BEST
+            and 2 <= opt.n_best <= 64
             and not (opt.flag & RB3_SWF_HAPDIV)
         )
 
@@ -747,7 +753,7 @@ class SwDeviceEngine:
                 a_lo, a_hi, a_rc, a_w, bsc, bpos, bad = sw_device(
                     self.idx, self._stage(node_c), self._stage(pre), self._stage(n_node), nc,
                     min_sc=o.min_sc, end_len=o.end_len, match=o.match, mis=o.mis,
-                    gap_open=o.gap_open, gap_ext=o.gap_ext,
+                    gap_open=o.gap_open, gap_ext=o.gap_ext, n_best=o.n_best,
                 )
                 a_lo, a_hi, a_rc, a_w = map(np.asarray, (a_lo, a_hi, a_rc, a_w))
                 bsc, bpos, bad = map(np.asarray, (bsc, bpos, bad))

@@ -1144,6 +1144,12 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
                         return _err(f"server request failed: {e}")
             elif engine == "server":
                 return _err(f"no server for '{args[0]}' (start one: rb3tpu serve {args[0]})")
+            elif engine == "auto" and algo == "mem_tg":
+                # opt-in (RB3TPU_AUTO_SERVE=1): spawn the warm-engine daemon
+                # in the background; THIS request continues locally
+                from .server import maybe_autospawn
+
+                maybe_autospawn(args[0])
         f = load_index(args[0], load_ssa=load_all, load_sid=load_all)
     if max_pos > 0 and (f.ssa is None or f.sid is None):
         return _err("failed to load suffix array samples or sequence names/lengths")

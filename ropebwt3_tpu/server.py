@@ -76,6 +76,64 @@ def sock_path(index_path: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"rb3tpu-serve-{h}.sock")
 
 
+def pid_path(index_path: str) -> str:
+    return sock_path(index_path)[: -len(".sock")] + ".pid"
+
+
+def log_path(index_path: str) -> str:
+    return sock_path(index_path)[: -len(".sock")] + ".log"
+
+
+def spawn_daemon(index_path: str, extra: list[str] | None = None) -> int:
+    """Start a detached `serve` for index_path; returns the child pid.
+
+    Used by `serve --daemon` and by the opt-in first-use auto-spawn
+    (RB3TPU_AUTO_SERVE=1): the spawning request proceeds on the local engine
+    while the daemon pays the remote compiles, so the SECOND invocation hits
+    the warm engine.  Logs go to log_path(); the pid is recorded so
+    `serve --stop` can clean up even before the socket exists."""
+    import subprocess
+
+    env = dict(os.environ)
+    # undo the rb3tpu launcher's TPU-env scrub (bin/rb3tpu records the
+    # originals): the daemon exists to hold the warm TPU engine
+    if "RB3TPU_ORIG_PYTHONPATH" in env:
+        env["PYTHONPATH"] = env.pop("RB3TPU_ORIG_PYTHONPATH")
+    if "RB3TPU_ORIG_JAX_PLATFORMS" in env:
+        v = env.pop("RB3TPU_ORIG_JAX_PLATFORMS")
+        if v:
+            env["JAX_PLATFORMS"] = v
+        else:
+            env.pop("JAX_PLATFORMS", None)
+    lp = log_path(index_path)
+    with open(lp, "ab") as lf:
+        child = subprocess.Popen(
+            [sys.executable, "-m", "ropebwt3_tpu", "serve"] + (extra or []) + [os.path.abspath(index_path)],
+            stdout=lf, stderr=lf, stdin=subprocess.DEVNULL, start_new_session=True, env=env,
+        )
+    with open(pid_path(index_path), "w") as pf:
+        pf.write(str(child.pid))
+    return child.pid
+
+
+def maybe_autospawn(index_path: str) -> None:
+    """Opt-in (RB3TPU_AUTO_SERVE=1) fire-and-forget daemon spawn when no
+    server answers for this index and none is already starting."""
+    if os.environ.get("RB3TPU_AUTO_SERVE") != "1":
+        return
+    pp = pid_path(index_path)
+    if os.path.exists(pp):  # one already starting (or stale: user runs --stop)
+        try:
+            pid = int(open(pp).read().strip())
+            os.kill(pid, 0)
+            return  # alive: starting up or serving
+        except (ValueError, ProcessLookupError, PermissionError):
+            pass
+    extra = os.environ.get("RB3TPU_SERVE_ARGS", "").split()
+    pid = spawn_daemon(index_path, extra)
+    print(f"[rb3tpu] starting warm-engine daemon (pid {pid}, log {log_path(index_path)}); this request runs locally", file=sys.stderr)
+
+
 def _send(conn, magic: bytes, meta: dict, *payloads: bytes) -> None:
     m = json.dumps(meta).encode()
     conn.sendall(magic + struct.pack("<I", len(m)) + m + struct.pack("<I", len(payloads)))
@@ -157,8 +215,12 @@ def main_serve(argv: list[str]) -> int:
     warm_hapdiv: list[int] = []
     warm_sw: list[int] = []
     stop = False
+    daemon = False
+    fwd: list[str] = []  # options forwarded to the daemon child
     args = []
     for a in argv:
+        if a.startswith("--engine=") or a.startswith("--warm"):
+            fwd.append(a)
         if a.startswith("--engine="):
             engine = a.split("=", 1)[1]
         elif a.startswith("--warm="):
@@ -169,12 +231,14 @@ def main_serve(argv: list[str]) -> int:
             warm_sw = [int(x) for x in a.split("=", 1)[1].split(",") if x]
         elif a == "--stop":
             stop = True
+        elif a == "--daemon":
+            daemon = True
         else:
             args.append(a)
     if not args:
         print(
             "Usage: rb3tpu serve [--engine=jax] [--warm=MINLEN:READLEN,...]"
-            " [--warm-hapdiv=K,...] [--warm-sw=READLEN,...] [--stop] <idx>",
+            " [--warm-hapdiv=K,...] [--warm-sw=READLEN,...] [--daemon] [--stop] <idx>",
             file=sys.stderr,
         )
         return 1
@@ -182,6 +246,7 @@ def main_serve(argv: list[str]) -> int:
     sp = sock_path(index_path)
 
     if stop:
+        rc = 1
         try:
             s = socket.socket(socket.AF_UNIX)
             s.settimeout(5.0)
@@ -189,10 +254,28 @@ def main_serve(argv: list[str]) -> int:
             _send(s, MAGIC_Q, {"cmd": "stop"})
             _recv(s, MAGIC_R)
             print("server stopped", file=sys.stderr)
-            return 0
+            rc = 0
         except Exception as e:
-            print(f"no server to stop ({e})", file=sys.stderr)
-            return 1
+            # not serving yet (still warming?) — fall back to the pidfile
+            pp = pid_path(index_path)
+            try:
+                pid = int(open(pp).read().strip())
+                os.kill(pid, 15)
+                print(f"killed warming daemon pid {pid}", file=sys.stderr)
+                rc = 0
+            except Exception:
+                print(f"no server to stop ({e})", file=sys.stderr)
+        for p in (pid_path(index_path),):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        return rc
+
+    if daemon:
+        pid = spawn_daemon(index_path, fwd)
+        print(f"[serve] daemon started (pid {pid}, log {log_path(index_path)})", file=sys.stderr)
+        return 0
 
     f = _cli.load_index(index_path, load_ssa=True, load_sid=True)
     eng = None
@@ -228,6 +311,8 @@ def main_serve(argv: list[str]) -> int:
     srv = socket.socket(socket.AF_UNIX)
     srv.bind(sp)
     srv.listen(8)
+    with open(pid_path(index_path), "w") as pf:  # --stop works pre-socket too
+        pf.write(str(os.getpid()))
     print(f"[serve] ready on {sp} (engine={engine})", file=sys.stderr, flush=True)
     try:
         while True:
@@ -264,8 +349,9 @@ def main_serve(argv: list[str]) -> int:
                 conn.close()
     finally:
         srv.close()
-        try:
-            os.unlink(sp)
-        except FileNotFoundError:
-            pass
+        for p in (sp, pid_path(index_path)):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
     return 0

@@ -35,6 +35,46 @@ def _hapdiv_opt(k):
     return opt
 
 
+@pytest.mark.parametrize("n_best", [10, 16, 17, 40])
+def test_device_nbest_geometry_matches_host(dense_index, corpus, n_best):
+    """Non-default -N values (round 3: khashl bucket geometry parameterized
+    via nb_params — 64/128/256-bucket tables with matching Fibonacci shifts)
+    stay bit-exact vs the host engine."""
+    import jax.numpy as jnp
+
+    from ropebwt3_tpu.align.hapdiv_jax import hapdiv_device, nb_params
+    from ropebwt3_tpu.ops.rank import DeviceIndex
+
+    assert nb_params(16)[1] == 64 and nb_params(17)[1] == 128 and nb_params(40)[1] == 256
+    rng = np.random.default_rng(n_best)
+    tab = np.zeros(256, np.uint8)
+    for i, ch in enumerate(b"$ACGTN"):
+        tab[ch] = i
+    base = None
+    for line in open(corpus / "genomes.fa"):
+        if not line.startswith(">"):
+            base = tab[np.frombuffer(line.strip().encode(), np.uint8)]
+            break
+    W, k = 32, 101
+    wins = _windows(rng, base, W, k, 0.04)
+    opt = _hapdiv_opt(k)
+    opt.n_best = n_best
+    host = rb3_hapdiv_multi(opt, dense_index, [wins[i] for i in range(W)])
+    idx = DeviceIndex.from_dense(dense_index)
+    n_al, max_ed, n_hap, bad = hapdiv_device(idx, jnp.asarray(wins.astype(np.int32)), k, n_best=n_best)
+    n_al, max_ed, n_hap, bad = map(np.asarray, (n_al, max_ed, n_hap, bad))
+    assert int(bad.sum()) <= W // 3
+    for i in range(W):
+        if bad[i]:
+            continue
+        h = host[i]
+        if h is None:
+            assert n_al[i] == 0
+            continue
+        assert n_al[i] == h.n_al and max_ed[i] == h.max_ed, (i, n_best)
+        assert n_hap[i].tolist() == list(h.n_hap), (i, n_best)
+
+
 @pytest.mark.parametrize("err,k", [(0.01, 101), (0.06, 101), (0.02, 51)])
 def test_device_matches_host(dense_index, corpus, err, k):
     import jax.numpy as jnp

@@ -21,6 +21,57 @@ def _env():
     return e
 
 
+def test_daemon_lifecycle_golden(ref_bin, ref_index, corpus):
+    """serve --daemon + RB3TPU_AUTO_SERVE: the daemon detaches with a
+    pidfile, a first auto-spawning mem runs locally and stays golden, a later
+    mem hits the warm server, and serve --stop tears everything down."""
+    from ropebwt3_tpu.server import pid_path, server_available, sock_path
+
+    idx = str(ref_index)
+    env = _env()
+    want = run_ref(ref_bin, ["mem", "-l13", idx, str(corpus / "reads.fa")])
+    try:
+        # first use with auto-spawn enabled: spawns the daemon, runs locally
+        env_auto = dict(env)
+        env_auto["RB3TPU_AUTO_SERVE"] = "1"
+        env_auto["RB3TPU_SERVE_ARGS"] = "--warm=13:150"  # one light warm on CPU
+        r = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "mem", "-l13", idx, str(corpus / "reads.fa")],
+            env=env_auto, cwd=ROOT, capture_output=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        assert r.stdout == want
+        assert b"warm-engine daemon" in r.stderr
+        assert os.path.exists(pid_path(idx))
+        # a second auto-spawn attempt must NOT start another daemon
+        r2 = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "mem", "-l13", idx, str(corpus / "reads.fa")],
+            env=env_auto, cwd=ROOT, capture_output=True, timeout=600,
+        )
+        assert r2.stdout == want
+        assert b"starting warm-engine daemon" not in r2.stderr
+        # wait for readiness, then the warm-path request must be golden
+        for _ in range(600):
+            if server_available(idx):
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("daemon never became ready: " + open(sock_path(idx)[:-5] + ".log").read()[-2000:])
+        r3 = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "mem", "-l13", idx, str(corpus / "reads.fa")],
+            env=env, cwd=ROOT, capture_output=True, timeout=600,
+        )
+        assert r3.stdout == want
+    finally:
+        subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "serve", "--stop", idx],
+            env=env, cwd=ROOT, capture_output=True, timeout=60,
+        )
+    time.sleep(1.0)
+    assert not os.path.exists(pid_path(idx))
+    assert not server_available(idx)
+
+
 def test_mem_via_server_golden(ref_bin, ref_index, corpus):
     from ropebwt3_tpu.server import server_available, sock_path
 

@@ -74,14 +74,32 @@ def test_device_sw_matches_host(dense_index, corpus, e2e, max_pos, mml):
         assert _sig(a) == _sig(b), (i, _sig(a)[:2], _sig(b)[:2])
 
 
+@pytest.mark.parametrize("n_best", [8, 16, 40])
+def test_device_sw_nbest_geometry(dense_index, corpus, n_best):
+    """Non-default -N on device (round 3: khashl geometry parameterized via
+    nb_params, 32..256-bucket tables) stays exact vs the host engine."""
+    from ropebwt3_tpu.align.sw_jax import SwDeviceEngine
+
+    rng = np.random.default_rng(n_best)
+    reads = _reads(corpus, rng, n=6)
+    opt = SwOpt()
+    opt.n_best = n_best
+    host = [rb3_sw(opt, dense_index, q) for q in reads]
+    eng = SwDeviceEngine(dense_index, opt, lanes=8)
+    assert eng.supported
+    dev = eng.run(reads)
+    for i, (a, b) in enumerate(zip(host, dev)):
+        assert _sig(a) == _sig(b), (i, n_best)
+
+
 def test_unsupported_opts_fall_back(dense_index, corpus):
-    """n_best != 25 routes every read to the host engine (still exact)."""
+    """An out-of-range -N routes every read to the host engine (still exact)."""
     from ropebwt3_tpu.align.sw_jax import SwDeviceEngine
 
     rng = np.random.default_rng(3)
     reads = _reads(corpus, rng, n=4)
     opt = SwOpt()
-    opt.n_best = 5
+    opt.n_best = 100
     host = [rb3_sw(opt, dense_index, q) for q in reads]
     eng = SwDeviceEngine(dense_index, opt)
     assert not eng.supported
