@@ -825,7 +825,7 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         rFos = jnp.where(need & hit, np.int32(1), np.int32(0))
 
         new_row = dict(
-            lo=jnp.where(r_valid, (rkey >> 32).astype(dt), jnp.zeros((), dt)),
+            lo=jnp.where(r_valid, ((rkey >> 32) & np.int64(0xFFFFFFFF)).astype(dt), jnp.zeros((), dt)),
             hi=jnp.where(r_valid, (rkey & np.int64(0xFFFFFFFF)).astype(dt), jnp.zeros((), dt)),
             lorc=rlorc, H=jnp.where(r_valid, rH, 0), E=rE, F=rF, rlen=rrl, qlen=rql,
             Hfrom=rHf, Efrom=rEf, Ffrom=rFf, Foffset=rFos,

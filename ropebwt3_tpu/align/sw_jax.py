@@ -17,9 +17,11 @@ are inherited from hapdiv_jax's module doc; reads that hit a structural cap
 or an order-sensitive corner are flagged `bad` and rerun on the host engine,
 so the combined result is always byte-exact.
 
-Reads are device-eligible when: index < 2^31 symbols, n_best == 25 (the
-default; khashl bucket count is baked at 128), DAWG fits (n_node <= node cap,
-in-degree <= P_MAX, depth < 512 for the 9-bit rlen/qlen packing).
+Reads are device-eligible when: index < 2^32 symbols (lo/hi ride as uint32
+halves of the packed int64 key; int64 indexes up to 4 Gsym — e.g. the 2.4G
+bench index — qualify since round 3), 2 <= n_best <= 64 (khashl geometry
+parameterized via nb_params), DAWG fits (n_node <= node cap, in-degree <=
+P_MAX, depth < 512 for the 9-bit rlen/qlen packing).
 """
 
 from __future__ import annotations
@@ -168,7 +170,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
         slot_ok = jnp.broadcast_to(pre_ok[:, :, None], (W, P, N)).reshape(W, PN)
         pvalid = slot_ok & (pk != KEY_EMPTY) & live[:, None]
         pH, pE, prlen, pqlen = _unpack_row(pw)
-        p_lo = (pk >> 32).astype(dt)
+        p_lo = ((pk >> 32) & np.int64(0xFFFFFFFF)).astype(dt)  # unsigned: lo may be >= 2^31
         p_hi = (pk & np.int64(0xFFFFFFFF)).astype(dt)
 
         # ---- w.last_p: last visited cell (visited even when pruned) --------
@@ -401,7 +403,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
             k2 = g2[..., 0]
             H, E, F, rl, ql, *_ = _unpack_sc(g2[..., 1])
             return dict(
-                lo=(k2 >> 32).astype(dt), hi=(k2 & np.int64(0xFFFFFFFF)).astype(dt),
+                lo=((k2 >> 32) & np.int64(0xFFFFFFFF)).astype(dt), hi=(k2 & np.int64(0xFFFFFFFF)).astype(dt),
                 lorc=g2[..., 3].astype(dt), H=H, F=F, rlen=rl, qlen=ql,
             )
 
@@ -581,7 +583,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
         best_sc = jnp.where(upd, rH[:, 0], best_sc)
         best_pos = jnp.where(upd, node_i.astype(jnp.int32) * np.int32(N), best_pos)
 
-        arch_lo = jnp.where(r_valid, (rkey >> 32), 0).astype(jnp.int32)
+        arch_lo = jnp.where(r_valid, (rkey >> 32) & np.int64(0xFFFFFFFF), 0).astype(jnp.int32)  # uint32 bit pattern
         arch_hi = jnp.where(r_valid, (rkey & np.int64(0xFFFFFFFF)), 0).astype(jnp.int32)
         arch_rc = nrc
         arch_w = _pack_arch(
@@ -624,6 +626,12 @@ def rebuild_rows(arch_lo, arch_hi, arch_rc, arch_w, n_node: int):
     from .bwasw import SW_F_UNSET, UINT32_MAX, Cell
 
     valid, H, Hf, Ef, Ff, Fos, Foffr, Hpos, Epos = unpack_arch_np(arch_w[:n_node])
+    # int32 archives carry uint32 bit patterns (lo/hi < 2^32 on any
+    # supported index) — reinterpret before int() materialization
+    import numpy as _np
+
+    lo_u = _np.ascontiguousarray(arch_lo[:n_node]).view(_np.uint32)
+    hi_u = _np.ascontiguousarray(arch_hi[:n_node]).view(_np.uint32)
     rows = []
     for i in range(n_node):
         row = []
@@ -631,7 +639,7 @@ def rebuild_rows(arch_lo, arch_hi, arch_rc, arch_w, n_node: int):
             if not valid[i, j]:
                 break
             c = Cell.__new__(Cell)
-            c.lo, c.hi, c.lo_rc = int(arch_lo[i, j]), int(arch_hi[i, j]), int(arch_rc[i, j])
+            c.lo, c.hi, c.lo_rc = int(lo_u[i, j]), int(hi_u[i, j]), int(arch_rc[i, j])
             c.H = int(H[i, j])
             c.H_from, c.E_from, c.F_from = int(Hf[i, j]), int(Ef[i, j]), int(Ff[i, j])
             c.F_off_set = int(Fos[i, j])
@@ -668,7 +676,7 @@ class SwDeviceEngine:
         # khashl geometry is parameterized on n_best (round 3); the former
         # n_best == 25 gate is widened to any table the packing supports
         self.supported = (
-            f.n < (1 << 31)
+            f.n < (1 << 32)  # key packing/hash carry lo/hi as uint32 halves
             and 2 <= opt.n_best <= 64
             and not (opt.flag & RB3_SWF_HAPDIV)
         )

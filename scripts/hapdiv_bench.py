@@ -30,19 +30,30 @@ opt.flag = RB3_SWF_E2E | RB3_SWF_HAPDIV
 opt.end_len = 1
 
 res_nat = None
-if ENGINE in ("native", "both"):
+if ENGINE in ("native", "both", "oracle"):
     t0 = time.time()
     res_nat = rb3_hapdiv_multi(opt, f, wins)
     dt = time.time() - t0
     print(f"[native -t4] {N} windows: {dt:.2f}s = {N/dt:,.0f} win/s", flush=True)
 
-if ENGINE in ("jax", "both"):
+if ENGINE in ("jax", "both", "oracle"):
     from ropebwt3_tpu.align.hapdiv_jax import HapdivDeviceEngine
 
     eng = HapdivDeviceEngine(f, opt, lanes=LANES)
     t0 = time.time()
     warm = eng.run(wins[:LANES])
     print(f"[jax] warmup (compile + first batch): {time.time()-t0:.1f}s", flush=True)
+    if ENGINE == "oracle" and res_nat is not None:
+        # cohort upper bound: sort windows by the ORACLE difficulty (native
+        # n_al) so each device chunk is difficulty-homogeneous; if even this
+        # doesn't speed the lock-step engine, predictor-based cohorts are
+        # dead (the per-node fixed cost, not the closure tail, dominates)
+        order = sorted(range(N), key=lambda i: 0 if res_nat[i] is None else res_nat[i].n_al)
+        wins_o = [wins[i] for i in order]
+        t0 = time.time()
+        eng.run(wins_o)
+        dt = time.time() - t0
+        print(f"[jax-oracle-cohorts] {N} windows: {dt:.2f}s = {N/dt:,.0f} win/s", flush=True)
     t0 = time.time()
     res_jax = eng.run(wins)
     dt = time.time() - t0

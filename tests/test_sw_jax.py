@@ -92,6 +92,29 @@ def test_device_sw_nbest_geometry(dense_index, corpus, n_best):
         assert _sig(a) == _sig(b), (i, n_best)
 
 
+def test_device_sw_int64_index(dense_index, corpus, monkeypatch):
+    """int64 indexes (round 3: the n < 2^31 gate widened to 2^32 with
+    unsigned key-half unpacking) run device sw exactly.  Shrink the megablock
+    so the toy index exercises the int64 multi-megablock occf layout."""
+    import jax.numpy as jnp
+
+    from ropebwt3_tpu.align import sw_jax as swj
+    from ropebwt3_tpu.ops import rank as rank_mod
+
+    monkeypatch.setattr(rank_mod, "MEGA_BLOCK_SHIFT", 6)
+    rng = np.random.default_rng(64)
+    reads = _reads(corpus, rng, n=6)
+    opt = SwOpt()
+    host = [rb3_sw(opt, dense_index, q) for q in reads]
+    eng = swj.SwDeviceEngine(dense_index, opt, lanes=8)
+    assert eng.supported
+    eng.idx = rank_mod.DeviceIndex.from_dense(dense_index, idx_dtype=jnp.int64)
+    assert eng.idx.occ_super.shape[0] > 1
+    dev = eng.run(reads)
+    for i, (a, b) in enumerate(zip(host, dev)):
+        assert _sig(a) == _sig(b), i
+
+
 def test_unsupported_opts_fall_back(dense_index, corpus):
     """An out-of-range -N routes every read to the host engine (still exact)."""
     from ropebwt3_tpu.align.sw_jax import SwDeviceEngine

@@ -68,6 +68,60 @@ def test_sw_hapdiv_jax_golden_on_chip(ref_bin, ref_index, corpus, tmp_path):
         assert r.stdout == want, cmd[0]
 
 
+def test_mem_mesh_1x1_golden_on_chip(ref_bin, ref_index, corpus):
+    """`mem --engine=jax --mesh=1x1` runs the shard_map/psum program ON REAL
+    HARDWARE (one chip = a 1x1 mesh; the multi-device variants of the same
+    program are golden on the virtual mesh) and stays byte-identical."""
+    want = run_ref(ref_bin, ["mem", "-l13", str(ref_index), str(corpus / "reads.fa")])
+    r = subprocess.run(
+        [sys.executable, "-m", "ropebwt3_tpu", "mem", "--engine=jax", "--mesh=1x1", "-l13", str(ref_index), str(corpus / "reads.fa")],
+        env=tpu_env(), capture_output=True, timeout=2400, cwd=ROOT,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-3000:]
+    assert r.stdout == want
+
+
+def test_server_roundtrip_on_chip(ref_bin, ref_index, corpus):
+    """A resident `rb3tpu serve` holding the REAL chip answers a socket-routed
+    mem byte-identically, twice (warm reuse), then stops cleanly."""
+    import time
+
+    from ropebwt3_tpu.server import server_available
+
+    idx = str(ref_index)
+    env = tpu_env()
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "ropebwt3_tpu", "serve", "--warm=13:150", idx],
+        env=env, cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        for _ in range(1200):  # fresh-process TPU warmup is 60-300 s
+            if server_available(idx):
+                break
+            if srv.poll() is not None:
+                raise AssertionError(f"server died: {srv.communicate()[1].decode()[-3000:]}")
+            time.sleep(1.0)
+        else:
+            raise AssertionError("server never became ready on the chip")
+        want = run_ref(ref_bin, ["mem", "-l13", idx, str(corpus / "reads.fa")])
+        for _ in range(2):
+            r = subprocess.run(
+                [sys.executable, "-m", "ropebwt3_tpu", "mem", "-l13", idx, str(corpus / "reads.fa")],
+                env=env, cwd=ROOT, capture_output=True, timeout=2400,
+            )
+            assert r.returncode == 0, r.stderr.decode()[-3000:]
+            assert r.stdout == want
+    finally:
+        subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu", "serve", "--stop", idx],
+            env=env, cwd=ROOT, capture_output=True, timeout=120,
+        )
+        try:
+            srv.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+
+
 WORKER = r"""
 import sys
 import numpy as np
