@@ -239,7 +239,10 @@ class HapdivDeviceEngine:
         # gate (which was baked at 128 buckets).
         self.supported = (
             f.n < (1 << 32)
-            and 2 <= opt.n_best <= 64
+            # upper bound: the F-closure stack holds SCAP slots and is seeded
+            # with up to n_best cells (N > SCAP would make the (W, SCAP-N)
+            # pad shape negative — caught by the differential fuzzer)
+            and 2 <= opt.n_best <= min(64, SCAP)
             and opt.e2e_drop < 0
             and (opt.flag & (RB3_SWF_E2E | RB3_SWF_HAPDIV)) == (RB3_SWF_E2E | RB3_SWF_HAPDIV)
         )

@@ -662,6 +662,11 @@ class SwDeviceEngine:
     Produces the same hits lists as rb3_sw_batch (byte-identical PAF)."""
 
     NC_BUCKETS = (64, 128, 256, 384)
+    # the kernel reads P from pre_ids.shape[2]; staging buckets each batch by
+    # its actual max in-degree so linear (e2e) DAWGs pay S = N*6 slots instead
+    # of P_MAX*N*6 (the candidate sort, scans and extend all scale with S —
+    # measured 72% of random 150 bp general DAWGs fit P=4, e2e fits P=1)
+    P_BUCKETS = (1, 2, 4, P_MAX)
 
     def __init__(self, f, opt, lanes: int = 256, mesh=None):
         from .bwasw import RB3_SWF_HAPDIV
@@ -677,7 +682,10 @@ class SwDeviceEngine:
         # n_best == 25 gate is widened to any table the packing supports
         self.supported = (
             f.n < (1 << 32)  # key packing/hash carry lo/hi as uint32 halves
-            and 2 <= opt.n_best <= 64
+            # upper bound: the F-closure stack holds SCAP slots and is seeded
+            # with up to n_best cells (N > SCAP would make the (W, SCAP-N)
+            # pad shape negative — caught by the differential fuzzer)
+            and 2 <= opt.n_best <= min(64, SCAP)
             and not (opt.flag & RB3_SWF_HAPDIV)
         )
 
@@ -714,6 +722,7 @@ class SwDeviceEngine:
 
         # per-read gating: prefilter + DAWG shape caps
         gs: list = [None] * len(seqs)
+        gp: dict[int, int] = {}  # read -> max in-degree
         host_idx: list[int] = []
         dev_idx: list[int] = []
         for i, s in enumerate(seqs):
@@ -721,8 +730,10 @@ class SwDeviceEngine:
                 gs[i] = ()  # no hits at all
                 continue
             g = self._dawg(s)
-            if g.n_node <= self.NC_BUCKETS[-1] and g.n_node <= 512 and all(len(nd.pre) <= P_MAX for nd in g.node):
+            maxp = max(len(nd.pre) for nd in g.node)
+            if g.n_node <= self.NC_BUCKETS[-1] and g.n_node <= 512 and maxp <= P_MAX:
                 gs[i] = g
+                gp[i] = maxp
                 dev_idx.append(i)
             else:
                 host_idx.append(i)
@@ -739,47 +750,16 @@ class SwDeviceEngine:
                     return b
             raise AssertionError(n)
 
-        for nc in self.NC_BUCKETS:
-            grp = [i for i in dev_idx if bucket_of(gs[i].n_node) == nc]
-            for b0 in range(0, len(grp), self.lanes):
-                chunk = grp[b0 : b0 + self.lanes]
-                W = len(chunk)
-                Wp = max(8, 1 << (W - 1).bit_length())
-                if self.mesh is not None:  # lane count must tile over dp
-                    dp = self.mesh.shape["dp"]
-                    Wp = -(-Wp // dp) * dp
-                node_c = np.zeros((Wp, nc), np.int32)
-                pre = np.full((Wp, nc, P_MAX), -1, np.int32)
-                n_node = np.ones(Wp, np.int32)
-                for r, i in enumerate(chunk):
-                    g = gs[i]
-                    n_node[r] = g.n_node
-                    for ni, nd in enumerate(g.node):
-                        node_c[r, ni] = max(nd.c, 0)
-                        for pj, pp in enumerate(nd.pre):
-                            pre[r, ni, pj] = pp
-                a_lo, a_hi, a_rc, a_w, bsc, bpos, bad = sw_device(
-                    self.idx, self._stage(node_c), self._stage(pre), self._stage(n_node), nc,
-                    min_sc=o.min_sc, end_len=o.end_len, match=o.match, mis=o.mis,
-                    gap_open=o.gap_open, gap_ext=o.gap_ext, n_best=o.n_best,
-                )
-                a_lo, a_hi, a_rc, a_w = map(np.asarray, (a_lo, a_hi, a_rc, a_w))
-                bsc, bpos, bad = map(np.asarray, (bsc, bpos, bad))
-                for r, i in enumerate(chunk):
-                    if bad[r]:
-                        host_idx.append(i)
-                        continue
-                    g = gs[i]
-                    if int(bsc[r]) < o.min_sc:
-                        out[i] = []
-                        continue
-                    rows = rebuild_rows(a_lo[:, r], a_hi[:, r], a_rc[:, r], a_w[:, r], g.n_node)
-                    from .bwasw import _cell_dedup
+        def pbucket_of(m: int) -> int:
+            for p in self.P_BUCKETS:
+                if m <= p:
+                    return p
+            raise AssertionError(m)
 
-                    if rows[g.n_node - 1]:
-                        _cell_dedup(rows[g.n_node - 1])
-                    hits, _ = sw_backtrack(o, self.f, g, seqs[i], rows, int(bpos[r]), False)
-                    out[i] = hits or []
+        for nc in self.NC_BUCKETS:
+            for pb in self.P_BUCKETS:
+                grp = [i for i in dev_idx if bucket_of(gs[i].n_node) == nc and pbucket_of(gp[i]) == pb]
+                self._run_bucket(grp, nc, pb, gs, seqs, out, host_idx)
 
         hostset = set(host_idx)
         if host_idx:
@@ -790,3 +770,45 @@ class SwDeviceEngine:
         dev_done = [out[i] for i in range(len(seqs)) if i not in hostset and out[i]]
         _attach_positions_multi(o, self.f, dev_done)
         return out
+
+    def _run_bucket(self, grp, nc, pb, gs, seqs, out, host_idx):
+        from .bwasw import _cell_dedup, sw_backtrack
+
+        o = self.opt
+        for b0 in range(0, len(grp), self.lanes):
+            chunk = grp[b0 : b0 + self.lanes]
+            W = len(chunk)
+            Wp = max(8, 1 << (W - 1).bit_length())
+            if self.mesh is not None:  # lane count must tile over dp
+                dp = self.mesh.shape["dp"]
+                Wp = -(-Wp // dp) * dp
+            node_c = np.zeros((Wp, nc), np.int32)
+            pre = np.full((Wp, nc, pb), -1, np.int32)
+            n_node = np.ones(Wp, np.int32)
+            for r, i in enumerate(chunk):
+                g = gs[i]
+                n_node[r] = g.n_node
+                for ni, nd in enumerate(g.node):
+                    node_c[r, ni] = max(nd.c, 0)
+                    for pj, pp in enumerate(nd.pre):
+                        pre[r, ni, pj] = pp
+            a_lo, a_hi, a_rc, a_w, bsc, bpos, bad = sw_device(
+                self.idx, self._stage(node_c), self._stage(pre), self._stage(n_node), nc,
+                min_sc=o.min_sc, end_len=o.end_len, match=o.match, mis=o.mis,
+                gap_open=o.gap_open, gap_ext=o.gap_ext, n_best=o.n_best,
+            )
+            a_lo, a_hi, a_rc, a_w = map(np.asarray, (a_lo, a_hi, a_rc, a_w))
+            bsc, bpos, bad = map(np.asarray, (bsc, bpos, bad))
+            for r, i in enumerate(chunk):
+                if bad[r]:
+                    host_idx.append(i)
+                    continue
+                g = gs[i]
+                if int(bsc[r]) < o.min_sc:
+                    out[i] = []
+                    continue
+                rows = rebuild_rows(a_lo[:, r], a_hi[:, r], a_rc[:, r], a_w[:, r], g.n_node)
+                if rows[g.n_node - 1]:
+                    _cell_dedup(rows[g.n_node - 1])
+                hits, _ = sw_backtrack(o, self.f, g, seqs[i], rows, int(bpos[r]), False)
+                out[i] = hits or []

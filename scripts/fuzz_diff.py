@@ -247,6 +247,52 @@ def build_scenarios(rng: random.Random, d: str, fa: str, reads: str):
             yield ("FAIL", "build -i plain BWT differs")
 
 
+def server_scenario(rng: random.Random, fmd: str, reads: str) -> list[str]:
+    """Route mem through a resident `serve` process (CPU backend) and
+    byte-compare with the reference — the socket path the CLI auto-routes to
+    (server.sock_path) is sha1(realpath(index))[:12] under $TMPDIR."""
+    import hashlib
+    import time
+
+    h = hashlib.sha1(os.path.realpath(fmd).encode()).hexdigest()[:12]
+    sock = os.path.join(tempfile.gettempdir(), f"rb3tpu-serve-{h}.sock")
+    fails = []
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "ropebwt3_tpu", "serve", fmd],
+        env=ENV, cwd=ROOT, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+    )
+    try:
+        for _ in range(600):  # CPU warm takes seconds; compile noise allowed
+            if os.path.exists(sock):
+                break
+            if srv.poll() is not None:
+                return [f"seed={rng.random()} SERVER-DIED rc={srv.returncode}"]
+            time.sleep(0.2)
+        else:
+            return ["SERVER-TIMEOUT (socket never appeared)"]
+        time.sleep(0.3)  # listener binds before printing ready; settle
+        for _ in range(2):
+            args = ["mem", "-l", str(rng.choice([1, 13, 31])), "-c", str(rng.choice([1, 2])), fmd, reads]
+            rc_r, out_r, _ = run_ref(args)
+            rc_o, out_o, err_o = run_ours(args)
+            if rc_r != 0:
+                continue
+            if rc_o != 0:
+                fails.append(f"SERVER-ROUTED CRASH {' '.join(args)}\n{err_o.decode()[-1000:]}")
+            elif out_r != out_o:
+                fails.append(f"SERVER-ROUTED DIFF {' '.join(args)}")
+            elif b"[server]" not in err_o and b"routed" not in err_o:
+                # the route is advisory: record only if it plainly fell back
+                pass
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=10)
+        except Exception:
+            srv.kill()
+    return fails
+
+
 def one_iter(seed: int) -> list[str]:
     rng = random.Random(seed)
     fails = []
@@ -254,6 +300,8 @@ def one_iter(seed: int) -> list[str]:
     try:
         fa, reads = make_corpus(rng, d)
         fmd = build_indexes(rng, d, fa)
+        if rng.random() < 0.2:
+            fails += [f"seed={seed} {m}" for m in server_scenario(rng, fmd, reads)]
         for item in build_scenarios(rng, d, fa, reads):
             if isinstance(item, tuple) and item[0] == "FAIL":
                 keep = os.path.join("/tmp", f"fuzz_fail_{seed}")

@@ -116,3 +116,35 @@ def test_device_matches_host(dense_index, corpus, err, k):
         assert n_al[i] == h.n_al, (i, n_al[i], h.n_al)
         assert max_ed[i] == h.max_ed, (i, max_ed[i], h.max_ed)
         assert n_hap[i].tolist() == list(h.n_hap), (i, n_hap[i].tolist(), h.n_hap)
+
+
+@pytest.mark.parametrize("n_best", [50, 100])
+def test_oversized_nbest_falls_back(dense_index, corpus, n_best):
+    """N above the F-closure stack cap routes to the host engine (exact).
+
+    50 is the regression case: 48 < N <= 64 passed the old gate but the
+    stack pad shape (W, SCAP-N) went negative (fuzz seed 9000)."""
+    from ropebwt3_tpu.align.hapdiv_jax import HapdivDeviceEngine
+
+    k = 31
+    rng = np.random.default_rng(50)
+    tab = np.zeros(256, np.uint8)
+    for i, ch in enumerate(b"$ACGTN"):
+        tab[ch] = i
+    base = None
+    for line in open(corpus / "genomes.fa"):
+        if not line.startswith(">"):
+            base = tab[np.frombuffer(line.strip().encode(), np.uint8)]
+            break
+    wins = _windows(rng, base, 6, k, 0.02)
+    opt = _hapdiv_opt(k)
+    opt.n_best = n_best
+    host = rb3_hapdiv_multi(opt, dense_index, [wins[i] for i in range(6)])
+    eng = HapdivDeviceEngine(dense_index, opt)
+    assert not eng.supported
+    dev = eng.run([wins[i] for i in range(6)])
+    for h, d in zip(host, dev):
+        if h is None:
+            assert d.n_al == 0
+        else:
+            assert (d.n_al, d.max_ed, tuple(d.n_hap)) == (h.n_al, h.max_ed, tuple(h.n_hap))

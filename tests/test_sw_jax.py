@@ -115,14 +115,18 @@ def test_device_sw_int64_index(dense_index, corpus, monkeypatch):
         assert _sig(a) == _sig(b), i
 
 
-def test_unsupported_opts_fall_back(dense_index, corpus):
-    """An out-of-range -N routes every read to the host engine (still exact)."""
+@pytest.mark.parametrize("n_best", [50, 100])
+def test_unsupported_opts_fall_back(dense_index, corpus, n_best):
+    """An out-of-range -N routes every read to the host engine (still exact).
+
+    50 is the regression case: 48 < N <= 64 passed the old gate but the
+    F-closure stack pad shape (W, SCAP-N) went negative (fuzz seed 9000)."""
     from ropebwt3_tpu.align.sw_jax import SwDeviceEngine
 
     rng = np.random.default_rng(3)
     reads = _reads(corpus, rng, n=4)
     opt = SwOpt()
-    opt.n_best = 100
+    opt.n_best = n_best
     host = [rb3_sw(opt, dense_index, q) for q in reads]
     eng = SwDeviceEngine(dense_index, opt)
     assert not eng.supported
