@@ -154,6 +154,25 @@ def _ftake2(arr2d, cols):
     return jnp.take(arr2d.reshape(-1), base + cols.astype(jnp.int32))
 
 
+def _pick(arr2d, col):
+    """arr2d[w, col[w]] via a one-hot masked reduce.  Gather-free: flat takes
+    cost ~9 ns/ELEMENT on this runtime (one (W,) pick = ~37 us at W=4096,
+    measured as the dominant cost of the closure/bucket loops — round-3
+    ablation sweep), while the equivalent one-hot reduce over a narrow row
+    (NB<=128 / SCAP=48 wide) is a handful of fused element ops."""
+    oh = jax.lax.broadcasted_iota(jnp.int32, arr2d.shape, 1) == col[:, None]
+    return jnp.sum(jnp.where(oh, arr2d, jnp.zeros((), arr2d.dtype)), axis=1, dtype=arr2d.dtype)
+
+
+def _pick2(arr2d, cols):
+    """arr2d[w, cols[w, j]] via a one-hot reduce over (W, J, S) — use only
+    when J*S is small (the flat-take twin _ftake2 costs 9 ns/element)."""
+    oh = cols[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (arr2d.shape[0], cols.shape[1], arr2d.shape[1]), 2
+    )
+    return jnp.sum(jnp.where(oh, arr2d[:, None, :], jnp.zeros((), arr2d.dtype)), axis=2, dtype=arr2d.dtype)
+
+
 def _onehot_set(arr2d, col, val, mask):
     """arr2d with arr2d[w, col[w]] = val[w] where mask[w] (one-hot select —
     XLA TPU scatters serialize)."""
@@ -363,7 +382,7 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         n_prev = jnp.sum(row["valid"], axis=1).astype(jnp.int32)
         # w.last_p = last batch-visited prev cell (bwa-sw.c keeps the pointer
         # dangling across cells); gates the F-closure via qlen >= end_len
-        lastp_qlen = _ftake(row["qlen"], jnp.maximum(n_prev - 1, 0))
+        lastp_qlen = _pick(row["qlen"], jnp.maximum(n_prev - 1, 0))
         gate_f = (lastp_qlen >= np.int32(end_len)) & (n_prev > 0)
 
         # ---- one batched extend of the whole prev row ---------------------
@@ -546,34 +565,36 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         bad = bad | (u_count >= np.int32(MAXC))  # khashl would resize mid-node
 
         # ---- bucket assignment: replay khashl inserts (first-occurrence) --
+        # lax.scan with the per-u home fed as xs and the bucket emitted as ys.
+        # The former while_loop's per-iteration element gathers (_ftake of the
+        # home and the buckets carry) and the (W, S) COLUMN
+        # dynamic_update_slice measured ~60 us per op on this runtime — the
+        # probe loop alone was 59% of the whole kernel (ablation sweep,
+        # PERF_NOTES round 3).  The scan body is 4 lean (W, NB) ops with no
+        # gather and no carry-side bucket writes; iteration count is the
+        # static u cap (count >= MAXC is bad-flagged, so u < MAXC-1 covers
+        # every non-bad window — the data-dependent early exit bought less
+        # than its fat body cost).
         u_home = _home_bucket(u_key, NB_BITS_)
-        used0 = jnp.zeros((W, NB), jnp.int32)
-        buckets0 = jnp.zeros((W, S), jnp.int32)
-        max_u = jnp.max(jnp.where(bad, 0, u_count))
+        UCAP = min(S, MAXC - 1)
+        if "bucket" in _ABLATE:  # timing ablation: no probe loop
+            u_bucket = jnp.zeros((W, S), jnp.int32)
+        else:
+            def bk_body(used, xs):
+                u, home = xs
+                act = (u < u_count) & ~bad
+                d = (iota_nb - home[:, None]) & np.int32(NB - 1)
+                b = jnp.argmin(jnp.where(used, BIGI, d), axis=1).astype(jnp.int32)
+                used = used | (act[:, None] & (iota_nb == b[:, None]))
+                return used, b
 
-        def bk_cond(st):
-            u, _, _ = st
-            if "bucket" in _ABLATE:  # timing ablation: no probe loop
-                return u < 0
-            return u < max_u
-
-        def bk_body(st):
-            u, used, buckets = st
-            act = (u < u_count) & ~bad
-            home = _ftake(u_home, jnp.full((W,), 0, jnp.int32) + u)
-            d = (iota_nb - home[:, None]) & np.int32(NB - 1)
-            b = jnp.argmin(jnp.where(used == 1, BIGI, d), axis=1).astype(jnp.int32)
-            used = jnp.where(
-                act[:, None] & (iota_nb == b[:, None]), np.int32(1), used
+            _, bT = jax.lax.scan(
+                bk_body, jnp.zeros((W, NB), bool),
+                (jnp.arange(UCAP, dtype=jnp.int32), u_home.T[:UCAP]),
             )
-            buckets = jax.lax.dynamic_update_slice(
-                buckets,
-                jnp.where(act, b, _ftake(buckets, jnp.full((W,), u)))[:, None],
-                (jnp.asarray(0, jnp.int32), u),
-            )
-            return u + 1, used, buckets
-
-        _, used_f, u_bucket = jax.lax.while_loop(bk_cond, bk_body, (jnp.asarray(0, jnp.int32), used0, buckets0))
+            u_bucket = bT.T
+            if S > UCAP:
+                u_bucket = jnp.concatenate([u_bucket, jnp.zeros((W, S - UCAP), jnp.int32)], axis=1)
 
         # ---- materialize the 128-bucket table -----------------------------
         # buckets are unique per window, so a one-hot (W, S, NB) reduction
@@ -621,7 +642,7 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         rev_csum = jnp.flip(jnp.cumsum(jnp.flip(elig.astype(jnp.int32), 1), axis=1), 1)
         slot_of_j = rev_csum - elig.astype(jnp.int32)
         st_perm = jnp.argsort(jnp.where(elig, slot_of_j, BIGI), axis=1, stable=True)
-        st_bucket = _ftake2(rb, st_perm)
+        st_bucket = _pick2(rb, st_perm)
         st_n = jnp.sum(elig, axis=1).astype(jnp.int32)
 
         def table_rows(tk, ts, tp, tl, bcol):
@@ -681,9 +702,9 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
             pend = chosen >= 0
             sp = jnp.where(bad, sp, jnp.maximum(chosen, 0))
             at = jnp.maximum(chosen, 0)
-            z = {f: _ftake(stack[f], at) for f in stack}
-            pF2 = _ftake(F2_all, at)
-            pFfrom = jnp.where(_ftake(f_open_all.astype(jnp.int32), at) == 1, np.int32(FROM_OPEN), np.int32(FROM_EXT))
+            z = {f: _pick(stack[f], at) for f in stack}
+            pF2 = _pick(F2_all, at)
+            pFfrom = jnp.where(_pick(f_open_all.astype(jnp.int32), at) == 1, np.int32(FROM_OPEN), np.int32(FROM_EXT))
             pmin = minv
 
             # ---- one batched extend over pending windows ----------------
@@ -714,14 +735,14 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
                 elig_b = ((tkey == KEY_EMPTY) & ~occ_extra) | (tkey == key_c[:, None])
                 b = jnp.argmin(jnp.where(elig_b, d, BIGI), axis=1).astype(jnp.int32)
                 occ_extra = occ_extra | ((iota_nb == b[:, None]) & putm[:, None])
-                cur_key = _ftake(tkey, b)
+                cur_key = _pick(tkey, b)
                 absent = cur_key == KEY_EMPTY
                 bad = bad | (putm & (count >= np.int32(MAXC)))
                 putm = putm & ~bad
                 count = count + (putm & absent)
-                cw = _ftake(tsc, b)
+                cw = _pick(tsc, b)
                 tH, tE, tF, trl, tql, tHf, tEf, tFf, tFo = _unpack_sc(cw)
-                pw = _ftake(tpos, b)
+                pw = _pick(tpos, b)
                 tHp, tEp, tFoff = _unpack_pos(pw)
                 # merge (sw_update_candset): F-candidate fields
                 nH = jnp.where(absent, rH, jnp.maximum(tH, rH))
@@ -762,7 +783,7 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
                 push = do_f & (rH - np.int32(gap_ext) > pmin)
                 bad = bad | (push & (sp >= np.int32(SCAP)))
                 push = push & ~bad
-                new_lorc = jnp.where(absent, okz[:, c, 1], _ftake(tlorc, b))
+                new_lorc = jnp.where(absent, okz[:, c, 1], _pick(tlorc, b))
                 pushes.append((sp, push, dict(
                     lo=lo_c.astype(dt), hi=hi_c.astype(dt), lorc=new_lorc.astype(dt),
                     H=nH, F=nF, rlen=nrl, qlen=nql,
@@ -820,7 +841,7 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
 
         # ---- sw_track_F: fpar index -> row column (bwa-sw.c:301-324) -------
         need = r_valid & (rF > 0) & (rFoff != UNSET)
-        fkey = _ftake2(fpar, jnp.where(need, jnp.minimum(rFoff, FCAP - 1), 0))
+        fkey = _pick2(fpar, jnp.where(need, jnp.minimum(rFoff, FCAP - 1), 0))
         mt = (rkey[:, None, :] == fkey[:, :, None]) & r_valid[:, None, :]  # (W, cell, col)
         hit = jnp.any(mt, axis=2)
         j2 = jnp.argmax(mt, axis=2).astype(jnp.int32)

@@ -55,6 +55,8 @@ from .hapdiv_jax import (
     _home_bucket,
     nb_params,
     _onehot_set,
+    _pick,
+    _pick2,
     _pack_pos,
     _pack_sc,
     _unpack_pos,
@@ -176,7 +178,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
         # ---- w.last_p: last visited cell (visited even when pruned) --------
         lp_slot = jnp.max(jnp.where(pvalid, iota_pn, np.int32(-1)), axis=1)
         has_cells = lp_slot >= 0
-        lastp_qlen = jnp.where(has_cells, _ftake(pqlen, jnp.maximum(lp_slot, 0)), lastp_qlen)
+        lastp_qlen = jnp.where(has_cells, _pick(pqlen, jnp.maximum(lp_slot, 0)), lastp_qlen)
         gate_f = lastp_qlen >= np.int32(end_len)
 
         # ---- ks_ksmall prune (bwa-sw.c:366-376) -----------------------------
@@ -333,29 +335,27 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
         u_count = jnp.sum(u_valid, axis=1).astype(jnp.int32)
         bad = bad | (u_count >= np.int32(MAXC))
 
-        # ---- khashl bucket replay (first-occurrence inserts) ---------------
+        # ---- khashl bucket replay (first-occurrence inserts): scan with the
+        # home as xs and the bucket as ys — the while_loop's per-iteration
+        # gathers/column-DUS dominated the hapdiv kernel (see hapdiv_jax)
         u_home = _home_bucket(u_key, NB_BITS_)
-        used0 = jnp.zeros((W, NB), jnp.int32)
-        buckets0 = jnp.zeros((W, S), jnp.int32)
-        max_u = jnp.max(jnp.where(bad, 0, u_count))
+        UCAP = min(S, MAXC - 1)
 
-        def bk_body(st):
-            u, used, buckets = st
+        def bk_body(used, xs):
+            u, home = xs
             act = (u < u_count) & ~bad
-            home = _ftake(u_home, jnp.full((W,), 0, jnp.int32) + u)
             d = (iota_nb - home[:, None]) & np.int32(NB - 1)
-            b = jnp.argmin(jnp.where(used == 1, BIGI, d), axis=1).astype(jnp.int32)
-            used = jnp.where(act[:, None] & (iota_nb == b[:, None]), np.int32(1), used)
-            buckets = jax.lax.dynamic_update_slice(
-                buckets,
-                jnp.where(act, b, _ftake(buckets, jnp.full((W,), u)))[:, None],
-                (jnp.asarray(0, jnp.int32), u),
-            )
-            return u + 1, used, buckets
+            b = jnp.argmin(jnp.where(used, BIGI, d), axis=1).astype(jnp.int32)
+            used = used | (act[:, None] & (iota_nb == b[:, None]))
+            return used, b
 
-        _, _, u_bucket = jax.lax.while_loop(
-            lambda st: st[0] < max_u, bk_body, (jnp.asarray(0, jnp.int32), used0, buckets0)
+        _, bT = jax.lax.scan(
+            bk_body, jnp.zeros((W, NB), bool),
+            (jnp.arange(UCAP, dtype=jnp.int32), u_home.T[:UCAP]),
         )
+        u_bucket = bT.T
+        if S > UCAP:
+            u_bucket = jnp.concatenate([u_bucket, jnp.zeros((W, S - UCAP), jnp.int32)], axis=1)
 
         # ---- materialize the 128-bucket table -------------------------------
         bvalid = u_valid & ~bad[:, None]
@@ -390,7 +390,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
         rev_csum = jnp.flip(jnp.cumsum(jnp.flip(elig.astype(jnp.int32), 1), axis=1), 1)
         slot_of_j = rev_csum - elig.astype(jnp.int32)
         st_perm = jnp.argsort(jnp.where(elig, slot_of_j, BIGI), axis=1, stable=True)
-        st_bucket = _ftake2(rb, st_perm)
+        st_bucket = _pick2(rb, st_perm)
         st_n = jnp.sum(elig, axis=1).astype(jnp.int32)
 
         def table_rows(tk, ts, tp, tl, bcol):
@@ -439,9 +439,9 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
             pend = chosen >= 0
             sp = jnp.where(bad, sp, jnp.maximum(chosen, 0))
             at = jnp.maximum(chosen, 0)
-            z = {f2: _ftake(stack[f2], at) for f2 in stack}
-            pF2 = _ftake(F2_all, at)
-            pFfrom = jnp.where(_ftake(f_open_all.astype(jnp.int32), at) == 1, np.int32(FROM_OPEN), np.int32(FROM_EXT))
+            z = {f2: _pick(stack[f2], at) for f2 in stack}
+            pF2 = _pick(F2_all, at)
+            pFfrom = jnp.where(_pick(f_open_all.astype(jnp.int32), at) == 1, np.int32(FROM_OPEN), np.int32(FROM_EXT))
             pmin = minv
 
             ikz = jnp.stack(
@@ -466,14 +466,14 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
                 elig_b = ((tkey == KEY_EMPTY) & ~occ_extra) | (tkey == key_c[:, None])
                 b = jnp.argmin(jnp.where(elig_b, d, BIGI), axis=1).astype(jnp.int32)
                 occ_extra = occ_extra | ((iota_nb == b[:, None]) & putm[:, None])
-                cur_key = _ftake(tkey, b)
+                cur_key = _pick(tkey, b)
                 absent = cur_key == KEY_EMPTY
                 bad = bad | (putm & (count >= np.int32(MAXC)))
                 putm = putm & ~bad
                 count = count + (putm & absent)
-                cw = _ftake(tsc, b)
+                cw = _pick(tsc, b)
                 tH, tE, tF, trl, tql, tHf, tEf, tFf, tFo = _unpack_sc(cw)
-                pw2 = _ftake(tpos, b)
+                pw2 = _pick(tpos, b)
                 tHp, tEp, tFoff = _unpack_pos(pw2)
                 nH = jnp.where(absent, rH, jnp.maximum(tH, rH))
                 nHf = jnp.where(absent | (tH < rH), np.int32(FROM_F), tHf)
@@ -506,7 +506,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
                 push = do_f & (rH - np.int32(gap_ext) > pmin)
                 bad = bad | (push & (sp >= np.int32(SCAP)))
                 push = push & ~bad
-                new_lorc = jnp.where(absent, okz[:, c, 1], _ftake(tlorc, b))
+                new_lorc = jnp.where(absent, okz[:, c, 1], _pick(tlorc, b))
                 pushes.append((sp, push, dict(
                     lo=lo_c.astype(dt), hi=hi_c.astype(dt), lorc=new_lorc.astype(dt),
                     H=nH, F=nF, rlen=nrl, qlen=nql,
@@ -562,7 +562,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
 
         # ---- sw_track_F: fpar index -> row column (bwa-sw.c:301-324) --------
         need = r_valid & (rF > 0) & (rFoff != UNSET)
-        fkey = _ftake2(fpar, jnp.where(need, jnp.minimum(rFoff, FCAP - 1), 0))
+        fkey = _pick2(fpar, jnp.where(need, jnp.minimum(rFoff, FCAP - 1), 0))
         mt = (rkey[:, None, :] == fkey[:, :, None]) & r_valid[:, None, :]
         hit = jnp.any(mt, axis=2)
         j2 = jnp.argmax(mt, axis=2).astype(jnp.int32)
