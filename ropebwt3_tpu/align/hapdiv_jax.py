@@ -154,6 +154,72 @@ def _ftake2(arr2d, cols):
     return jnp.take(arr2d.reshape(-1), base + cols.astype(jnp.int32))
 
 
+def _ctz32(x):
+    """Count trailing zeros of a uint32 vector (32 for x == 0): elementwise
+    isolate-lowest-set-bit + population_count — no reduce, so it fuses."""
+    t = x & (~x + jnp.uint32(1))
+    return jax.lax.population_count(t - jnp.uint32(1)).astype(jnp.int32)
+
+
+# unroll=8 hits an XLA compile cliff (~12x compile time, CPU probe); 4 is
+# flat-cost and still fuses 4 placements per launch
+_KH_UNROLL = int(_os.environ.get("RB3TPU_KHASHL_UNROLL", "4"))
+
+
+def bucket_scan(u_home, u_count, bad, NB: int, UCAP: int, unroll: int = _KH_UNROLL):
+    """khashl linear-probe replay (first empty slot cyclically from the home
+    bucket, khashl-km.h) with the occupancy held as a BITMASK in uint32
+    words.  The (W, NB) argmin formulation paid ~3 kernel launches per placed
+    key (~135 us/key at W=4096 — the argmin reduce splits the fusion and
+    launch overhead is this runtime's floor, PERF_NOTES round 3); here every
+    placement is pure elementwise math — empties at-or-after the home via a
+    shifted mask, first set bit via ctz, wraparound via the complement mask —
+    so XLA fuses `unroll` placements into ~one launch.
+
+    Returns u_bucket (W, UCAP) int32; exact vs the sequential replay
+    (tests/test_hapdiv_jax.py::test_bucket_scan_matches_sequential)."""
+    W = u_home.shape[0]
+    nw = max(1, NB // 32)  # NB is a power of two (nb_params)
+    full = jnp.uint32(0xFFFFFFFF if NB >= 32 else (1 << NB) - 1)
+
+    def body(used, xs):
+        u, home = xs
+        act = (u < u_count) & ~bad
+        q = home >> 5
+        r = (home & np.int32(31)).astype(jnp.uint32)
+        idx = jnp.full((W,), np.int32(32 * nw), jnp.int32)  # none found
+        idxB = jnp.full((W,), np.int32(32 * nw), jnp.int32)
+        for k in range(nw - 1, -1, -1):
+            E = ~used[k] & full
+            # bits of word k at-or-after the home bit (cyclic split mask)
+            ge = jnp.where(
+                q < k, full, jnp.where(q > k, jnp.uint32(0), (full << r) & full)
+            )
+            A = E & ge
+            B = E & ~ge
+            cA = _ctz32(A)
+            cB = _ctz32(B)
+            idx = jnp.where(cA < 32, np.int32(32 * k) + cA, idx)
+            idxB = jnp.where(cB < 32, np.int32(32 * k) + cB, idxB)
+        b = jnp.where(idx < np.int32(32 * nw), idx, idxB)
+        b = jnp.minimum(b, np.int32(NB - 1))  # never hit: table load < 3/4
+        word = b >> 5
+        bit = (b & np.int32(31)).astype(jnp.uint32)
+        used = tuple(
+            jnp.where(act & (word == k), used[k] | (jnp.uint32(1) << bit), used[k])
+            for k in range(nw)
+        )
+        return used, b
+
+    used0 = tuple(jnp.zeros((W,), jnp.uint32) for _ in range(nw))
+    _, bT = jax.lax.scan(
+        body, used0,
+        (jnp.arange(UCAP, dtype=jnp.int32), u_home.T[:UCAP]),
+        unroll=min(unroll, UCAP),
+    )
+    return bT.T
+
+
 def _pick(arr2d, col):
     """arr2d[w, col[w]] via a one-hot masked reduce.  Gather-free: flat takes
     cost ~9 ns/ELEMENT on this runtime (one (W,) pick = ~37 us at W=4096,
@@ -580,19 +646,23 @@ def hapdiv_device(idx: DeviceIndex, seqs, K: int, n_best: int = N_BEST, min_sc: 
         if "bucket" in _ABLATE:  # timing ablation: no probe loop
             u_bucket = jnp.zeros((W, S), jnp.int32)
         else:
-            def bk_body(used, xs):
-                u, home = xs
-                act = (u < u_count) & ~bad
-                d = (iota_nb - home[:, None]) & np.int32(NB - 1)
-                b = jnp.argmin(jnp.where(used, BIGI, d), axis=1).astype(jnp.int32)
-                used = used | (act[:, None] & (iota_nb == b[:, None]))
-                return used, b
+            if _os.environ.get("RB3TPU_KHASHL_ARGMIN") == "1":
+                # (W, NB) argmin formulation kept for A/B (3 launches/key)
+                def bk_body(used, xs):
+                    u, home = xs
+                    act = (u < u_count) & ~bad
+                    d = (iota_nb - home[:, None]) & np.int32(NB - 1)
+                    b = jnp.argmin(jnp.where(used, BIGI, d), axis=1).astype(jnp.int32)
+                    used = used | (act[:, None] & (iota_nb == b[:, None]))
+                    return used, b
 
-            _, bT = jax.lax.scan(
-                bk_body, jnp.zeros((W, NB), bool),
-                (jnp.arange(UCAP, dtype=jnp.int32), u_home.T[:UCAP]),
-            )
-            u_bucket = bT.T
+                _, bT = jax.lax.scan(
+                    bk_body, jnp.zeros((W, NB), bool),
+                    (jnp.arange(UCAP, dtype=jnp.int32), u_home.T[:UCAP]),
+                )
+                u_bucket = bT.T
+            else:
+                u_bucket = bucket_scan(u_home, u_count, bad, NB, UCAP)
             if S > UCAP:
                 u_bucket = jnp.concatenate([u_bucket, jnp.zeros((W, S - UCAP), jnp.int32)], axis=1)
 

@@ -37,6 +37,7 @@ import numpy as np
 from ..ops.rank import DeviceIndex, extend as rank_extend
 from .hapdiv_jax import (
     BIGI,
+    bucket_scan,
     FCAP,
     FROM_E,
     FROM_EXT,
@@ -340,20 +341,7 @@ def sw_device(idx: DeviceIndex, node_c, pre_ids, n_node, NC: int,
         # gathers/column-DUS dominated the hapdiv kernel (see hapdiv_jax)
         u_home = _home_bucket(u_key, NB_BITS_)
         UCAP = min(S, MAXC - 1)
-
-        def bk_body(used, xs):
-            u, home = xs
-            act = (u < u_count) & ~bad
-            d = (iota_nb - home[:, None]) & np.int32(NB - 1)
-            b = jnp.argmin(jnp.where(used, BIGI, d), axis=1).astype(jnp.int32)
-            used = used | (act[:, None] & (iota_nb == b[:, None]))
-            return used, b
-
-        _, bT = jax.lax.scan(
-            bk_body, jnp.zeros((W, NB), bool),
-            (jnp.arange(UCAP, dtype=jnp.int32), u_home.T[:UCAP]),
-        )
-        u_bucket = bT.T
+        u_bucket = bucket_scan(u_home, u_count, bad, NB, UCAP)
         if S > UCAP:
             u_bucket = jnp.concatenate([u_bucket, jnp.zeros((W, S - UCAP), jnp.int32)], axis=1)
 

@@ -912,6 +912,14 @@ def main_kount(argv: list[str]) -> int:
 def main_fa2line(argv: list[str]) -> int:
     opts, args = ketopt(argv, "R")
     no_rev = any(o == "-R" for o, _ in opts)
+    # opportunistically (re)build the standalone binary the bin/rb3tpu
+    # launcher execs on SUBSEQUENT runs (hash-cached; ~1 s once)
+    try:
+        from .native import ensure_fa2line
+
+        ensure_fa2line()
+    except Exception:
+        pass
     if not args:
         _usage("fa2line")
         return 0

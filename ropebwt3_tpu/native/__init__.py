@@ -51,6 +51,45 @@ def _build(src: str, so: str) -> None:
         f.write(digest)
 
 
+_FA2LINE_SRC = os.path.join(_DIR, "fa2line.cpp")
+_FA2LINE_BIN = os.path.join(_DIR, "_fa2line")
+_FA2LINE_FLAGS = ["-O2", "-std=c++17"]
+
+
+def ensure_fa2line() -> str | None:
+    """Build the standalone fa2line binary (native/fa2line.cpp) and
+    best-effort copy it next to the installed launcher as rb3tpu-fa2line so
+    bin/rb3tpu can exec it without starting Python — the interpreter + numpy
+    startup (~0.9 s) dominates this I/O-bound command.  Returns the binary
+    path, or None if the toolchain is unavailable."""
+    import shutil
+    import sys
+
+    try:
+        with open(_FA2LINE_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read() + " ".join(_FA2LINE_FLAGS).encode()).hexdigest()
+        stamp = _FA2LINE_BIN + ".hash"
+        fresh = not (os.path.exists(_FA2LINE_BIN) and os.path.exists(stamp) and open(stamp).read().strip() == digest)
+        if fresh:
+            subprocess.run(
+                ["g++", *_FA2LINE_FLAGS, "-o", _FA2LINE_BIN + ".tmp", _FA2LINE_SRC, "-lz"],
+                check=True, capture_output=True,
+            )
+            os.replace(_FA2LINE_BIN + ".tmp", _FA2LINE_BIN)
+            with open(stamp, "w") as f:
+                f.write(digest)
+        launcher_copy = os.path.join(os.path.dirname(sys.executable), "rb3tpu-fa2line")
+        if fresh or not os.path.exists(launcher_copy):
+            try:  # best-effort: a read-only bin dir only costs the fast path
+                shutil.copy2(_FA2LINE_BIN, launcher_copy + ".tmp")
+                os.replace(launcher_copy + ".tmp", launcher_copy)
+            except OSError:
+                pass
+        return _FA2LINE_BIN
+    except Exception:
+        return None
+
+
 def get_lib():
     """Return the loaded ctypes library, building it if needed; None if
     unavailable."""

@@ -1,6 +1,7 @@
 """End-to-end CLI golden tests: every command's stdout must byte-match the
 reference binary on the same inputs (SURVEY.md §4 test strategy)."""
 
+import os
 import subprocess
 
 import pytest
@@ -214,3 +215,38 @@ def test_mem_pos_min_len1_golden(ref_bin, ref_index, corpus):
     column (search.c:305; found by scripts/fuzz_diff.py seed 148)."""
     args = ["mem", "-l", "1", "-c", "5", "-p", "7", str(ref_index), str(corpus / "reads.fa")]
     assert run_ours(args) == run_ref(ref_bin, args)
+
+
+def test_fa2line_native_binary_golden(ref_bin, corpus, tmp_path):
+    """The standalone fa2line binary (native/fa2line.cpp, exec'd by the
+    bin/rb3tpu launcher to skip interpreter+numpy startup) is byte-identical
+    to the reference on FASTA, gzipped FASTA, FASTQ, stdin, -R, and edge
+    records (empty seq, multi-line, lowercase, N runs, CRLF)."""
+    import gzip
+    import subprocess
+
+    from ropebwt3_tpu.native import ensure_fa2line
+
+    binp = ensure_fa2line()
+    assert binp and os.path.exists(binp)
+
+    edge = tmp_path / "edge.fa"
+    edge.write_bytes(
+        b">empty\n\n>multi\nACGTacgt\nNNNttt\n\n>crlf\nACG\r\nT\r\n>last\nnacgtn"
+    )
+    fq = tmp_path / "r.fq"
+    fq.write_bytes(b"@q1\nACGTN\n+\nIIIII\n@q2\nttagc\n+junk\n!!!!!\n")
+    gz = tmp_path / "r.fa.gz"
+    gz.write_bytes(gzip.compress((corpus / "reads.fa").read_bytes()))
+
+    def run_bin(args, input=None):
+        r = subprocess.run([binp] + args, input=input, capture_output=True)
+        return r.stdout
+
+    for fn in (str(corpus / "reads.fa"), str(edge), str(fq), str(gz)):
+        for flags in ([], ["-R"]):
+            want = run_ref(ref_bin, ["fa2line"] + flags + [fn])
+            assert run_bin(flags + [fn]) == want, (fn, flags)
+    # stdin
+    data = (corpus / "reads.fa").read_bytes()
+    assert run_bin(["-"], input=data) == run_ref(ref_bin, ["fa2line", "-"], input=data)

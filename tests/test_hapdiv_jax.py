@@ -148,3 +148,42 @@ def test_oversized_nbest_falls_back(dense_index, corpus, n_best):
             assert d.n_al == 0
         else:
             assert (d.n_al, d.max_ed, tuple(d.n_hap)) == (h.n_al, h.max_ed, tuple(h.n_hap))
+
+
+@pytest.mark.parametrize("n_best", [2, 8, 25, 33])
+def test_bucket_scan_matches_sequential(n_best):
+    """The bitmask khashl replay (bucket_scan) is bit-identical to the scalar
+    first-empty-cyclic-probe insert across table geometries (NB = 8..256),
+    including deep collision cascades and wraparound probes."""
+    import jax.numpy as jnp
+    from ropebwt3_tpu.align.hapdiv_jax import bucket_scan, nb_params
+
+    _, NB, MAXC = nb_params(n_best)
+    W, UCAP = 64, MAXC - 1
+    rng = np.random.default_rng(NB)
+    u_home = rng.integers(0, NB, (W, UCAP)).astype(np.int32)
+    u_home[: W // 4] = rng.integers(max(NB - 3, 0), NB, (W // 4, UCAP))  # wrap
+    u_home[W // 4 : W // 2] = rng.integers(0, min(3, NB), (W // 4, UCAP))
+    u_count = rng.integers(0, UCAP + 1, W).astype(np.int32)
+    bad = rng.random(W) < 0.2
+
+    want = np.zeros((W, UCAP), np.int32)
+    for w in range(W):
+        if bad[w]:
+            continue
+        used = np.zeros(NB, bool)
+        for u in range(int(u_count[w])):
+            h = int(u_home[w, u])
+            for d in range(NB):
+                b = (h + d) % NB
+                if not used[b]:
+                    used[b] = True
+                    want[w, u] = b
+                    break
+
+    for unroll in (1, 8):
+        got = np.asarray(bucket_scan(
+            jnp.asarray(u_home), jnp.asarray(u_count), jnp.asarray(bad), NB, UCAP, unroll=unroll
+        ))
+        mask = (np.arange(UCAP)[None, :] < u_count[:, None]) & ~bad[:, None]
+        assert (np.where(mask, got, 0) == np.where(mask, want, 0)).all(), (NB, unroll)
