@@ -658,10 +658,13 @@ class SwDeviceEngine:
 
     def __init__(self, f, opt, lanes: int = 256, mesh=None):
         from .bwasw import RB3_SWF_HAPDIV
+        import os as _os2
 
         self.f = f
         self.opt = opt
-        self.lanes = lanes
+        # per-node fixed cost amortizes over lanes (the loops are
+        # dispatch-bound at small W); env knob for sweeps
+        self.lanes = int(_os2.environ.get("RB3TPU_SW_LANES", lanes))
         # reads run data-parallel over the mesh's `dp` axis (tables
         # replicated), same GSPMD layout as the hapdiv engine
         self.mesh = mesh
