@@ -978,6 +978,11 @@ def main_fa2kmer(argv: list[str]) -> int:
     if not args:
         _usage("fa2kmer")
         return 0
+    if step <= 0:
+        # the reference walks i += step unguarded and segfaults on a negative
+        # seq[i] read (main.c fa2kmer loop); ours must not hang (fuzz 10141)
+        print(f"ERROR: step size must be positive, got {step}", file=sys.stderr)
+        return 1
     for fn in args:
         if not seq_openable(fn):
             print(f"ERROR: failed to open file '{fn}'", file=sys.stderr)

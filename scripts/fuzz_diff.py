@@ -31,16 +31,25 @@ ENV["RB3TPU_CACHE"] = "0"
 ENV["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4").strip()
 
 
+TIMEOUT = 600  # a hang is a bug (fa2kmer -w<0 spun forever, fuzz seed 10141)
+
+
 def run_ref(args, input=None):
-    r = subprocess.run([REF_BIN] + args, input=input, capture_output=True)
+    try:
+        r = subprocess.run([REF_BIN] + args, input=input, capture_output=True, timeout=TIMEOUT)
+    except subprocess.TimeoutExpired:
+        return -99, b"", b"TIMEOUT"
     return r.returncode, r.stdout, r.stderr
 
 
 def run_ours(args, input=None):
-    r = subprocess.run(
-        [sys.executable, "-m", "ropebwt3_tpu"] + args,
-        input=input, capture_output=True, env=ENV, cwd=ROOT,
-    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "ropebwt3_tpu"] + args,
+            input=input, capture_output=True, env=ENV, cwd=ROOT, timeout=TIMEOUT,
+        )
+    except subprocess.TimeoutExpired:
+        return -99, b"", b"TIMEOUT (hang)"
     return r.returncode, r.stdout, r.stderr
 
 

@@ -3,6 +3,7 @@ reference binary on the same inputs (SURVEY.md §4 test strategy)."""
 
 import os
 import subprocess
+import sys
 
 import pytest
 
@@ -250,3 +251,15 @@ def test_fa2line_native_binary_golden(ref_bin, corpus, tmp_path):
     # stdin
     data = (corpus / "reads.fa").read_bytes()
     assert run_bin(["-"], input=data) == run_ref(ref_bin, ["fa2line", "-"], input=data)
+
+
+def test_fa2kmer_nonpositive_step_terminates(corpus):
+    """fa2kmer with -w <= 0 must terminate with an error instead of spinning
+    (fuzz seed 10141: a junk flag spliced as the -w value gave step 0; the
+    reference segfaults on the same input, so no golden compare is possible)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "ropebwt3_tpu", "fa2kmer", "-k", "151", "-w", "0", str(corpus / "reads.fa")],
+        capture_output=True, timeout=60, env={**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"},
+    )
+    assert b"step size must be positive" in r.stderr
+    assert r.stdout == b""
