@@ -51,7 +51,7 @@ def test_daemon_lifecycle_golden(ref_bin, ref_index, corpus):
         assert r2.stdout == want
         assert b"starting warm-engine daemon" not in r2.stderr
         # wait for readiness, then the warm-path request must be golden
-        for _ in range(600):
+        for _ in range(1200):  # 10 min: CPU-contended warm compiles exceeded 300 s
             if server_available(idx):
                 break
             time.sleep(0.5)
@@ -81,7 +81,7 @@ def test_mem_via_server_golden(ref_bin, ref_index, corpus):
         env=_env(), cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
     try:
-        for _ in range(600):
+        for _ in range(1200):  # 10 min: CPU-contended warm compiles exceeded 300 s
             if server_available(idx):
                 break
             if srv.poll() is not None:
