@@ -117,21 +117,59 @@ def ensure_dense(fmd):
     return f
 
 
+def _run_timed(cmd, **kw):
+    """Run `cmd`; return (wall_s, cpu_util) where cpu_util is the child's
+    CPU time over wall over cores — the contamination detector: a reference
+    timed while other work ran gets starved and its utilization collapses
+    (round-3 lesson: a contaminated cache read 2.8x too slow and burned an
+    hour; caches are now refused unless recorded near-full-utilization)."""
+    import resource
+
+    ncpu = os.cpu_count() or 4
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    t0 = time.time()
+    subprocess.run(cmd, **kw)
+    wall = time.time() - t0
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    cpu = (r1.ru_utime + r1.ru_stime) - (r0.ru_utime + r0.ru_stime)
+    return wall, cpu / wall / ncpu if wall > 0 else 0.0
+
+
+MIN_REF_UTIL = 0.70  # -t4 mem/sw/hapdiv pipelines run ~95-100% per core solo
+
+
+def _trusted(cache):
+    """Load a reference-timing cache only if it certifies a clean recording."""
+    if not os.path.exists(cache):
+        return None
+    j = json.load(open(cache))
+    if j.get("cpu_util", 0.0) < MIN_REF_UTIL:
+        log(f"refusing untrusted reference cache {cache} (cpu_util={j.get('cpu_util')}); re-timing")
+        return None
+    return j
+
+
 def ref_baseline(fmd, reads_fa):
-    """Reference wall-clock on this machine, all cores; cached."""
+    """Reference wall-clock on this machine, all cores; cached (the cache is
+    refused and re-timed if it was recorded under CPU contention)."""
     cache = os.path.join(BENCH, "ref_timing.json")
-    if os.path.exists(cache):
-        return json.load(open(cache))
+    j = _trusted(cache)
+    if j:
+        return j
     ref = ensure_ref_bin()
     if not ref:
         return None
     ncpu = os.cpu_count() or 4
-    log(f"timing reference mem -t{ncpu} ...")
-    t0 = time.time()
-    subprocess.run([ref, "mem", f"-t{ncpu}", f"-l{MIN_LEN}", fmd, reads_fa], check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    wall = time.time() - t0
-    d = {"wall_s": wall, "threads": ncpu, "reads_per_s": N_READS / wall, "mbp_per_s": N_READS * READ_LEN / wall / 1e6}
+    log(f"timing reference mem -t{ncpu} (best-of-2, solo) ...")
+    wall, util = float("inf"), 0.0
+    for _ in range(2):
+        w, u = _run_timed([ref, "mem", f"-t{ncpu}", f"-l{MIN_LEN}", fmd, reads_fa], check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if w < wall:
+            wall, util = w, u
+    d = {"wall_s": wall, "threads": ncpu, "reads_per_s": N_READS / wall, "mbp_per_s": N_READS * READ_LEN / wall / 1e6, "cpu_util": round(util, 3)}
     json.dump(d, open(cache, "w"))
+    if util < MIN_REF_UTIL:
+        log(f"WARNING: reference timing recorded at cpu_util={util:.2f} (<{MIN_REF_UTIL}): machine busy; this cache will be re-timed next run")
     return d
 
 
@@ -280,8 +318,23 @@ def scale_curve():
         npz = os.path.join(d, "dense.npz")
         rnpy = os.path.join(d, "reads.npy")
         rt = os.path.join(d, "ref_timing.json")
-        if not (os.path.exists(npz) and os.path.exists(rnpy) and os.path.exists(rt)):
+        if not (os.path.exists(npz) and os.path.exists(rnpy)):
             continue
+        if _trusted(rt) is None:
+            # re-time solo (scale_bench's cache missing or contaminated)
+            rb = ensure_ref_bin()
+            s_fmd, s_fa = os.path.join(d, "idx.fmd"), os.path.join(d, "reads.fa")
+            if not (rb and os.path.exists(s_fmd) and os.path.exists(s_fa)):
+                continue
+            ncpu = os.cpu_count() or 4
+            log(f"re-timing reference at {label} (best-of-2, solo) ...")
+            wall, util = float("inf"), 0.0
+            for _ in range(2):
+                w, u = _run_timed([rb, "mem", f"-t{ncpu}", f"-l{MIN_LEN}", s_fmd, s_fa], check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                if w < wall:
+                    wall, util = w, u
+            nr = len(np.load(rnpy, mmap_mode="r"))
+            json.dump({"wall_s": wall, "threads": ncpu, "reads_per_s": nr / wall, "cpu_util": round(util, 3)}, open(rt, "w"))
         from ropebwt3_tpu.index.dense import DenseFMIndex
 
         z = np.load(npz)
@@ -330,12 +383,17 @@ def align_curve():
         res = {}
         for cmd, args_r in (("sw", ["sw", "-t4", "-N25", "--no-ssa"]), ("hapdiv", ["hapdiv", "-t4", "-a101"])):
             cache = os.path.join(d, f"ref_{cmd}.json")
-            if os.path.exists(cache):
-                rj = json.load(open(cache))
-            else:
+            rj = _trusted(cache)
+            if rj is None:
+                import resource
+
+                r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
                 t0 = time.time()
                 rr = subprocess.run([ref] + args_r + [fmd, sub_fa], capture_output=True)
-                rj = {"wall_s": time.time() - t0}
+                wall = time.time() - t0
+                r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+                util = ((r1.ru_utime + r1.ru_stime) - (r0.ru_utime + r0.ru_stime)) / wall / (os.cpu_count() or 4)
+                rj = {"wall_s": wall, "cpu_util": round(util, 3)}
                 json.dump(rj, open(cache, "w"))
                 with open(os.path.join(d, f"ref_{cmd}.out"), "wb") as fh:
                     fh.write(rr.stdout)

@@ -664,7 +664,10 @@ class SwDeviceEngine:
         self.opt = opt
         # per-node fixed cost amortizes over lanes (the loops are
         # dispatch-bound at small W); env knob for sweeps
-        self.lanes = int(_os2.environ.get("RB3TPU_SW_LANES", lanes))
+        try:
+            self.lanes = int(_os2.environ.get("RB3TPU_SW_LANES", lanes))
+        except ValueError:  # malformed sweep knob must not crash the CLI
+            self.lanes = lanes
         # reads run data-parallel over the mesh's `dp` axis (tables
         # replicated), same GSPMD layout as the hapdiv engine
         self.mesh = mesh

@@ -41,12 +41,19 @@ def _build(src: str, so: str) -> None:
         with open(stamp) as f:
             if f.read().strip() == digest:
                 return
-    subprocess.run(
-        ["g++", *_CXXFLAGS, "-o", so + ".tmp", src],
-        check=True,
-        capture_output=True,
-    )
-    os.replace(so + ".tmp", so)
+    # per-process temp name: concurrent builds must not interleave g++ writes
+    # on a shared .tmp path (os.replace then installs atomically)
+    tmp = f"{so}.tmp.{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", *_CXXFLAGS, "-o", tmp, src],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, so)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     with open(stamp, "w") as f:
         f.write(digest)
 
@@ -71,18 +78,31 @@ def ensure_fa2line() -> str | None:
         stamp = _FA2LINE_BIN + ".hash"
         fresh = not (os.path.exists(_FA2LINE_BIN) and os.path.exists(stamp) and open(stamp).read().strip() == digest)
         if fresh:
-            subprocess.run(
-                ["g++", *_FA2LINE_FLAGS, "-o", _FA2LINE_BIN + ".tmp", _FA2LINE_SRC, "-lz"],
-                check=True, capture_output=True,
-            )
-            os.replace(_FA2LINE_BIN + ".tmp", _FA2LINE_BIN)
+            tmp = f"{_FA2LINE_BIN}.tmp.{os.getpid()}"  # no shared-tmp build race
+            try:
+                subprocess.run(
+                    ["g++", *_FA2LINE_FLAGS, "-o", tmp, _FA2LINE_SRC, "-lz"],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, _FA2LINE_BIN)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
             with open(stamp, "w") as f:
                 f.write(digest)
         launcher_copy = os.path.join(os.path.dirname(sys.executable), "rb3tpu-fa2line")
-        if fresh or not os.path.exists(launcher_copy):
+        if fresh or not os.path.exists(launcher_copy) or not os.path.exists(launcher_copy + ".src"):
             try:  # best-effort: a read-only bin dir only costs the fast path
-                shutil.copy2(_FA2LINE_BIN, launcher_copy + ".tmp")
-                os.replace(launcher_copy + ".tmp", launcher_copy)
+                tmp = f"{launcher_copy}.tmp.{os.getpid()}"
+                shutil.copy2(_FA2LINE_BIN, tmp)
+                os.replace(tmp, launcher_copy)
+                # source-path pointer: bin/rb3tpu compares the copy's mtime
+                # against this source before exec'ing, so a fa2line.cpp edit
+                # falls back to Python (which rebuilds + recopies) instead of
+                # running a stale binary forever (advisor round 3)
+                with open(tmp, "w") as pf:
+                    pf.write(_FA2LINE_SRC + "\n")
+                os.replace(tmp, launcher_copy + ".src")
             except OSError:
                 pass
         return _FA2LINE_BIN

@@ -199,6 +199,9 @@ def client_run(index_path: str, argv: list[str], timeout: float = 3600.0, cmd: s
     if len(payloads) > 1 and payloads[1]:
         sys.stderr.buffer.write(payloads[1])
         sys.stderr.buffer.flush()
+    # route marker so harnesses (fuzz server_scenario) can verify the request
+    # really went through the resident engine, not a silent local fallback
+    print("[server] request served by resident engine", file=sys.stderr)
     return int(meta.get("rc", 1))
 
 

@@ -275,7 +275,7 @@ def server_scenario(rng: random.Random, fmd: str, reads: str) -> list[str]:
             if os.path.exists(sock):
                 break
             if srv.poll() is not None:
-                return [f"seed={rng.random()} SERVER-DIED rc={srv.returncode}"]
+                return [f"SERVER-DIED rc={srv.returncode}"]
             time.sleep(0.2)
         else:
             return ["SERVER-TIMEOUT (socket never appeared)"]
@@ -291,8 +291,10 @@ def server_scenario(rng: random.Random, fmd: str, reads: str) -> list[str]:
             elif out_r != out_o:
                 fails.append(f"SERVER-ROUTED DIFF {' '.join(args)}")
             elif b"[server]" not in err_o and b"routed" not in err_o:
-                # the route is advisory: record only if it plainly fell back
-                pass
+                # the whole point of this scenario is server-routed coverage:
+                # a silent fallback to the in-process path must not pass as
+                # "server tested" (advisor round 3)
+                fails.append(f"SERVER-NOT-ROUTED {' '.join(args)} (no route marker in stderr)")
     finally:
         srv.terminate()
         try:

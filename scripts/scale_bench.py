@@ -141,21 +141,24 @@ def ensure_ref_bin():
 def ref(scale):
     out = d(scale)
     cache = os.path.join(out, "ref_timing.json")
-    if os.path.exists(cache):
+    j = B._trusted(cache)
+    if j is not None:
         log(f"{scale}: ref cached {open(cache).read()}")
-        return json.load(open(cache))
+        return j
     rb = ensure_ref_bin()
     ncpu = os.cpu_count() or 4
-    log(f"{scale}: timing reference mem -t{ncpu} ...")
-    t0 = time.time()
-    subprocess.run(
-        [rb, "mem", f"-t{ncpu}", f"-l{MIN_LEN}", os.path.join(out, "idx.fmd"), os.path.join(out, "reads.fa")],
-        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    )
-    wall = time.time() - t0
-    r = {"wall_s": wall, "threads": ncpu, "reads_per_s": N_READS / wall}
+    log(f"{scale}: timing reference mem -t{ncpu} (best-of-2, solo) ...")
+    wall, util = float("inf"), 0.0
+    for _ in range(2):
+        w, u = B._run_timed(
+            [rb, "mem", f"-t{ncpu}", f"-l{MIN_LEN}", os.path.join(out, "idx.fmd"), os.path.join(out, "reads.fa")],
+            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        if w < wall:
+            wall, util = w, u
+    r = {"wall_s": wall, "threads": ncpu, "reads_per_s": N_READS / wall, "cpu_util": round(util, 3)}
     json.dump(r, open(cache, "w"))
-    log(f"{scale}: reference {wall:.2f}s = {r['reads_per_s']:,.0f} reads/s")
+    log(f"{scale}: reference {wall:.2f}s = {r['reads_per_s']:,.0f} reads/s (util {util:.2f})")
     return r
 
 
