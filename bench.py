@@ -101,20 +101,12 @@ def ensure_index(fa):
 
 
 def ensure_dense(fmd):
-    """Cache the dense occ tables as npz (FMD decode is the slow Python path)."""
-    npz = os.path.join(BENCH, "dense.npz")
-    from ropebwt3_tpu.index.dense import DenseFMIndex
+    """Load through the production sidecar path (`<idx>.dense`, v2 = 2 MiB
+    aligned + hugepage-mapped): the bench measures the same table backing
+    the CLI runs with.  First call decodes the FMD and writes the sidecar."""
+    from ropebwt3_tpu.cli import load_index
 
-    if os.path.exists(npz):
-        z = np.load(npz)
-        return DenseFMIndex(bwt=z["bwt"], n=int(z["n"]), acc=z["acc"], occ_block=z["occ_block"], occ_super=z["occ_super"])
-    log("decoding FMD to dense tables ...")
-    from ropebwt3_tpu.formats import fmd as fmdc
-
-    _, syms, lens = fmdc.read_fmd(fmd)
-    f = DenseFMIndex.from_runs(syms, lens)
-    np.savez(npz, bwt=f.bwt, n=f.n, acc=f.acc, occ_block=f.occ_block, occ_super=f.occ_super)
-    return f
+    return load_index(fmd)
 
 
 def _run_timed(cmd, **kw):
@@ -315,10 +307,9 @@ def scale_curve():
     # big2g (2.4 Gsym) exercises the int64 megablock layout on the chip
     for scale, label in (("s640", "640M"), ("mtb13", "1338M"), ("big2g", "2400M")):
         d = os.path.join(BENCH, scale)
-        npz = os.path.join(d, "dense.npz")
         rnpy = os.path.join(d, "reads.npy")
         rt = os.path.join(d, "ref_timing.json")
-        if not (os.path.exists(npz) and os.path.exists(rnpy)):
+        if not (os.path.exists(os.path.join(d, "idx.fmd")) and os.path.exists(rnpy)):
             continue
         if _trusted(rt) is None:
             # re-time solo (scale_bench's cache missing or contaminated)
@@ -335,10 +326,7 @@ def scale_curve():
                     wall, util = w, u
             nr = len(np.load(rnpy, mmap_mode="r"))
             json.dump({"wall_s": wall, "threads": ncpu, "reads_per_s": nr / wall, "cpu_util": round(util, 3)}, open(rt, "w"))
-        from ropebwt3_tpu.index.dense import DenseFMIndex
-
-        z = np.load(npz)
-        f = DenseFMIndex(bwt=z["bwt"], n=int(z["n"]), acc=z["acc"], occ_block=z["occ_block"], occ_super=z["occ_super"])
+        f = ensure_dense(os.path.join(d, "idx.fmd"))
         reads_s = np.load(rnpy)
         log(f"scale {label}: n={f.n:,} ...")
         res = measure_index(f, reads_s)

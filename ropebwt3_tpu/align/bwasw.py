@@ -184,6 +184,21 @@ def native_sw_available() -> bool:
     return _native_sw_lib() is not None
 
 
+def _pline_arg(f: "DenseFMIndex"):
+    """ctypes arg for the packed one-line rank records (ops/smem_native
+    .pline_table) — built/persisted lazily for sidecar-backed indexes, where
+    the records mmap hugepage-backed and the halved random-line footprint
+    pays (PERF_NOTES round 4); None otherwise (bit-identical either way)."""
+    import ctypes
+
+    pl = getattr(f, "_pline_recs", None)
+    if pl is None and getattr(f, "_sidecar_path", None):
+        from ..ops.smem_native import pline_table
+
+        pl = pline_table(f)
+    return ctypes.c_void_p(pl.ctypes.data) if pl is not None else None
+
+
 def _sw_core_native(lib, opt: SwOpt, f: DenseFMIndex, g: Dawg):
     """Run rb3t_sw_dp and rebuild rows as Cell lists for the Python backtrack."""
     import ctypes
@@ -210,7 +225,7 @@ def _sw_core_native(lib, opt: SwOpt, f: DenseFMIndex, g: Dawg):
         P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
         int(f.n), P(opt10.ctypes.data), n_node, P(node_c.ctypes.data), P(pre_off.ctypes.data),
         P(pre_flat.ctypes.data), P(row_len.ctypes.data), P(o64.ctypes.data), P(o32.ctypes.data),
-        P(ou32.ctypes.data), P(ou8.ctypes.data), P(best.ctypes.data),
+        P(ou32.ctypes.data), P(ou8.ctypes.data), P(best.ctypes.data), _pline_arg(f),
     )
     rl = row_len.tolist()
     l64, l32, lu32, lu8 = o64.tolist(), o32.tolist(), ou32.tolist(), ou8.tolist()
@@ -729,7 +744,7 @@ def rb3_sw_batch(opt: SwOpt, f: DenseFMIndex, seqs: list[np.ndarray]) -> list[li
     ptr = lib.rb3t_sw_batch(
         P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
         int(f.n), P(opt10.ctypes.data), P(flat.ctypes.data), P(seq_off.ctypes.data), n_reads,
-        min(os.cpu_count() or 1, n_reads), ctypes.byref(out_len),
+        min(os.cpu_count() or 1, n_reads), ctypes.byref(out_len), _pline_arg(f),
     )
     try:
         raw = ctypes.string_at(ptr, out_len.value)
@@ -784,6 +799,7 @@ def _hapdiv_native(lib, opt: SwOpt, f: DenseFMIndex, seqs: list[np.ndarray]) -> 
     lib.rb3t_hapdiv_batch(
         P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
         int(f.n), P(opt10.ctypes.data), P(buf.ctypes.data), W, k, min(os.cpu_count() or 1, W), P(out.ctypes.data),
+        _pline_arg(f),
     )
     res: list[HapDiv | None] = []
     for w in range(W):

@@ -334,6 +334,14 @@ def load_index(fn: str, load_ssa: bool = False, load_sid: bool = False) -> Dense
     f = None
     if use_cache and os.path.exists(cache_fn) and os.path.getmtime(cache_fn) >= os.path.getmtime(fn):
         f = read_sidecar(cache_fn)
+        if f is not None and getattr(f, "_sidecar_version", 2) == 1:
+            # one-time upgrade to the v2 layout (2 MiB-aligned sections →
+            # file-backed hugepage mapping, +17% native SMEM at 1.34G)
+            try:
+                write_sidecar(cache_fn, f)
+                f = read_sidecar(cache_fn) or f
+            except OSError:
+                pass
     if f is None:
         syms, lens = load_runs(fn)
         f = DenseFMIndex.from_runs(syms, lens)

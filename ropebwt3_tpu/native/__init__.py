@@ -150,19 +150,21 @@ def get_sw_lib():
         lib = ctypes.CDLL(_SW_SO)
         V, I32, I64 = ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64
         lib.rb3t_sw_dp.restype = None
-        lib.rb3t_sw_dp.argtypes = [V, V, V, V, I64, V, I32, V, V, V, V, V, V, V, V, V]
+        lib.rb3t_sw_dp.argtypes = [V, V, V, V, I64, V, I32, V, V, V, V, V, V, V, V, V, V]
         lib.rb3t_hapdiv_batch.restype = None
-        lib.rb3t_hapdiv_batch.argtypes = [V, V, V, V, I64, V, V, I64, I64, I32, V]
+        lib.rb3t_hapdiv_batch.argtypes = [V, V, V, V, I64, V, V, I64, I64, I32, V, V]
         lib.rb3t_sw_batch.restype = V
-        lib.rb3t_sw_batch.argtypes = [V, V, V, V, I64, V, V, V, I64, I32, ctypes.POINTER(I64)]
+        lib.rb3t_sw_batch.argtypes = [V, V, V, V, I64, V, V, V, I64, I32, ctypes.POINTER(I64), V]
         lib.rb3t_smem_batch.restype = V
-        lib.rb3t_smem_batch.argtypes = [V, V, V, V, I64, I64, I32, V, V, I64, I32, ctypes.POINTER(I64), V]
+        lib.rb3t_smem_batch.argtypes = [V, V, V, V, I64, I64, I32, V, V, I64, I32, ctypes.POINTER(I64), V, V]
         lib.rb3t_fused_build.restype = None
         lib.rb3t_fused_build.argtypes = [V, V, I64, V, I32]
+        lib.rb3t_pline_build.restype = None
+        lib.rb3t_pline_build.argtypes = [V, V, I64, I64, V, I32]
         lib.rb3t_buf_free.restype = None
         lib.rb3t_buf_free.argtypes = [V]
         lib.rb3t_ssa_multi_batch.restype = None
-        lib.rb3t_ssa_multi_batch.argtypes = [V, V, V, V, I64, I32, I32, V, V, I64, V, V, V, V, V, V, V, I32]
+        lib.rb3t_ssa_multi_batch.argtypes = [V, V, V, V, I64, I32, I32, V, V, I64, V, V, V, V, V, V, V, I32, V]
         lib.rb3t_merge_rank.restype = None
         lib.rb3t_merge_rank.argtypes = [V, V, V, V, I64, V, V, I64, I64, V, I32]
         lib.rb3t_lf2.restype = None

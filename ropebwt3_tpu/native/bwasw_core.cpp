@@ -22,6 +22,7 @@
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
+#include <x86intrin.h>  // __rdtsc for the env-gated DP phase profile
 
 namespace {
 
@@ -42,6 +43,25 @@ static Opt opt_from(const int32_t* o) {
 
 constexpr int RB3_SWF_E2E = 1;
 
+// ---- packed one-line rank record ("pline") -------------------------------
+// ONE 64-byte record covering 128 symbols: three 128-bit symbol bit-planes
+// (48 B; plane words p[0..1]=bit0, p[2..3]=bit1, p[4..5]=bit2 of each nt6
+// symbol) + six uint16 within-super counts at the record start (12 B) + pad.
+// rank1a then touches a SINGLE random cache line (plus the L3-resident
+// occ_super row) instead of the two-to-three lines of the split/fused
+// layouts — the random-line footprint that bounds every LF-walk at >=640M
+// indexes is halved, and same-block pair ranks double their hit range
+// (128 vs 64 symbols).  Pure layout change: every count is identical to the
+// split layout, so outputs cannot move.  (Round-4 lever; the reference's
+// analog is rld0's small delta-coded blocks, rld0.c:107-204.)
+struct PlRec {
+  uint64_t p[6];
+  uint16_t cnt[6];
+  uint32_t pad;
+};
+static_assert(sizeof(PlRec) == 64, "pline record must be one cache line");
+constexpr int PL_SHIFT = 7;  // 128 symbols per record
+
 struct Fmi {
   const uint8_t* bwt;
   const uint16_t* occ_block;  // [n_blocks+1][6] counts in [super_start, block_start)
@@ -53,7 +73,55 @@ struct Fmi {
   // region instead of two (bwt line + occ row); occ_super stays separate
   // (tiny, cache-resident).  Built by rb3t_fused_build.
   const uint8_t* fused = nullptr;
+  // optional pline layout (PlRec above), preferred over `fused` when set.
+  const PlRec* pline = nullptr;
 };
+
+static inline void pl_masks(int off, uint64_t& m0, uint64_t& m1) {
+  m0 = off >= 64 ? ~0ull : ((1ull << off) - 1);
+  m1 = off <= 64 ? 0ull : (off >= 128 ? ~0ull : ((1ull << (off - 64)) - 1));
+}
+
+// add counts of symbols 0..5 over the first `off` positions of the record
+static inline void pl_add(const PlRec* r, int off, int64_t out[6]) {
+  uint64_t m0, m1;
+  pl_masks(off, m0, m1);
+  for (int w = 0; w < 2; ++w) {
+    uint64_t m = w ? m1 : m0;
+    if (!m) break;
+    uint64_t p0 = r->p[w], p1 = r->p[2 + w], p2 = r->p[4 + w];
+    uint64_t n2 = ~p2 & m, y2 = p2 & m, n1 = ~p1, n0 = ~p0;
+    out[0] += (int64_t)__builtin_popcountll(n2 & n1 & n0);
+    out[1] += (int64_t)__builtin_popcountll(n2 & n1 & p0);
+    out[2] += (int64_t)__builtin_popcountll(n2 & p1 & n0);
+    out[3] += (int64_t)__builtin_popcountll(n2 & p1 & p0);
+    out[4] += (int64_t)__builtin_popcountll(y2 & n1 & n0);
+    out[5] += (int64_t)__builtin_popcountll(y2 & n1 & p0);  // 6/7 never occur
+  }
+}
+
+// count of one symbol c over the first `off` positions of the record
+static inline int64_t pl_count1(const PlRec* r, int off, int c) {
+  uint64_t m0, m1;
+  pl_masks(off, m0, m1);
+  int64_t out = 0;
+  for (int w = 0; w < 2; ++w) {
+    uint64_t m = w ? m1 : m0;
+    if (!m) break;
+    uint64_t e = (c & 1 ? r->p[w] : ~r->p[w]) & (c & 2 ? r->p[2 + w] : ~r->p[2 + w]) &
+                 (c & 4 ? r->p[4 + w] : ~r->p[4 + w]);
+    out += (int64_t)__builtin_popcountll(e & m);
+  }
+  return out;
+}
+
+// the symbol stored at record offset `off` (LF walks: symbol + rank from the
+// SAME cache line)
+static inline int pl_sym(const PlRec* r, int off) {
+  int w = off >> 6, b = off & 63;
+  return (int)(((r->p[w] >> b) & 1) | (((r->p[2 + w] >> b) & 1) << 1) |
+               (((r->p[4 + w] >> b) & 1) << 2));
+}
 
 struct Cell {  // bwa-sw.c:39-45 sw_cell_t analog (align/bwasw.py Cell)
   int64_t lo, hi, lo_rc;
@@ -261,10 +329,14 @@ struct RankCache {  // direct-mapped pos -> occ[6]; pure speed, no output effect
   bool pair_rank;  // same-block fused rank2a (RB3T_NO_PAIR_RANK disables)
   std::vector<int64_t> pos;
   std::vector<int64_t> occ;
-  RankCache() {
+  // default_bits is per-engine: the sw/hapdiv DP row extends hit a small
+  // working set and a 2^12-entry (L2-resident) cache measures 19% faster
+  // than 2^16 at 1.34G (round 4); the SMEM walk still wants 2^16
+  // (round-3 sweep).  RB3T_RANK_CBITS overrides both.
+  explicit RankCache(int default_bits = 16) {
     pair_rank = getenv("RB3T_NO_PAIR_RANK") == nullptr;
     const char* e = getenv("RB3T_RANK_CBITS");
-    int b = e ? atoi(e) : 16;
+    int b = e ? atoi(e) : default_bits;
     b = b < 10 ? 10 : (b > 22 ? 22 : b);
     mask = (1u << b) - 1;
     pos.assign((size_t)1 << b, -1);
@@ -304,7 +376,11 @@ static void rank1a(const Fmi& f, int64_t k, int64_t out[6], RankCache& rc) {
     return;
   }
   const int64_t* sup = f.occ_super + (size_t)(k >> SUPER_SHIFT) * 6;
-  if (f.fused) {
+  if (f.pline) {
+    const PlRec* rec = f.pline + (size_t)(k >> PL_SHIFT);
+    for (int c = 0; c < 6; ++c) out[c] = sup[c] + rec->cnt[c];
+    pl_add(rec, (int)(k & ((1 << PL_SHIFT) - 1)), out);
+  } else if (f.fused) {
     const uint8_t* rec = f.fused + ((size_t)(k >> BLOCK_SHIFT) << 7);
     const uint16_t* blk = (const uint16_t*)(rec + 64);
     for (int c = 0; c < 6; ++c) out[c] = sup[c] + blk[c];
@@ -322,6 +398,10 @@ static void rank1a(const Fmi& f, int64_t k, int64_t out[6], RankCache& rc) {
 static inline void prefetch_rank(const Fmi& f, int64_t k) {
   if (k > f.n) k = f.n;
   __builtin_prefetch(f.occ_super + (size_t)(k >> SUPER_SHIFT) * 6);
+  if (f.pline) {
+    __builtin_prefetch(f.pline + (size_t)(k >> PL_SHIFT));  // one line total
+    return;
+  }
   if (f.fused) {
     const uint8_t* rec = f.fused + ((size_t)(k >> BLOCK_SHIFT) << 7);
     __builtin_prefetch(rec);
@@ -356,6 +436,19 @@ static void rank1a_pair_sameblk(const Fmi& f, int64_t k1, int64_t k2, int64_t* o
   const int64_t* sup = f.occ_super + (size_t)(k1 >> SUPER_SHIFT) * 6;
   int64_t base[6];
   const uint8_t* blk_sym;
+  if (f.pline) {
+    const PlRec* rec = f.pline + (size_t)(k1 >> PL_SHIFT);
+    for (int c = 0; c < 6; ++c) base[c] = sup[c] + rec->cnt[c];
+    std::memcpy(o1, base, sizeof(base));
+    pl_add(rec, (int)(k1 & ((1 << PL_SHIFT) - 1)), o1);
+    std::memcpy(o2, base, sizeof(base));
+    pl_add(rec, (int)(k2 & ((1 << PL_SHIFT) - 1)), o2);
+    rc.pos[s1] = k1;
+    std::memcpy(&rc.occ[(size_t)s1 * 6], o1, 6 * sizeof(int64_t));
+    rc.pos[s2] = k2;
+    std::memcpy(&rc.occ[(size_t)s2 * 6], o2, 6 * sizeof(int64_t));
+    return;
+  }
   if (f.fused) {
     const uint8_t* rec = f.fused + ((size_t)(k1 >> BLOCK_SHIFT) << 7);
     const uint16_t* blk = (const uint16_t*)(rec + 64);
@@ -380,7 +473,8 @@ static void extend_back(const Fmi& f, int64_t lo, int64_t lo_rc, int64_t size, E
   int64_t tk[6], tl[6];
   int64_t hi = lo + size;
   int64_t k1 = lo > f.n ? f.n : lo, k2 = hi > f.n ? f.n : hi;
-  if (rc.pair_rank && (k1 >> BLOCK_SHIFT) == (k2 >> BLOCK_SHIFT)) {
+  const int bs = f.pline ? PL_SHIFT : BLOCK_SHIFT;  // pline doubles the pair range
+  if (rc.pair_rank && (k1 >> bs) == (k2 >> bs)) {
     rank1a_pair_sameblk(f, k1, k2, tk, tl, rc);
     goto have_ranks;
   }
@@ -412,13 +506,19 @@ struct Dawg {
 struct Engine {
   Fmi f;
   Opt o;
+  // A/B knob for the DP rank prefetch-ahead (RB3T_DP_PREFETCH=0 disables)
+  bool dp_prefetch = [] { const char* e = getenv("RB3T_DP_PREFETCH"); return !e || atoi(e) != 0; }();
+  // RB3T_DP_STATS=1: rdtsc cycle counters per DP phase, printed by the batch
+  // entry points — profiling aid only (gprofng misses our worker threads)
+  static inline bool stats_on() { static bool v = [] { const char* e = getenv("RB3T_DP_STATS"); return e && atoi(e) != 0; }(); return v; }
+  uint64_t cyc[6] = {0, 0, 0, 0, 0, 0};  // extends, candset, topn, closure, rebuild, ksmall
   CellSet h;
   std::vector<std::vector<Cell>> rows;
   std::vector<std::pair<int64_t, int64_t>> fpar;
   std::vector<uint64_t> heap;
   std::vector<Cell> fstack;
   std::vector<Cell> row0;
-  RankCache cache;
+  RankCache cache{12};
   int64_t best_pos = 0;
   int32_t best_score = 0;
 
@@ -509,6 +609,8 @@ struct Engine {
     rows[0].push_back(root);
     Cell last_p = root;  // reference keeps the last visited predecessor cell
 
+    const bool st = stats_on();
+    uint64_t t0 = 0;
     for (int32_t i = 1; i < g.n_node; ++i) {
       h.clear();
       int32_t max_min_sc = 0;
@@ -530,15 +632,29 @@ struct Engine {
       int32_t tc = g.c[i];
 
       // H and E from predecessor rows (bwa-sw.c:388-426)
+      if (st) t0 = __rdtsc();
       for (int32_t pj = 0; pj < np; ++pj) {
         int32_t pid = pre[pj];
         std::vector<Cell>& prow = rows[pid];
+        if (dp_prefetch)
+          for (size_t k2 = 0; k2 < prow.size(); ++k2) {
+            // overlap ALL the row's extend rank misses up front: cells
+            // extend independently, so their lines can stream while the
+            // hash/heap work of earlier cells runs (distance-1 lookahead
+            // measured only +5%; whole-row gives the LFBs real depth).
+            // Pure speed, no ordering effect.
+            prefetch_rank(f, prow[k2].lo > f.n ? f.n : prow[k2].lo);
+            int64_t nh = prow[k2].hi > f.n ? f.n : prow[k2].hi;
+            prefetch_rank(f, nh);
+          }
         for (size_t k = 0; k < prow.size(); ++k) {
           const Cell p = prow[k];
           last_p = p;
           if (p.H + o.match < max_min_sc) continue;
           Ext e;
+          uint64_t te = st ? __rdtsc() : 0;
           extend_back(f, p.lo, p.lo_rc, p.hi - p.lo, e, cache);
+          if (st) cyc[5] += __rdtsc() - te;
           Cell r = cell_zero();
           r.F_from_off = SW_F_UNSET;
           r.H_from = SW_FROM_H;
@@ -580,30 +696,54 @@ struct Engine {
         }
       }
 
+      if (st) cyc[0] += __rdtsc() - t0;
       if (h.count == 0) {
         rows[i].clear();
         continue;
       }
 
-      // top-n selection (bwa-sw.c:428-443)
+      // top-n selection (bwa-sw.c:428-443).  The klib heap kept the top
+      // n_best packed keys (H<<32 | bucket) — keys are UNIQUE (bucket ids
+      // distinct), so the kept set and its heapsort_desc order equal a
+      // plain descending sort of the top n_best keys; the heap layout
+      // itself is unobservable (only heap[0] = min and the final sorted
+      // order are read).  nth_element + sort replaces per-insert sifting.
+      if (st) t0 = __rdtsc();
       heap.clear();
       for (uint32_t itr = 0; itr < h.n_buckets(); ++itr)
-        if (h.used[itr]) heap_insert1(heap, o.n_best, h.keys[itr].H, itr);
-      heapsort_desc(heap);
+        if (h.used[itr]) heap.push_back(((uint64_t)(uint32_t)h.keys[itr].H << 32) | itr);
+      if ((int64_t)heap.size() > (int64_t)o.n_best) {
+        std::nth_element(heap.begin(), heap.begin() + o.n_best, heap.end(), std::greater<uint64_t>());
+        heap.resize(o.n_best);
+      }
+      std::sort(heap.begin(), heap.end(), std::greater<uint64_t>());
       row0.clear();
       for (uint64_t x : heap) row0.push_back(h.keys[(uint32_t)x]);
       std::reverse(heap.begin(), heap.end());  // sorted ascending = valid heap
+      if (st) { cyc[2] += __rdtsc() - t0; t0 = __rdtsc(); }
 
       // F (deletion) closure DFS (bwa-sw.c:445-483)
       size_t fpar_base = fpar.size();
       uint32_t n_fpar = 0;
+      bool closure_changed = false;  // any candset mutation (incl. rlen/qlen max-merge)
       fstack.clear();
       if (last_p.qlen >= o.end_len)
         for (size_t j = row0.size(); j-- > 0;)
           if (row0[j].H > o.gap_open + o.gap_ext) fstack.push_back(row0[j]);
+      if (dp_prefetch)
+        for (size_t fi = fstack.size(); fi-- > 0;) {  // seed prefetch: stack pops right-to-left
+          prefetch_rank(f, fstack[fi].lo > f.n ? f.n : fstack[fi].lo);
+          if (fstack.size() - fi >= 4) break;
+        }
       while (!fstack.empty()) {
         Cell z = fstack.back();
         fstack.pop_back();
+        if (dp_prefetch && !fstack.empty()) {
+          const Cell& nz = fstack.back();
+          prefetch_rank(f, nz.lo > f.n ? f.n : nz.lo);
+          int64_t nh = nz.hi > f.n ? f.n : nz.hi;
+          prefetch_rank(f, nh);
+        }
         int64_t minv = heap.size() < (size_t)o.n_best ? 0 : (int64_t)(heap[0] >> 32);
         Cell r = cell_zero();
         r.H_from_pos = r.E_from_pos = U32MAX;
@@ -623,6 +763,7 @@ struct Engine {
         if (r.H <= minv) continue;
         Ext e;
         extend_back(f, z.lo, z.lo_rc, z.hi - z.lo, e, cache);
+        closure_changed = true;  // update_candset below may mutate rlen/qlen even when scores don't move
         for (int c = 1; c < 6; ++c) {
           if (e.sz[c] == 0) continue;
           r.lo = e.lo[c];
@@ -641,19 +782,32 @@ struct Engine {
         }
       }
 
-      // rebuild heap/row, track F, best, dedup
-      heap.clear();
-      for (uint32_t itr = 0; itr < h.n_buckets(); ++itr)
-        if (h.used[itr]) heap_insert1(heap, o.n_best, h.keys[itr].H, itr);
-      heapsort_desc(heap);
-      rows[i].clear();
-      for (uint64_t x : heap) rows[i].push_back(h.keys[(uint32_t)x]);
+      if (st) { cyc[3] += __rdtsc() - t0; t0 = __rdtsc(); }
+      // rebuild heap/row, track F, best, dedup.  If the closure never
+      // reached a candset update, h is untouched since the selection and
+      // the rebuild would reproduce row0 exactly — skip it (common case:
+      // score spreads under gap_open+2*gap_ext leave the closure empty).
+      if (!closure_changed) {
+        rows[i].swap(row0);
+      } else {
+        heap.clear();
+        for (uint32_t itr = 0; itr < h.n_buckets(); ++itr)
+          if (h.used[itr]) heap.push_back(((uint64_t)(uint32_t)h.keys[itr].H << 32) | itr);
+        if ((int64_t)heap.size() > (int64_t)o.n_best) {
+          std::nth_element(heap.begin(), heap.begin() + o.n_best, heap.end(), std::greater<uint64_t>());
+          heap.resize(o.n_best);
+        }
+        std::sort(heap.begin(), heap.end(), std::greater<uint64_t>());
+        rows[i].clear();
+        for (uint64_t x : heap) rows[i].push_back(h.keys[(uint32_t)x]);
+      }
       if (n_fpar > 0) track_F(rows[i]);
       if (rows[i][0].H > best_score) {
         best_score = rows[i][0].H;
         best_pos = (int64_t)i * n_col;
       }
       if (i == g.n_node - 1) cell_dedup(rows[i]);
+      if (st) cyc[4] += __rdtsc() - t0;
     }
   }
 };
@@ -1410,6 +1564,11 @@ static void serialize_hits(const std::vector<Hit>& hits, std::string& b) {
 // occ of a single symbol c before position k (rank1a restricted to one row).
 static inline int64_t rank1c(const Fmi& f, int64_t k, int c) {
   if (k > f.n) k = f.n;
+  if (f.pline) {
+    const PlRec* rec = f.pline + (size_t)(k >> PL_SHIFT);
+    return f.occ_super[(size_t)(k >> SUPER_SHIFT) * 6 + c] + rec->cnt[c] +
+           pl_count1(rec, (int)(k & ((1 << PL_SHIFT) - 1)), c);
+  }
   int64_t out = f.occ_super[(size_t)(k >> SUPER_SHIFT) * 6 + c] +
                 f.occ_block[(size_t)(k >> BLOCK_SHIFT) * 6 + c];
   const uint8_t* b = f.bwt + ((k >> BLOCK_SHIFT) << BLOCK_SHIFT);
@@ -1821,8 +1980,8 @@ void rb3t_sw_dp(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* oc
                 const int64_t* acc, int64_t n, const int32_t* opt9, int32_t n_node,
                 const int32_t* node_c, const int32_t* pre_off, const int32_t* pre_flat,
                 int32_t* row_len, int64_t* out_i64, int32_t* out_i32, uint32_t* out_u32,
-                uint8_t* out_u8, int64_t* out_best) {
-  Fmi f{bwt, occ_block, occ_super, acc, n};
+                uint8_t* out_u8, int64_t* out_best, const uint8_t* pline) {
+  Fmi f{bwt, occ_block, occ_super, acc, n, nullptr, (const PlRec*)pline};
   Opt o = opt_from(opt9);
   Engine eng;
   eng.f = f;
@@ -1862,8 +2021,9 @@ void rb3t_sw_dp(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* oc
 // out[w*10] = [best_score, n_al, max_ed, n_hap[0..6]]
 void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
                        const int64_t* acc, int64_t n, const int32_t* opt9, const uint8_t* seqs,
-                       int64_t n_win, int64_t k, int32_t n_threads, int64_t* out) {
-  Fmi f{bwt, occ_block, occ_super, acc, n};
+                       int64_t n_win, int64_t k, int32_t n_threads, int64_t* out,
+                       const uint8_t* pline) {
+  Fmi f{bwt, occ_block, occ_super, acc, n, nullptr, (const PlRec*)pline};
   Opt o = opt_from(opt9);
   if (n_threads < 1) n_threads = 1;
   // dynamic claiming (out rows are per-window; schedule can't reorder them)
@@ -1878,13 +2038,30 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
       hapdiv_one(eng, seqs + w * k, k, out + w * 10);
     }
   };
+  std::atomic<uint64_t> agg[6] = {{0}, {0}, {0}, {0}, {0}, {0}};
+  auto work2 = [&]() {
+    Engine eng;
+    eng.f = f;
+    eng.o = o;
+    for (;;) {
+      int64_t w = cursor.fetch_add(1, std::memory_order_relaxed);
+      if (w >= n_win) break;
+      hapdiv_one(eng, seqs + w * k, k, out + w * 10);
+    }
+    for (int i = 0; i < 6; ++i) agg[i] += eng.cyc[i];
+  };
   if (n_threads == 1 || n_win < 2) {
-    work();
-    return;
+    work2();
+  } else {
+    std::vector<std::thread> th;
+    for (int32_t t = 0; t < n_threads && t < n_win; ++t) th.emplace_back(work2);
+    for (std::thread& t : th) t.join();
   }
-  std::vector<std::thread> th;
-  for (int32_t t = 0; t < n_threads && t < n_win; ++t) th.emplace_back(work);
-  for (std::thread& t : th) t.join();
+  if (Engine::stats_on()) {
+    static const char* nm[6] = {"H/E-loop", "candset", "topn", "closure", "rebuild", "ksmall"};
+    for (int i = 0; i < 6; ++i)
+      fprintf(stderr, "[dp-stats] %-9s %12.3f Gcyc\n", nm[i], (double)agg[i].load() / 1e9);
+  }
 }
 
 // Batched full sw reads (prefilter + DAWG + DP + backtrack), threaded.
@@ -1894,8 +2071,8 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
 uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
                        const int64_t* acc, int64_t n, const int32_t* opt10, const uint8_t* seqs,
                        const int64_t* seq_off, int64_t n_reads, int32_t n_threads,
-                       int64_t* out_len) {
-  Fmi f{bwt, occ_block, occ_super, acc, n};
+                       int64_t* out_len, const uint8_t* pline) {
+  Fmi f{bwt, occ_block, occ_super, acc, n, nullptr, (const PlRec*)pline};
   Opt o = opt_from(opt10);
   if (n_threads < 1) n_threads = 1;
   std::vector<std::string> blobs(n_reads);
@@ -1973,11 +2150,50 @@ void rb3t_fused_build(const uint8_t* bwt, const uint16_t* occ_block, int64_t n_b
   }
 }
 
+// Build the pline record table (one 64-B PlRec per 128 symbols; see PlRec).
+// n_recs = (n >> 7) + 1; counts come from the existing per-64-block rows
+// (record b starts exactly at 64-block 2b); plane bits read the bwt buffer,
+// zero-filling past n_pad (the buffer is padded one 64-block past n, which
+// covers every in-range rank query — bits beyond n are never counted).
+void rb3t_pline_build(const uint8_t* bwt, const uint16_t* occ_block, int64_t n_recs,
+                      int64_t n_pad, uint8_t* out, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+      PlRec* r = (PlRec*)out + b;
+      std::memset(r, 0, sizeof(PlRec));
+      std::memcpy(r->cnt, occ_block + (size_t)b * 2 * 6, 12);
+      int64_t base = b << PL_SHIFT;
+      int lim = (int)std::min<int64_t>(128, n_pad - base);
+      for (int i = 0; i < lim; ++i) {
+        uint64_t s = bwt[base + i];
+        int w = i >> 6, bit = i & 63;
+        r->p[w] |= (s & 1) << bit;
+        r->p[2 + w] |= ((s >> 1) & 1) << bit;
+        r->p[4 + w] |= ((s >> 2) & 1) << bit;
+      }
+    }
+  };
+  if (n_threads == 1 || n_recs < (int64_t)1 << 16) {
+    work(0, n_recs);
+    return;
+  }
+  std::vector<std::thread> th;
+  int64_t per = (n_recs + n_threads - 1) / n_threads;
+  for (int32_t t = 1; t < n_threads; ++t) {
+    int64_t a = per * t, b = std::min(n_recs, a + per);
+    if (a < b) th.emplace_back(work, a, b);
+  }
+  work(0, std::min(n_recs, per));
+  for (auto& x : th) x.join();
+}
+
 uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const int64_t* occ_super,
                          const int64_t* acc, int64_t n, int64_t min_occ, int32_t min_len,
                          const uint8_t* seqs, const int64_t* seq_off, int64_t n_reads,
-                         int32_t n_threads, int64_t* out_len, const uint8_t* fused) {
-  Fmi f{bwt, occ_block, occ_super, acc, n, fused};
+                         int32_t n_threads, int64_t* out_len, const uint8_t* fused,
+                         const uint8_t* pline) {
+  Fmi f{bwt, occ_block, occ_super, acc, n, fused, (const PlRec*)pline};
   if (n_threads < 1) n_threads = 1;
   std::vector<std::string> blobs(n_reads);
   // k-mer seed table (RB3T_SMEM_SEED=k, default OFF): skips the first k
@@ -2236,8 +2452,8 @@ void rb3t_ssa_multi_batch(const uint8_t* bwt, const uint16_t* occ_block, const i
                           const uint64_t* r2i, const uint64_t* ssa, int64_t n_req,
                           const int64_t* lo, const int64_t* hi, const int64_t* max_sa,
                           const int64_t* out_off, int64_t* out_sid, int64_t* out_pos,
-                          int64_t* n_out, int32_t n_threads) {
-  Fmi f{bwt, occ_block, occ_super, acc, n};
+                          int64_t* n_out, int32_t n_threads, const uint8_t* pline) {
+  Fmi f{bwt, occ_block, occ_super, acc, n, nullptr, (const PlRec*)pline};
   if (n_threads < 1) n_threads = 1;
   // dynamic per-request claiming (outputs go to out_off[r] slots, so the
   // schedule cannot reorder any result) — a static range split makes a

@@ -47,6 +47,55 @@ def fused_table(f: DenseFMIndex) -> np.ndarray | None:
     return out
 
 
+def pline_table(f: DenseFMIndex) -> np.ndarray | None:
+    """Packed one-line rank records: one 64-byte record per 128 symbols
+    (three 128-bit symbol bit-planes + six uint16 within-super counts), so a
+    rank touches a SINGLE random cache line instead of two-to-three.  Halves
+    the random-line footprint that bounds the interleaved LF-walk engines at
+    >=640M indexes and doubles the same-block pair-rank range.  Bit-exact by
+    construction (a memory layout, not an algorithm change); equivalence
+    tested in tests/test_native_sw.py.  RB3T_SMEM_PLINE=0 disables."""
+    if os.environ.get("RB3T_SMEM_PLINE", "1") != "1":
+        return None
+    cached = getattr(f, "_pline_recs", None)
+    if cached is not None:
+        return cached
+    lib = native_smem_lib()
+    if lib is None:
+        return None
+    # sidecar-loaded indexes persist the records next to the .dense file and
+    # mmap them hugepage-backed (the layout only wins when the TLB covers it)
+    sc_path = getattr(f, "_sidecar_path", None)
+    pl_path = sc_path + ".pl" if sc_path else None
+    if pl_path and os.path.exists(pl_path) and os.path.getmtime(pl_path) >= os.path.getmtime(sc_path):
+        from ..index.sidecar import read_pline
+
+        got = read_pline(pl_path, int(f.n))
+        if got is not None:
+            f._pline_recs, f._pline_mm = got
+            return f._pline_recs
+    n_recs = (int(f.n) >> 7) + 1
+    out = np.empty(n_recs * 64, np.uint8)
+    P = ctypes.c_void_p
+    lib.rb3t_pline_build(
+        P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), n_recs, len(f.bwt),
+        P(out.ctypes.data), int(os.cpu_count() or 1),
+    )
+    if pl_path:
+        from ..index.sidecar import read_pline, write_pline
+
+        try:
+            write_pline(pl_path, int(f.n), out)
+            got = read_pline(pl_path, int(f.n))
+            if got is not None:
+                f._pline_recs, f._pline_mm = got
+                return f._pline_recs
+        except OSError:
+            pass
+    f._pline_recs = out
+    return out
+
+
 def smem_tg_flat_native(f: DenseFMIndex, flat: np.ndarray, seq_off: np.ndarray, min_occ: int, min_len: int) -> tuple[np.ndarray, np.ndarray]:
     """SMEMs for reads packed in one flat nt6 buffer (read i =
     flat[seq_off[i]:seq_off[i+1]]).  Returns (counts (n_reads,) int64,
@@ -61,13 +110,19 @@ def smem_tg_flat_native(f: DenseFMIndex, flat: np.ndarray, seq_off: np.ndarray, 
     seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
     out_len = ctypes.c_int64(0)
     P = ctypes.c_void_p
-    # the fused table pays off once the batch does >= ~1 rank per index block
-    fused = fused_table(f) if int(seq_off[-1]) * 2 >= len(f.occ_block) else None
+    # the fused/pline tables pay off once the batch does >= ~1 rank per block;
+    # the explicit RB3T_SMEM_FUSED=1 opt-in overrides the pline default
+    big_batch = int(seq_off[-1]) * 2 >= len(f.occ_block)
+    fused = fused_table(f) if big_batch else None
+    pline = None
+    if fused is None:
+        pline = pline_table(f) if big_batch else getattr(f, "_pline_recs", None)
     ptr = lib.rb3t_smem_batch(
         P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
         int(f.n), int(min_occ), int(min_len), P(flat.ctypes.data), P(seq_off.ctypes.data), n_reads,
         min(os.cpu_count() or 1, n_reads), ctypes.byref(out_len),
         P(fused.ctypes.data) if fused is not None else None,
+        P(pline.ctypes.data) if pline is not None else None,
     )
     try:
         raw = ctypes.string_at(ptr, out_len.value)

@@ -244,12 +244,18 @@ def ssa_multi_batch(f: DenseFMIndex, sa: SSA, reqs: list[tuple[int, int, int]], 
     out_pos = np.empty(int(off[-1]), np.int64)
     n_out = np.zeros(n_req, np.int64)
     P = ctypes.c_void_p
+
+    def _pline():
+        from .align.bwasw import _pline_arg
+
+        return _pline_arg(f)
+
     lib.rb3t_ssa_multi_batch(
         P(f.bwt.ctypes.data), P(f.occ_block.ctypes.data), P(f.occ_super.ctypes.data), P(f.acc.ctypes.data),
         int(f.n), int(sa.ss), int(sa.ms), P(sa.r2i.ctypes.data), P(sa.ssa.ctypes.data), n_req,
         P(lo.ctypes.data), P(hi.ctypes.data), P(cap.ctypes.data), P(off.ctypes.data),
         P(out_sid.ctypes.data), P(out_pos.ctypes.data), P(n_out.ctypes.data),
-        int(n_threads) or (os.cpu_count() or 1),
+        int(n_threads) or (os.cpu_count() or 1), _pline(),
     )
     out = []
     sid_l, pos_l = out_sid.tolist(), out_pos.tolist()

@@ -264,3 +264,77 @@ def test_sidecar_roundtrip(tmp_path):
     assert np.array_equal(np.asarray(g.occ_super), f.occ_super)
     ks = rng.integers(0, f.n + 1, 64)
     assert np.array_equal(f.rank1a(ks), g.rank1a(ks))
+
+
+def test_native_smem_pline_records_match(native_lib, monkeypatch):
+    """The packed one-line rank records (pline, default on) must be
+    bit-identical to the two-stream layout, including indexes whose length
+    is odd relative to the 128-symbol record (round 4)."""
+    import random
+
+    from ropebwt3_tpu.ops.smem_native import smem_tg_batch_native
+
+    random.seed(29)
+    refs = ["".join(random.choice("ACGT") for _ in range(777)) for _ in range(3)]
+    f = _make_index(refs)
+    assert f.n % 128 != 0  # exercise the partial last record
+    seqs = []
+    for _ in range(80):
+        p = random.randrange(0, 600)
+        s = list(random.choice(refs)[p : p + random.randrange(0, 150)])
+        for _ in range(random.randrange(0, 4)):
+            if s:
+                s[random.randrange(len(s))] = random.choice("ACGTN")
+        seqs.append(char2nt6("".join(s).encode()))
+
+    def key(ms):
+        return [(m.start, m.end, m.size, m.lo, m.lo_rc) for m in ms]
+
+    monkeypatch.setenv("RB3T_SMEM_PLINE", "0")
+    base = smem_tg_batch_native(f, seqs, 1, 17)
+    monkeypatch.setenv("RB3T_SMEM_PLINE", "1")
+    if hasattr(f, "_pline_recs"):
+        del f._pline_recs
+    got = smem_tg_batch_native(f, seqs, 1, 17)
+    assert [key(a) for a in got] == [key(b) for b in base]
+
+
+def test_pline_sidecar_roundtrip_and_dp(tmp_path, native_lib):
+    """Sidecar-persisted pline records load back byte-identical and the
+    native sw/hapdiv DPs produce the same results with them engaged."""
+    import os
+    import random
+
+    from ropebwt3_tpu.align.bwasw import SwOpt, RB3_SWF_E2E, RB3_SWF_HAPDIV, rb3_hapdiv_multi, rb3_sw
+    from ropebwt3_tpu.index.sidecar import read_pline, read_sidecar, write_pline, write_sidecar
+    from ropebwt3_tpu.ops.smem_native import pline_table
+
+    random.seed(31)
+    refs = ["".join(random.choice("ACGT") for _ in range(900)) for _ in range(2)]
+    f = _make_index(refs)
+    p = str(tmp_path / "x.dense")
+    write_sidecar(p, f)
+    g = read_sidecar(p)
+    assert g is not None and g._sidecar_version == 2
+
+    # build + persist + reload the records; bytes identical
+    recs = pline_table(g)
+    assert recs is not None
+    assert os.path.exists(p + ".pl")
+    got = read_pline(p + ".pl", g.n)
+    assert got is not None and np.array_equal(np.asarray(got[0]), np.asarray(recs))
+
+    # hapdiv + sw through the sidecar-backed index (pline engaged) must
+    # match the plain in-memory index (no pline)
+    win = char2nt6(refs[0][100:201].encode())
+    opt = SwOpt()
+    opt.flag, opt.end_len = RB3_SWF_E2E | RB3_SWF_HAPDIV, 1
+    a = rb3_hapdiv_multi(opt, f, [win])[0]
+    b = rb3_hapdiv_multi(opt, g, [win])[0]
+    assert (a is None) == (b is None)
+    if a is not None:
+        assert (a.n_al, a.max_ed, a.n_hap) == (b.n_al, b.max_ed, b.n_hap)
+    sw_read = char2nt6((refs[1][200:280] + "T" + refs[1][281:340]).encode())
+    ha = rb3_sw(SwOpt(), f, sw_read)
+    hb = rb3_sw(SwOpt(), g, sw_read)
+    assert [(h.score, h.lo, h.hi, h.cigar, h.cs) for h in ha] == [(h.score, h.lo, h.hi, h.cigar, h.cs) for h in hb]
