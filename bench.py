@@ -356,21 +356,22 @@ def align_curve():
     alpha = np.frombuffer(b"$ACGTN", dtype=np.uint8)
     ref = ensure_ref_bin()
     out = {}
+    N_SW = 10000  # engine-dominated (2k reads were fixed-cost-bound; round 4)
     for scale, label in (("mtb13", "1338M"), ("big2g", "2400M")):
         d = os.path.join(BENCH, scale)
         fmd = os.path.join(d, "idx.fmd")
         rnpy = os.path.join(d, "reads.npy")
         if not (os.path.exists(fmd) and os.path.exists(rnpy) and ref):
             continue
-        sub_fa = os.path.join(d, "reads_sw.fa")
+        sub_fa = os.path.join(d, "reads_sw10k.fa")
         if not os.path.exists(sub_fa):
-            rd = np.load(rnpy)[:2000]
+            rd = np.load(rnpy)[:N_SW]
             with open(sub_fa, "w") as fh:
                 for i, r in enumerate(rd):
                     fh.write(f">r{i}\n" + alpha[r].tobytes().decode() + "\n")
         res = {}
         for cmd, args_r in (("sw", ["sw", "-t4", "-N25", "--no-ssa"]), ("hapdiv", ["hapdiv", "-t4", "-a101"])):
-            cache = os.path.join(d, f"ref_{cmd}.json")
+            cache = os.path.join(d, f"ref_{cmd}10k.json")
             rj = _trusted(cache)
             if rj is None:
                 import resource
@@ -383,7 +384,7 @@ def align_curve():
                 util = ((r1.ru_utime + r1.ru_stime) - (r0.ru_utime + r0.ru_stime)) / wall / (os.cpu_count() or 4)
                 rj = {"wall_s": wall, "cpu_util": round(util, 3)}
                 json.dump(rj, open(cache, "w"))
-                with open(os.path.join(d, f"ref_{cmd}.out"), "wb") as fh:
+                with open(os.path.join(d, f"ref_{cmd}10k.out"), "wb") as fh:
                     fh.write(rr.stdout)
             env = dict(os.environ)
             env["PYTHONPATH"], env["JAX_PLATFORMS"] = "", "cpu"
@@ -397,11 +398,11 @@ def align_curve():
                 )
                 wall = min(wall, time.time() - t0)
                 ours_out = orun.stdout
-            refout = os.path.join(d, f"ref_{cmd}.out")
+            refout = os.path.join(d, f"ref_{cmd}10k.out")
             equal = os.path.exists(refout) and open(refout, "rb").read() == ours_out
-            unit = 2000 / wall
+            unit = N_SW / wall
             res[cmd] = {
-                "ours_per_s": round(unit, 1), "ref_t4_per_s": round(2000 / rj["wall_s"], 1),
+                "ours_per_s": round(unit, 1), "ref_t4_per_s": round(N_SW / rj["wall_s"], 1),
                 "ratio": round(rj["wall_s"] / wall, 3), "byte_equal": bool(equal),
             }
             log(f"align {label} {cmd}: ours {wall:.2f}s vs ref {rj['wall_s']:.2f}s ({res[cmd]['ratio']}x, byte_equal={equal})")

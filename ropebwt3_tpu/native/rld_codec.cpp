@@ -299,6 +299,95 @@ static void block_counts_range(const uint8_t *bwt, int64_t n, int64_t b0, int64_
     }
 }
 
+// ---- run-block device occ builder (ops/runblock.py) ----------------------
+// Compressed device rank rows: per RB_S-symbol block either a run payload
+// (RB_R packed uint16 records, (end_in_block << 3) | keyed_sym, zero-length
+// padding) or, when the block holds more than RB_R split-runs, a dense
+// escape (three keyed bit-planes).  Counterpart of the reference's
+// delta-coded rld0 blocks (rld0.c:107-204) reshaped for O(1) XLA gathers.
+// Pass 1: split-run count per block.  Pass 2: fill rows + payload given the
+// per-block payload word offsets (python decides run/dense + offsets).
+
+static const int RB_KEY[6] = {0, 4, 3, 2, 1, 5};  // KEY[sym]: complement-order position
+
+void rb3t_runblock_count(const int64_t *lens, int64_t n_runs, int64_t S, int32_t *n_split_out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_runs; ++i) {
+    int64_t end = pos + lens[i];
+    // one split-run in every block the run touches
+    for (int64_t bb = pos / S, b1 = (end - 1) / S; bb <= b1; ++bb) n_split_out[bb] += 1;
+    pos = end;
+  }
+}
+
+// rows: (n_blocks, 40) int32 — [0:6 counts-before-block (filled by python) |
+// 6 escape index or -1 (filled by python) | 7 pad | 8:40 RB_R=64 packed
+// uint16 run records].  esc: (n_esc, 3*S/32) int32 keyed bit-planes for
+// blocks whose split-run count exceeds RB_R.  This fills the record words
+// and the escape planes; counts/indices come pre-filled from python.
+// mega: (n_mega, 6) int64 megablock base counts, or NULL for absolute-int32
+// counts (indexes below 2^31 symbols); blocks_per_mega = 2^32 / S.
+void rb3t_runblock_fill(const uint8_t *syms, const int64_t *lens, int64_t n_runs, int64_t n,
+                        int64_t S, int64_t R, int32_t *rows, int32_t *esc, int64_t *mega) {
+  const int64_t n_blocks = (n + S - 1) / S;
+  const int64_t plane_words = S / 32;
+  const int64_t bpm = ((int64_t)1 << 32) / S;
+  int64_t pos = 0, ri = 0;       // start position / index of the current run
+  int64_t cnt[6] = {0, 0, 0, 0, 0, 0};  // symbol counts before `pos`
+  int64_t mega_cur[6] = {0, 0, 0, 0, 0, 0};
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t base = b * S, lim = base + S < n ? base + S : n;
+    // advance to the run covering `base`, accumulating counts
+    while (ri < n_runs && pos + lens[ri] <= base) {
+      cnt[syms[ri]] += lens[ri];
+      pos += lens[ri++];
+    }
+    int64_t at_base[6];
+    for (int c = 0; c < 6; ++c) at_base[c] = cnt[c];
+    if (ri < n_runs && pos < base) at_base[syms[ri]] += base - pos;
+    if (mega) {
+      if (b % bpm == 0) {
+        for (int c = 0; c < 6; ++c) mega_cur[c] = at_base[c];
+        int64_t *mrow = mega + (b / bpm) * 6;
+        for (int c = 0; c < 6; ++c) mrow[c] = at_base[c];
+      }
+      for (int c = 0; c < 6; ++c)
+        ((uint32_t *)(rows + b * 40))[c] = (uint32_t)(at_base[c] - mega_cur[c]);
+    } else {
+      for (int c = 0; c < 6; ++c) rows[b * 40 + c] = (int32_t)at_base[c];
+    }
+    const int32_t esc_i = rows[b * 40 + 6];
+    if (esc_i < 0) {  // run records, cumulative in-block ends, keyed symbols
+      uint16_t *dst = (uint16_t *)(rows + b * 40 + 8);
+      int64_t slot = 0, p = pos, j = ri, last_end = 0;
+      while (p < lim && j < n_runs) {
+        int64_t e = p + lens[j];
+        int64_t end_in = (e < lim ? e : lim) - base;
+        dst[slot++] = (uint16_t)((end_in << 3) | RB_KEY[syms[j]]);
+        last_end = end_in;
+        p = e;
+        ++j;
+      }
+      for (; slot < R; ++slot) dst[slot] = (uint16_t)(last_end << 3);  // zero-length pad
+    } else {  // dense escape: three keyed bit-planes over the block
+      int32_t *dst = esc + (int64_t)esc_i * 3 * plane_words;
+      int64_t p = pos, j = ri;
+      while (p < lim && j < n_runs) {
+        int64_t e = p + lens[j];
+        int64_t a = (p > base ? p : base) - base, z = (e < lim ? e : lim) - base;
+        int key = RB_KEY[syms[j]];
+        for (int64_t q = a; q < z; ++q) {
+          int64_t w = q >> 5, bit = q & 31;
+          for (int pl = 0; pl < 3; ++pl)
+            if ((key >> pl) & 1) dst[pl * plane_words + w] |= (int32_t)(1u << bit);
+        }
+        p = e;
+        ++j;
+      }
+    }
+  }
+}
+
 void rb3t_block_counts(const uint8_t *bwt, int64_t n, int64_t n_blocks, int64_t *out) {
     int nt = (int)std::thread::hardware_concurrency();
     if (nt > 8) nt = 8;

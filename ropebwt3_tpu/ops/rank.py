@@ -230,8 +230,10 @@ def _inblock_counts(bits: jax.Array, off: jax.Array) -> jax.Array:
     return jnp.stack(outs, axis=-1)
 
 
-def rank1a(idx: DeviceIndex, k: jax.Array) -> jax.Array:
+def rank1a(idx, k: jax.Array) -> jax.Array:
     """occ[..., c] = |{i < k : B[i] = c}|.  k: idx-dtype array."""
+    if hasattr(idx, "rank1a"):  # RunBlockIndex
+        return idx.rank1a(k)
     dt = idx.idx_dtype
     k = k.astype(dt)
     bi = k // BLOCK
@@ -251,12 +253,14 @@ def rank2a(idx: DeviceIndex, k: jax.Array, l: jax.Array) -> tuple[jax.Array, jax
     return r[0], r[1]
 
 
-def extend(idx: DeviceIndex, ik: jax.Array, is_back: jax.Array) -> jax.Array:
+def extend(idx, ik: jax.Array, is_back: jax.Array) -> jax.Array:
     """Bidirectional extension of bi-intervals.
 
     ik: (..., 3) rows (x0, x1, size); is_back: (...,) bool (per-lane direction).
     Returns ok: (..., 6, 3) — for each next symbol c the extended bi-interval,
     with the exact complement-order prefix sums of the reference."""
+    if hasattr(idx, "extend"):  # RunBlockIndex (ops/runblock.py) carries its own decode
+        return idx.extend(ik, is_back)
     dt = idx.idx_dtype
     ik = ik.astype(dt)
     prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
@@ -356,6 +360,8 @@ def extend_c(idx: DeviceIndex, ik: jax.Array, c: jax.Array, is_back: jax.Array) 
     one-hot arithmetic, not gathers: gathers break XLA fusion and the loop
     body is dispatch-bound (PERF_NOTES.md).
     ik: (Q, 3); c: (Q,) int32; is_back: (Q,) bool.  Returns (Q, 3)."""
+    if hasattr(idx, "extend_c"):  # RunBlockIndex
+        return idx.extend_c(ik, c, is_back)
     if idx.has_prefix:
         return _extend_c_prefix(idx, ik, c, is_back)
     dt = idx.idx_dtype

@@ -124,6 +124,7 @@ class BatchedSmemTG:
         seed_k: int | None = None,
         pack: bool = True,
         mesh=None,
+        occ: str = "auto",
     ):
         self.pack = pack
         self.mesh = mesh  # (dp, idx) jax Mesh: occ tables sharded over idx,
@@ -136,7 +137,22 @@ class BatchedSmemTG:
             self._sharded_steps: dict = {}
             self.idx = None
         else:
-            self.idx = DeviceIndex.from_dense(f)
+            # occ row format: "dense" fused rows (0.75 B/sym, the speed
+            # path) or "rb" run-aware compressed rows (ops/runblock.py,
+            # ~0.04-0.3 B/sym — the beyond-HBM capacity path).  auto keeps
+            # dense while it fits comfortably in one chip's HBM.
+            import os as _os
+
+            if occ == "auto":
+                occ = _os.environ.get("RB3TPU_DEVICE_OCC", "auto")
+            if occ == "auto":
+                occ = "rb" if f.n * 0.75 > 12e9 else "dense"
+            if occ == "rb":
+                from .runblock import from_dense as _rb_from_dense
+
+                self.idx = _rb_from_dense(f)
+            else:
+                self.idx = DeviceIndex.from_dense(f)
         self._dense = f  # host-side fallback for per-read overflow reruns
         self.min_occ = int(min_occ)
         self.min_len = int(min_len)
@@ -148,7 +164,7 @@ class BatchedSmemTG:
             # dispatches), so the XLA path is the default; the Pallas kernel
             # stays available (and correctness-tested) for future tuning.
             use_pallas = False
-        self.use_pallas = use_pallas and self.idx is not None and self.idx.idx_dtype == jnp.int32
+        self.use_pallas = use_pallas and isinstance(self.idx, DeviceIndex) and self.idx.idx_dtype == jnp.int32
         # unroll=2 re-measured a +3% WIN once the body dropped to 3 gathers
         # (it was a loss at ~12 gathers/iteration: body copies dominated)
         self.unroll = int(unroll) if unroll is not None else 2
@@ -160,7 +176,7 @@ class BatchedSmemTG:
             seed_k = 0
         self.seed_k = max(0, min(int(seed_k), self.min_len - 1))
         self.seed_tab = None
-        if self.seed_k >= 4 and not self.use_pallas and self.idx is not None:
+        if self.seed_k >= 4 and not self.use_pallas and isinstance(self.idx, DeviceIndex):
             from .seed import build_seed_table
 
             self.seed_tab = build_seed_table(self.idx, self.seed_k)

@@ -41,6 +41,10 @@ SCALES = {
     "mtb13": dict(n_genomes=152, glen=4_400_000, seed=20260820),
     # >2^31: 24 x 50 Mbp -> 2,400,000,048 symbols (gen_big2g.py recipe)
     "big2g": dict(n_genomes=24, glen=50_000_000, seed=20260818),
+    # beyond-HBM-dense demo (VERDICT r3 item 2): 400 x 10 Mbp at 0.3%
+    # divergence -> 8,000,800,000 symbols; the low divergence gives the
+    # run-aware compressed device rows pangenome-like run lengths
+    "big8g": dict(n_genomes=400, glen=10_000_000, seed=20260821, divergence=0.003),
 }
 N_READS = 100_000
 READ_LEN = 150
@@ -72,10 +76,11 @@ def gen(scale):
     base = rng.integers(1, 5, cfg["glen"]).astype(np.uint8)
     n_sym = 2 * cfg["n_genomes"] * (cfg["glen"] + 1)
     log(f"{scale}: {cfg['n_genomes']} x {cfg['glen']/1e6:.1f} Mbp -> {n_sym:,} symbols")
+    div = cfg.get("divergence", DIVERGENCE)
     with open(fa, "w", buffering=1 << 22) as f:
         for i in range(cfg["n_genomes"]):
             s = base.copy()
-            mut = rng.random(cfg["glen"]) < DIVERGENCE
+            mut = rng.random(cfg["glen"]) < div
             s[mut] = rng.integers(1, 5, int(mut.sum()))
             f.write(f">g{i}\n")
             f.write(alpha[s].tobytes().decode())
