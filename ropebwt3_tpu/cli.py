@@ -1475,6 +1475,33 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    import os as _os
+
+    if _os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # multi-host run (SURVEY §2.6): bring up jax.distributed before any
+        # backend touch; meshes then span all processes and only process 0
+        # writes stdout (see _primary_process)
+        from .parallel.launch import init_distributed
+
+        init_distributed()
+        import jax as _jax
+
+        if _jax.process_index() > 0:
+            # SPMD: every process computes identically; only process 0 owns
+            # the output stream (stderr logs stay per-process); raw fd 1 also
+            # moves to stderr so native-library prints (gloo) stay out
+            sys.stdout.flush()
+            _os.dup2(2, 1)
+            sys.stdout = open(_os.devnull, "w")
+        else:
+            # gloo (the CPU collective backend) prints a connection banner
+            # straight to fd 1 at the first collective; keep a private dup
+            # for the CLI's output and point raw fd 1 at stderr so stray
+            # native prints cannot pollute the byte-exact stdout contract
+            sys.stdout.flush()
+            _out_fd = _os.dup(1)
+            _os.dup2(2, 1)
+            sys.stdout = _os.fdopen(_out_fd, "w")
     try:
         ret = _dispatch(argv)
         if ret == 0 and len(argv) > 1:

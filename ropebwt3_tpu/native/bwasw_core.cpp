@@ -2222,7 +2222,9 @@ uint8_t* rb3t_smem_batch(const uint8_t* bwt, const uint16_t* occ_block, const in
   // schedule cannot change any output byte.
   std::atomic<int64_t> cursor(0);
   auto work = [&]() {
-    RankCache rc;
+    // with the one-line pline records the rank cache's hit value drops but
+    // its 3.5 MB footprint cost stays: 2^12 measured +7% at 1.34G (round 4)
+    RankCache rc(f.pline ? 12 : 16);
     std::vector<SmemSM> sm(G);
     std::vector<std::vector<MemRec>> memv(G);
     std::vector<int64_t> rid(G);
@@ -2460,7 +2462,7 @@ void rb3t_ssa_multi_batch(const uint8_t* bwt, const uint16_t* occ_block, const i
   // partially-stolen core the straggler for the whole call
   std::atomic<int64_t> cursor(0);
   auto work = [&]() {
-    RankCache rc;
+    RankCache rc(f.pline ? 12 : 16);
     constexpr int G = 16;  // requests interleaved per thread (latency hiding)
     ssa_multi_detail::SM sm[G];
     for (;;) {

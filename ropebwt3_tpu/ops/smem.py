@@ -373,7 +373,9 @@ class BatchedSmemTG:
             # materialize n_mem (small) — the axon runtime needs one program
             # synced before the next is queued — then start the bulk MEM
             # buffer's device->host copy so it overlaps the next dispatch
-            d["n_mem"] = np.asarray(d["n_mem_dev"])
+            from ..parallel.launch import to_host
+
+            d["n_mem"] = to_host(d["n_mem_dev"])
             try:
                 d["mems_dev"].copy_to_host_async()
             except Exception:
@@ -383,7 +385,9 @@ class BatchedSmemTG:
             """Vectorized unpack: gather all valid rows at once, map (lane,
             seg) -> global read id, stable-sort by read id (preserving
             per-read emit order: lane-major then slot-ascending)."""
-            mems = np.asarray(d["mems_dev"])
+            from ..parallel.launch import to_host
+
+            mems = to_host(d["mems_dev"])
             n_mem = d["n_mem"]
             lane_a, rnd_a, rid_a = d["lane_a"], d["rnd_a"], d["rid_a"]
             rid_of = np.full((Q, Rcap), -1, np.int64)

@@ -45,3 +45,33 @@ def global_mesh(dp: int | None = None, idx: int = 1):
     if dp is None:
         dp = n // idx
     return make_mesh(dp, idx)
+
+
+def to_host(x):
+    """Materialize a (possibly multi-process) jax array as a full numpy array
+    on EVERY process: plain np.asarray single-process; an allgather of the
+    addressable shards under jax.distributed (np.asarray raises on
+    non-addressable global arrays)."""
+    import numpy as np
+
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def process_index() -> int:
+    """jax.process_index() without forcing a jax import pre-init."""
+    import sys
+
+    if "jax" not in sys.modules:
+        return 0
+    import jax
+
+    try:
+        return jax.process_index()
+    except Exception:
+        return 0

@@ -101,8 +101,10 @@ def merge_rank_sharded(fa, seq: np.ndarray, mesh, window: int | None = None):
     ins = np.zeros(n2, dtype=np.int64)
     while True:
         ka, kb, alive, kbuf, abuf = stepw(ka, kb, alive, seq_d, lf2_d)
-        kb_h = np.asarray(kbuf)[:, :m2].ravel()
-        ins[kb_h] = np.asarray(abuf)[:, :m2].ravel()
-        if not bool(np.asarray(jnp.any(alive))):
+        from .launch import to_host
+
+        kb_h = to_host(kbuf)[:, :m2].ravel()
+        ins[kb_h] = to_host(abuf)[:, :m2].ravel()
+        if not bool(to_host(jnp.any(alive))):
             break
     return acc2, ins

@@ -115,3 +115,71 @@ def test_two_process_sharded_smem(tmp_path):
     for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{err.decode()[-3000:]}"
         assert f"OK process {pid}" in out.decode(), out.decode()
+
+
+def _spawn_two(cmd_argv, extra_env=None, per_proc_argv=None):
+    """Run the CLI command under 2-process jax.distributed (4 CPU devices
+    each, 8 global); returns [(rc, stdout, stderr)] per process."""
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    addr = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            PYTHONPATH=root,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_COORDINATOR_ADDRESS=addr,
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            RB3TPU_CACHE="0",  # both processes share the cwd; no sidecar races
+        )
+        if extra_env:
+            env.update(extra_env)
+        argv = cmd_argv if per_proc_argv is None else per_proc_argv[pid]
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "ropebwt3_tpu"] + argv,
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=root,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    return [(p.returncode, o, e) for p, (o, e) in zip(procs, outs)]
+
+
+def test_two_process_cli_mem_mesh(ref_bin, ref_index, corpus):
+    """End-to-end `mem --engine=jax --mesh=2x4` under 2-process
+    jax.distributed: process 0's BED must byte-match the reference; process 1
+    is silent (VERDICT r3 item 6)."""
+    want = subprocess.run(
+        [ref_bin, "mem", "-l13", str(ref_index), str(corpus / "reads.fa")],
+        capture_output=True, check=True,
+    ).stdout
+    res = _spawn_two(["mem", "-l13", "--engine=jax", "--mesh=2x4", str(ref_index), str(corpus / "reads.fa")])
+    for pid, (rc, out, err) in enumerate(res):
+        assert rc == 0, f"process {pid} failed:\n{err.decode()[-3000:]}"
+    assert res[0][1] == want, "process 0 BED differs from the reference"
+    assert res[1][1] == b"", "process 1 must not write stdout"
+
+
+def test_two_process_cli_build_mesh(ref_bin, corpus, tmp_path):
+    """End-to-end `build --mesh=2x4` (sharded merge rank) under 2-process
+    jax.distributed: each process writes its own FMD; both must byte-match
+    the reference single-process build."""
+    fa = str(corpus / "genomes.fa")
+    want_fmd = tmp_path / "ref.fmd"
+    subprocess.run([ref_bin, "build", "-do", str(want_fmd), fa], check=True, capture_output=True)
+    outs = [str(tmp_path / f"p{pid}.fmd") for pid in range(2)]
+    res = _spawn_two(
+        None,
+        per_proc_argv=[["build", "-m6k", "-do", outs[pid], "--mesh=2x4", fa] for pid in range(2)],
+    )
+    for pid, (rc, out, err) in enumerate(res):
+        assert rc == 0, f"process {pid} failed:\n{err.decode()[-3000:]}"
+    want = open(want_fmd, "rb").read()
+    for pid in range(2):
+        got = open(outs[pid], "rb").read()
+        assert got == want, f"process {pid} FMD differs from the reference"
