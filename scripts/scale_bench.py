@@ -44,7 +44,7 @@ SCALES = {
     # beyond-HBM-dense demo (VERDICT r3 item 2): 400 x 10 Mbp at 0.3%
     # divergence -> 8,000,800,000 symbols; the low divergence gives the
     # run-aware compressed device rows pangenome-like run lengths
-    "big8g": dict(n_genomes=400, glen=10_000_000, seed=20260821, divergence=0.003),
+    "big8g": dict(n_genomes=400, glen=10_000_000, seed=20260821, divergence=0.003, batch="120m", no_npz=True),
 }
 N_READS = 100_000
 READ_LEN = 150
@@ -108,16 +108,20 @@ def build(scale):
     fmd = os.path.join(out, "idx.fmd")
     if not os.path.exists(fmd):
         t0 = time.time()
-        log(f"{scale}: building FMD (our CLI, host path, -m320m batches) ...")
-        # -m320m: large SINGLE batches crawl on the host SA-IS (cache-miss
-        # bound); the multi-batch merge path is the measured-fast regime
-        # (PERF_NOTES: 2.4G in 28 min via -m320m vs ~hours single-batch)
+        batch = SCALES[scale].get("batch", "320m")
+        log(f"{scale}: building FMD (our CLI, host path, -m{batch} batches) ...")
+        # multi-batch merge path: large SINGLE batches crawl on the host
+        # SA-IS (cache-miss bound; this host hits a cliff past ~240M), and
+        # merge work is roughly batch-size-insensitive — the per-scale batch
+        # keeps SA-IS under its knee
         subprocess.run(
-            [sys.executable, "-m", "ropebwt3_tpu", "build", "-m320m", "-do", fmd, os.path.join(out, "genomes.fa")],
+            [sys.executable, "-m", "ropebwt3_tpu", "build", f"-m{batch}", "-do", fmd, os.path.join(out, "genomes.fa")],
             check=True, env=scrub_env(), cwd=ROOT,
         )
         log(f"{scale}: build {time.time()-t0:.1f}s")
     npz = os.path.join(out, "dense.npz")
+    if SCALES[scale].get("no_npz"):
+        return  # the v2 sidecar (hugepage-mapped) supersedes the npz cache
     if not os.path.exists(npz):
         log(f"{scale}: dense decode ...")
         t0 = time.time()
