@@ -37,11 +37,15 @@
 // Equivalence with the Python spec (construct/sa.py prefix-doubling) is
 // property-tested in tests/test_jax_engine.py.
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <chrono>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -71,6 +75,71 @@ static int64_t sais_round_min() {  // below this, an induce round runs scalar
   return v;
 }
 
+// Persistent worker pool: the round-parallel induce runs THOUSANDS of short
+// parallel rounds per build (one per stable frontier range); spawning
+// std::threads per round cost ~0.1 ms each and made rounds below ~32k
+// entries a loss (round-3: lowering the scalar threshold measured SLOWER).
+// With resident workers the dispatch is a condvar wake, so small rounds can
+// go parallel too.  par_chunks is only ever called from the main thread
+// (the algorithm is sequential between parallel sections), so one pool per
+// process suffices.
+struct SaisPool {
+  int T;
+  std::vector<std::thread> ws;
+  std::mutex mu;
+  std::condition_variable cv, cv_done;
+  uint64_t gen = 0;
+  int n_done = 0, active_T = 0;
+  std::function<void(int)> job;
+  bool stop = false;
+
+  explicit SaisPool(int t) : T(t) {
+    for (int i = 1; i < T; ++i) ws.emplace_back([this, i] { worker(i); });
+  }
+  ~SaisPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv.notify_all();
+    for (auto &w : ws) w.join();
+  }
+  static SaisPool &get() {
+    static SaisPool p(sais_threads());
+    return p;
+  }
+  void worker(int id) {
+    uint64_t seen = 0;
+    for (;;) {
+      std::unique_lock<std::mutex> lk(mu);
+      cv.wait(lk, [&] { return stop || gen != seen; });
+      if (stop) return;
+      seen = gen;
+      bool run_it = id < active_T && job != nullptr;
+      auto j = job;  // keep the callable alive past unlock
+      lk.unlock();
+      if (run_it) j(id);
+      lk.lock();
+      if (++n_done == T - 1) cv_done.notify_one();
+    }
+  }
+  template <typename G>
+  void run(int useT, const G &g) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      job = std::function<void(int)>([&g](int t) { g(t); });
+      active_T = useT;
+      n_done = 0;
+      ++gen;
+    }
+    cv.notify_all();
+    g(0);
+    std::unique_lock<std::mutex> lk(mu);
+    cv_done.wait(lk, [&] { return n_done == T - 1; });
+    job = nullptr;
+  }
+};
+
 // run f(t, lo_t, hi_t) for T contiguous chunks of [lo, hi) on T threads
 template <typename I, typename F>
 static void par_chunks(int T, I lo, I hi, F f) {
@@ -79,14 +148,15 @@ static void par_chunks(int T, I lo, I hi, F f) {
     f(0, lo, hi);
     return;
   }
-  std::vector<std::thread> th;
-  th.reserve(T - 1);
-  for (int t = 1; t < T; t++) {
-    I a = lo + (I)((int64_t)len * t / T), b = lo + (I)((int64_t)len * (t + 1) / T);
-    th.emplace_back([&f, t, a, b] { f(t, a, b); });
+  SaisPool &pool = SaisPool::get();
+  if (pool.T <= 1) {
+    f(0, lo, hi);
+    return;
   }
-  f(0, lo, lo + (I)(len / T));
-  for (auto &x : th) x.join();
+  pool.run(T <= pool.T ? T : pool.T, [&](int t) {
+    I a = lo + (I)((int64_t)len * t / T), b = lo + (I)((int64_t)len * (t + 1) / T);
+    if (t < T && a < b) f(t, a, b);
+  });
 }
 
 template <typename I, typename CC>
