@@ -304,8 +304,9 @@ def scale_curve():
     artifacts exist (scripts/scale_bench.py builds them); returns
     {label: {...}} with tpu / native / measured-hybrid numbers."""
     out = {}
-    # big2g (2.4 Gsym) exercises the int64 megablock layout on the chip
-    for scale, label in (("s640", "640M"), ("mtb13", "1338M"), ("big2g", "2400M")):
+    # big2g (2.4 Gsym) exercises the int64 megablock layout on the chip;
+    # big8g (8.0 Gsym) is the beyond-HBM-dense capacity demo (round 4)
+    for scale, label in (("s640", "640M"), ("mtb13", "1338M"), ("big2g", "2400M"), ("big8g", "8001M")):
         d = os.path.join(BENCH, scale)
         rnpy = os.path.join(d, "reads.npy")
         rt = os.path.join(d, "ref_timing.json")
@@ -474,6 +475,14 @@ def main():
                 rec["align_scale"] = ac
         except Exception as e:
             log(f"align curve skipped: {e}")
+        # compressed-occ capacity artifacts (scripts/rb_chip.py writes them)
+        cap = {}
+        for scale in ("mtb13", "big8g"):
+            p = os.path.join(BENCH, scale, "rb_chip.json")
+            if os.path.exists(p):
+                cap[scale] = json.load(open(p))
+        if cap:
+            rec["runblock_capacity"] = cap
     print(json.dumps(rec))
 
 
