@@ -44,6 +44,31 @@ class DenseFMIndex:
         n_pad = (n_blocks + 1) * BLOCK
         b = np.zeros(n_pad, dtype=np.uint8)
         b[:n] = bwt
+        # one-pass native table build (round 4): the numpy path below costs
+        # multiple GB-scale int64 passes per call (~65 s/G at pangenome
+        # scale, dominating multi-batch merges); the native pass writes the
+        # uint16/int64 tables directly, threaded over superblocks.
+        try:
+            import ctypes
+            import os as _os
+
+            from ..native import get_lib as _get_lib
+
+            _lib = _get_lib()
+            if _lib is not None and hasattr(_lib, "rb3t_dense_tables"):
+                n_supers = (n_blocks + BLOCKS_PER_SUPER - 1) // BLOCKS_PER_SUPER
+                occ_block = np.empty((n_blocks + 1, ASIZE), dtype=np.uint16)
+                occ_super = np.empty((n_supers + 1, ASIZE), dtype=np.int64)
+                acc = np.zeros(ASIZE + 1, dtype=np.int64)
+                P = ctypes.c_void_p
+                _lib.rb3t_dense_tables(
+                    P(b.ctypes.data), n, n_blocks, n_supers,
+                    P(occ_block.ctypes.data), P(occ_super.ctypes.data), P(acc.ctypes.data),
+                    int(_os.cpu_count() or 1),
+                )
+                return cls(bwt=b, n=n, acc=acc, occ_block=occ_block, occ_super=occ_super)
+        except Exception:
+            pass
         if n % BLOCK:
             # padding bytes beyond n must not pollute counts of the last block
             b[n : n_blocks * BLOCK] = 255

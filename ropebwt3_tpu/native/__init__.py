@@ -133,6 +133,20 @@ def get_lib():
         lib.rb3t_free.argtypes = [ctypes.c_void_p]
         lib.rb3t_runs_expand.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         lib.rb3t_block_counts.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        lib.rb3t_dense_tables.restype = None
+        lib.rb3t_dense_tables.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        # without argtypes ctypes passes Python ints as 32-bit C int — the
+        # runblock builders take int64 lengths (8 Gsym indexes truncate!)
+        lib.rb3t_runblock_count.restype = None
+        lib.rb3t_runblock_count.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        lib.rb3t_runblock_fill.restype = None
+        lib.rb3t_runblock_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception:
         _lib = None

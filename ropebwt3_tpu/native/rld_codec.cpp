@@ -10,6 +10,9 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -386,6 +389,77 @@ void rb3t_runblock_fill(const uint8_t *syms, const int64_t *lens, int64_t n_runs
       }
     }
   }
+}
+
+// One-pass dense occ tables (index/dense.py from_bwt semantics): per-block
+// uint16 within-super counts, int64 superblock bases, acc — replacing the
+// multi-pass numpy build whose GB-scale int64 intermediates cost ~65 s/G
+// per merge batch at pangenome scale (round 4).  Threaded over superblocks;
+// per-block counting via SSE2 byte-compare movemask+popcount.
+void rb3t_dense_tables(const uint8_t *bwt, int64_t n, int64_t n_blocks, int64_t n_supers,
+                       uint16_t *occ_block, int64_t *occ_super, int64_t *acc, int32_t n_threads) {
+  const int64_t BPS = 1024;  // BLOCKS_PER_SUPER (SUPER 2^16 / BLOCK 64)
+  std::vector<int64_t> totals((size_t)n_supers * 6, 0);
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t s0, int64_t s1) {
+    for (int64_t s = s0; s < s1; ++s) {
+      int64_t run[6] = {0, 0, 0, 0, 0, 0};
+      int64_t b_end = (s + 1) * BPS;
+      if (b_end > n_blocks + 1) b_end = n_blocks + 1;
+      for (int64_t b = s * BPS; b < b_end; ++b) {
+        uint16_t *row = occ_block + (size_t)b * 6;
+        for (int c = 0; c < 6; ++c) row[c] = (uint16_t)run[c];
+        if (b >= n_blocks) continue;
+        const uint8_t *blk = bwt + (b << 6);
+        int64_t lim = n - (b << 6);
+        if (lim >= 64) {
+#if defined(__AVX2__)
+          __m256i v0 = _mm256_loadu_si256((const __m256i *)blk);
+          __m256i v1 = _mm256_loadu_si256((const __m256i *)(blk + 32));
+          for (int c = 0; c < 6; ++c) {
+            __m256i t = _mm256_set1_epi8((char)c);
+            uint64_t bits = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(v0, t)) |
+                            ((uint64_t)(uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(v1, t)) << 32);
+            run[c] += (int64_t)__builtin_popcountll(bits);
+          }
+#else
+          for (int i = 0; i < 64; ++i) run[blk[i]]++;
+#endif
+        } else {
+          for (int64_t i = 0; i < lim; ++i) run[blk[i]]++;
+        }
+      }
+      if (s < n_supers)
+        for (int c = 0; c < 6; ++c) totals[(size_t)s * 6 + c] = run[c];
+    }
+  };
+  int64_t n_sp = n_supers > 0 ? n_supers : 1;
+  if (n_threads == 1 || n_supers < 2) {
+    work(0, n_sp);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 1; t < n_threads; ++t) {
+      int64_t a = n_sp * t / n_threads, b = n_sp * (t + 1) / n_threads;
+      if (a < b) th.emplace_back(work, a, b);
+    }
+    work(0, n_sp / n_threads);
+    for (auto &x : th) x.join();
+  }
+  // prefix over supers -> absolute bases; final row = total counts
+  int64_t pre[6] = {0, 0, 0, 0, 0, 0};
+  for (int64_t s = 0; s < n_supers; ++s) {
+    for (int c = 0; c < 6; ++c) {
+      occ_super[(size_t)s * 6 + c] = pre[c];
+      pre[c] += totals[(size_t)s * 6 + c];
+    }
+  }
+  for (int c = 0; c < 6; ++c) occ_super[(size_t)n_supers * 6 + c] = pre[c];
+  // the extra occ_block row at b == n_blocks, when it belongs to super
+  // n_supers (n_blocks % BPS == 0): within-super count before it is 0
+  if (n_blocks % BPS == 0)
+    for (int c = 0; c < 6; ++c) occ_block[(size_t)n_blocks * 6 + c] = 0;
+  acc[0] = 0;
+  for (int c = 0; c < 6; ++c) acc[c + 1] = acc[c] + pre[c];
 }
 
 void rb3t_block_counts(const uint8_t *bwt, int64_t n, int64_t n_blocks, int64_t *out) {

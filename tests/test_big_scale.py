@@ -41,3 +41,29 @@ def test_mem_golden_int64_index():
     )
     assert r.stdout, "reference produced no output"
     assert hashlib.sha256(o.stdout).hexdigest() == hashlib.sha256(r.stdout).hexdigest()
+
+
+BIG8 = os.path.join(ROOT, ".bench", "big8g")
+
+
+@pytest.mark.skipif(
+    os.environ.get("RB3TPU_SLOW_TESTS") != "1"
+    or not os.path.exists(os.path.join(BIG8, "idx.fmd"))
+    or not os.path.exists(REF_BIN),
+    reason="gated: RB3TPU_SLOW_TESTS=1 + cached .bench/big8g artifacts",
+)
+def test_mem_golden_8gsym_index():
+    """8.0 Gsym (beyond-dense-HBM capacity demo corpus, round 4): our mem
+    must byte-match the reference on our own int64 index."""
+    fmd = os.path.join(BIG8, "idx.fmd")
+    reads = os.path.join(BIG8, "reads.fa")
+    r = subprocess.run([REF_BIN, "mem", "-t4", "-l31", fmd, reads], check=True, capture_output=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    o = subprocess.run(
+        [sys.executable, "-m", "ropebwt3_tpu", "mem", "-l31", fmd, reads],
+        check=True, capture_output=True, env=env, cwd=ROOT,
+    )
+    assert r.stdout, "reference produced no output"
+    assert hashlib.sha256(o.stdout).hexdigest() == hashlib.sha256(r.stdout).hexdigest()
