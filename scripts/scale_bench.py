@@ -36,11 +36,14 @@ BENCH = os.path.join(ROOT, ".bench")
 
 SCALES = {
     # 64 x 5 Mbp, 1% divergence -> 640,000,128 double-strand symbols
-    "s640": dict(n_genomes=64, glen=5_000_000, seed=20260819),
+    # (-m120m everywhere: 320M batches hit the host SA-IS cliff — round 4;
+    # the merge path is batch-size-insensitive since the one-pass native
+    # dense-table builder, and FMD bytes are batching-invariant)
+    "s640": dict(n_genomes=64, glen=5_000_000, seed=20260819, batch="120m"),
     # mtb152-like (BASELINE config 3): 152 x 4.4 Mbp -> 1,337,600,304 symbols
-    "mtb13": dict(n_genomes=152, glen=4_400_000, seed=20260820),
+    "mtb13": dict(n_genomes=152, glen=4_400_000, seed=20260820, batch="120m"),
     # >2^31: 24 x 50 Mbp -> 2,400,000,048 symbols (gen_big2g.py recipe)
-    "big2g": dict(n_genomes=24, glen=50_000_000, seed=20260818),
+    "big2g": dict(n_genomes=24, glen=50_000_000, seed=20260818, batch="120m"),
     # beyond-HBM-dense demo (VERDICT r3 item 2): 400 x 10 Mbp at 0.3%
     # divergence -> 8,000,800,000 symbols; the low divergence gives the
     # run-aware compressed device rows pangenome-like run lengths
