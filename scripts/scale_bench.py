@@ -34,6 +34,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 BENCH = os.path.join(ROOT, ".bench")
 
+import bench as B  # noqa: E402  (needs ROOT on sys.path)
+
 SCALES = {
     # 64 x 5 Mbp, 1% divergence -> 640,000,128 double-strand symbols
     # (-m120m everywhere: 320M batches hit the host SA-IS cliff — round 4;
