@@ -16,11 +16,45 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+T0 = time.time()
+# Wall-clock budget for the WHOLE bench process (round-4 lesson: the driver
+# killed the un-budgeted scale curve at the 8G stage and the official record
+# became rc=124/parsed=null — one slow stage must never forfeit the
+# scoreboard).  The headline record prints as soon as the 64M measurements
+# land; each later stage re-prints an enriched record, and stages that don't
+# fit the remaining budget are skipped with a log line.
+DEADLINE = float(os.environ.get("RB3TPU_BENCH_DEADLINE", "480"))
+
+_LATEST: dict | None = None
+
+
+def remaining() -> float:
+    return DEADLINE - (time.time() - T0)
+
+
+def emit(rec: dict) -> None:
+    """Print the current record as one JSON line (the driver parses the last
+    complete line; re-emitting after each stage keeps the record current)."""
+    global _LATEST
+    _LATEST = rec
+    print(json.dumps(rec), flush=True)
+
+
+def _on_term(signum, frame):
+    # last-gasp: if the driver times us out anyway, the record already
+    # printed is valid — just exit cleanly without traceback noise
+    sys.stderr.write(f"[bench] signal {signum}: exiting with the record emitted so far\n")
+    os._exit(0 if _LATEST is not None else 1)
+
+
+signal.signal(signal.SIGTERM, _on_term)
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 BENCH = os.path.join(ROOT, ".bench")
@@ -198,12 +232,14 @@ def bench_native(f, reads, ref):
         wall = min(wall, dt)
     reads_per_s = N_READS / wall
     vs = reads_per_s / ref["reads_per_s"] if ref else float("nan")
-    print(json.dumps({"metric": "smem_mem31_reads_per_s", "value": round(reads_per_s, 1), "unit": "reads/s", "vs_baseline": round(vs, 3) if vs == vs else None}))
+    emit({"metric": "smem_mem31_reads_per_s", "value": round(reads_per_s, 1), "unit": "reads/s", "vs_baseline": round(vs, 3) if vs == vs else None, "engine": "native"})
 
 
-def measure_index(f, reads, passes=3):
+def measure_index(f, reads, passes=3, occ="dense"):
     """TPU packed-kernel + native + measured-hybrid throughput on dense
-    index `f` (same kernel shapes as main).  Returns a dict of walls."""
+    index `f` (same kernel shapes as main).  Returns a dict of walls.
+    occ="rb" uses the run-aware compressed device rows (ops/runblock.py,
+    the beyond-HBM capacity format; ~0.16 B/sym at 8 Gsym vs 0.75 dense)."""
     import threading
 
     import jax
@@ -212,7 +248,12 @@ def measure_index(f, reads, passes=3):
     from ropebwt3_tpu.ops.rank import DeviceIndex
     from ropebwt3_tpu.ops.smem import smem_tg_batch
 
-    idx = DeviceIndex.from_dense(f)
+    if occ == "rb":
+        from ropebwt3_tpu.ops import runblock
+
+        idx = runblock.from_dense(f)
+    else:
+        idx = DeviceIndex.from_dense(f)
     LANES, LBUF, RCAP, M = 2048, 4096, 32, 64
     NPL = LBUF // (READ_LEN + 1)
     per = LANES * NPL
@@ -266,12 +307,27 @@ def measure_index(f, reads, passes=3):
 
         flat = np.ascontiguousarray(reads.reshape(-1))
         offs = np.arange(len(reads) + 1, dtype=np.int64) * READ_LEN
-        nwall = float("inf")
-        for _ in range(2):
-            t0 = time.time()
+        # contamination guard on OUR side too (r4 lesson: the official 2.4G
+        # native sample was starved 43% low by concurrent work; the ref
+        # timings had a cpu_util trust check but ours didn't): the threaded
+        # engine solo runs ~full-core — if even the best pass measured below
+        # 70% utilization, retry up to 2 extra passes and record the best.
+        ncpu = os.cpu_count() or 4
+        nwall, nutil, attempts = float("inf"), 0.0, 0
+        while attempts < 4:
+            c0, t0 = time.process_time(), time.time()
             smem_tg_flat_native(f, flat, offs, 1, MIN_LEN)
-            nwall = min(nwall, time.time() - t0)
+            w = time.time() - t0
+            u = (time.process_time() - c0) / w / ncpu if w > 0 else 0.0
+            attempts += 1
+            if w < nwall:
+                nwall, nutil = w, u
+            if attempts >= 2 and nutil >= 0.70:
+                break
+            if attempts >= 2:
+                log(f"native sample cpu_util={nutil:.2f} (<0.70): machine busy, retrying")
         out["native_wall"] = nwall
+        out["native_cpu_util"] = round(nutil, 3)
 
         share = (1 / wall) / (1 / wall + 1 / nwall)
         nd = int(len(reads) * share)  # partial last chunk stages fine
@@ -299,116 +355,129 @@ def measure_index(f, reads, passes=3):
     return out
 
 
-def scale_curve():
-    """Measure the 640M / 1.34G / 2.4G(int64) indexes when their cached
-    artifacts exist (scripts/scale_bench.py builds them); returns
-    {label: {...}} with tpu / native / measured-hybrid numbers."""
-    out = {}
-    # big2g (2.4 Gsym) exercises the int64 megablock layout on the chip;
-    # big8g (8.0 Gsym) is the beyond-HBM-dense capacity demo (round 4)
-    for scale, label in (("s640", "640M"), ("mtb13", "1338M"), ("big2g", "2400M"), ("big8g", "8001M")):
-        d = os.path.join(BENCH, scale)
-        rnpy = os.path.join(d, "reads.npy")
-        rt = os.path.join(d, "ref_timing.json")
-        if not (os.path.exists(os.path.join(d, "idx.fmd")) and os.path.exists(rnpy)):
-            continue
-        if _trusted(rt) is None:
-            # re-time solo (scale_bench's cache missing or contaminated)
-            rb = ensure_ref_bin()
-            s_fmd, s_fa = os.path.join(d, "idx.fmd"), os.path.join(d, "reads.fa")
-            if not (rb and os.path.exists(s_fmd) and os.path.exists(s_fa)):
-                continue
-            ncpu = os.cpu_count() or 4
-            log(f"re-timing reference at {label} (best-of-2, solo) ...")
-            wall, util = float("inf"), 0.0
-            for _ in range(2):
-                w, u = _run_timed([rb, "mem", f"-t{ncpu}", f"-l{MIN_LEN}", s_fmd, s_fa], check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-                if w < wall:
-                    wall, util = w, u
-            nr = len(np.load(rnpy, mmap_mode="r"))
-            json.dump({"wall_s": wall, "threads": ncpu, "reads_per_s": nr / wall, "cpu_util": round(util, 3)}, open(rt, "w"))
-        f = ensure_dense(os.path.join(d, "idx.fmd"))
-        reads_s = np.load(rnpy)
-        log(f"scale {label}: n={f.n:,} ...")
-        res = measure_index(f, reads_s)
-        ref = json.load(open(rt))
-        n = len(reads_s)
-        ours = n / res["tpu_wall"]
-        out[label] = {
-            "ours_reads_per_s": round(ours, 1),
-            "ref_t4_reads_per_s": round(ref["reads_per_s"], 1),
-            "ratio": round(ours / ref["reads_per_s"], 3),
-        }
-        if "native_wall" in res:
-            out[label]["native_reads_per_s"] = round(n / res["native_wall"], 1)
-        if "hybrid_wall" in res:
-            out[label]["hybrid_reads_per_s"] = round(n / res["hybrid_wall"], 1)
-            out[label]["hybrid_ratio"] = round(n / res["hybrid_wall"] / ref["reads_per_s"], 3)
-        log(f"scale {label}: tpu {ours:,.0f} | native {out[label].get('native_reads_per_s', 0):,.0f} | hybrid {out[label].get('hybrid_reads_per_s', 0):,.0f} vs ref {ref['reads_per_s']:,.0f} ({out[label]['ratio']}x tpu, {out[label].get('hybrid_ratio', 0)}x hybrid)")
-        del f
-    return out
+def _ref_scale_timing(scale: str, label: str) -> dict | None:
+    """Trusted reference `mem` timing for a scale dir (re-times solo if the
+    cache is missing/contaminated and the budget allows)."""
+    d = os.path.join(BENCH, scale)
+    rnpy = os.path.join(d, "reads.npy")
+    rt = os.path.join(d, "ref_timing.json")
+    j = _trusted(rt)
+    if j is not None:
+        return j
+    rb = ensure_ref_bin()
+    s_fmd, s_fa = os.path.join(d, "idx.fmd"), os.path.join(d, "reads.fa")
+    if not (rb and os.path.exists(s_fmd) and os.path.exists(s_fa)):
+        return None
+    if remaining() < 60:
+        log(f"skipping {label}: ref re-time doesn't fit the budget ({remaining():.0f}s left)")
+        return None
+    ncpu = os.cpu_count() or 4
+    log(f"re-timing reference at {label} (best-of-2, solo) ...")
+    wall, util = float("inf"), 0.0
+    for _ in range(2):
+        w, u = _run_timed([rb, "mem", f"-t{ncpu}", f"-l{MIN_LEN}", s_fmd, s_fa], check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if w < wall:
+            wall, util = w, u
+    nr = len(np.load(rnpy, mmap_mode="r"))
+    j = {"wall_s": wall, "threads": ncpu, "reads_per_s": nr / wall, "cpu_util": round(util, 3)}
+    json.dump(j, open(rt, "w"))
+    return j
 
 
-def align_curve():
-    """BWA-SW + hapdiv at mtb152-class scale (BASELINE configs 4/5): e2e CLI
-    wall of `sw -N25 --no-ssa` and `hapdiv -a101` on 2,000 corpus reads vs the
-    reference -t4, at 1.34G and (sw also int64) 2.4G.  Outputs byte-compared;
-    reference timings cached per scale dir."""
+def scale_stage(scale: str, label: str) -> dict | None:
+    """One scale measurement (640M / 1.34G / 2.4G-int64 / 8G); returns the
+    record entry or None.  big8g serves through the run-aware compressed rows
+    (occ=rb, 0.16 B/sym): the dense rows' 6 GB device transfer does not fit a
+    budgeted stage, and rb is the production capacity mode at that size."""
+    d = os.path.join(BENCH, scale)
+    rnpy = os.path.join(d, "reads.npy")
+    if not (os.path.exists(os.path.join(d, "idx.fmd")) and os.path.exists(rnpy)):
+        return None
+    ref = _ref_scale_timing(scale, label)
+    if ref is None:
+        return None
+    f = ensure_dense(os.path.join(d, "idx.fmd"))
+    reads_s = np.load(rnpy)
+    occ = "rb" if scale == "big8g" else "dense"
+    log(f"scale {label}: n={f.n:,} (occ={occ}) ...")
+    res = measure_index(f, reads_s, occ=occ)
+    n = len(reads_s)
+    ours = n / res["tpu_wall"]
+    ent = {
+        "ours_reads_per_s": round(ours, 1),
+        "ref_t4_reads_per_s": round(ref["reads_per_s"], 1),
+        "ratio": round(ours / ref["reads_per_s"], 3),
+    }
+    if occ != "dense":
+        ent["occ"] = occ
+    if "native_wall" in res:
+        ent["native_reads_per_s"] = round(n / res["native_wall"], 1)
+    if "hybrid_wall" in res:
+        ent["hybrid_reads_per_s"] = round(n / res["hybrid_wall"], 1)
+        ent["hybrid_ratio"] = round(n / res["hybrid_wall"] / ref["reads_per_s"], 3)
+    log(f"scale {label}: tpu {ours:,.0f} | native {ent.get('native_reads_per_s', 0):,.0f} | hybrid {ent.get('hybrid_reads_per_s', 0):,.0f} vs ref {ref['reads_per_s']:,.0f} ({ent['ratio']}x tpu, {ent.get('hybrid_ratio', 0)}x hybrid)")
+    return ent
+
+
+def align_stage(scale: str, label: str) -> dict | None:
+    """BWA-SW + hapdiv at one scale (BASELINE configs 4/5): e2e CLI wall of
+    `sw -N25 --no-ssa` and `hapdiv -a101` on 10k corpus reads vs the
+    reference -t4.  Outputs byte-compared; reference timings cached."""
     alpha = np.frombuffer(b"$ACGTN", dtype=np.uint8)
     ref = ensure_ref_bin()
-    out = {}
     N_SW = 10000  # engine-dominated (2k reads were fixed-cost-bound; round 4)
-    for scale, label in (("mtb13", "1338M"), ("big2g", "2400M")):
-        d = os.path.join(BENCH, scale)
-        fmd = os.path.join(d, "idx.fmd")
-        rnpy = os.path.join(d, "reads.npy")
-        if not (os.path.exists(fmd) and os.path.exists(rnpy) and ref):
-            continue
-        sub_fa = os.path.join(d, "reads_sw10k.fa")
-        if not os.path.exists(sub_fa):
-            rd = np.load(rnpy)[:N_SW]
-            with open(sub_fa, "w") as fh:
-                for i, r in enumerate(rd):
-                    fh.write(f">r{i}\n" + alpha[r].tobytes().decode() + "\n")
-        res = {}
-        for cmd, args_r in (("sw", ["sw", "-t4", "-N25", "--no-ssa"]), ("hapdiv", ["hapdiv", "-t4", "-a101"])):
-            cache = os.path.join(d, f"ref_{cmd}10k.json")
-            rj = _trusted(cache)
-            if rj is None:
-                import resource
+    d = os.path.join(BENCH, scale)
+    fmd = os.path.join(d, "idx.fmd")
+    rnpy = os.path.join(d, "reads.npy")
+    if not (os.path.exists(fmd) and os.path.exists(rnpy) and ref):
+        return None
+    sub_fa = os.path.join(d, "reads_sw10k.fa")
+    if not os.path.exists(sub_fa):
+        rd = np.load(rnpy)[:N_SW]
+        with open(sub_fa, "w") as fh:
+            for i, r in enumerate(rd):
+                fh.write(f">r{i}\n" + alpha[r].tobytes().decode() + "\n")
+    res = {}
+    for cmd, args_r in (("sw", ["sw", "-t4", "-N25", "--no-ssa"]), ("hapdiv", ["hapdiv", "-t4", "-a101"])):
+        if remaining() < 45:
+            log(f"skipping align {label} {cmd}: {remaining():.0f}s left")
+            break
+        cache = os.path.join(d, f"ref_{cmd}10k.json")
+        rj = _trusted(cache)
+        if rj is None:
+            import resource
 
-                r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
-                t0 = time.time()
-                rr = subprocess.run([ref] + args_r + [fmd, sub_fa], capture_output=True)
-                wall = time.time() - t0
-                r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-                util = ((r1.ru_utime + r1.ru_stime) - (r0.ru_utime + r0.ru_stime)) / wall / (os.cpu_count() or 4)
-                rj = {"wall_s": wall, "cpu_util": round(util, 3)}
-                json.dump(rj, open(cache, "w"))
-                with open(os.path.join(d, f"ref_{cmd}10k.out"), "wb") as fh:
-                    fh.write(rr.stdout)
-            env = dict(os.environ)
-            env["PYTHONPATH"], env["JAX_PLATFORMS"] = "", "cpu"
-            wall = float("inf")
-            ours_out = b""
-            for _ in range(2):
-                t0 = time.time()
-                orun = subprocess.run(
-                    [sys.executable, "-m", "ropebwt3_tpu"] + args_r + ["--engine=native", fmd, sub_fa],
-                    capture_output=True, env=env,
-                )
-                wall = min(wall, time.time() - t0)
-                ours_out = orun.stdout
-            refout = os.path.join(d, f"ref_{cmd}10k.out")
-            equal = os.path.exists(refout) and open(refout, "rb").read() == ours_out
-            unit = N_SW / wall
-            res[cmd] = {
-                "ours_per_s": round(unit, 1), "ref_t4_per_s": round(N_SW / rj["wall_s"], 1),
-                "ratio": round(rj["wall_s"] / wall, 3), "byte_equal": bool(equal),
-            }
-            log(f"align {label} {cmd}: ours {wall:.2f}s vs ref {rj['wall_s']:.2f}s ({res[cmd]['ratio']}x, byte_equal={equal})")
-        out[label] = res
-    return out
+            r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            t0 = time.time()
+            rr = subprocess.run([ref] + args_r + [fmd, sub_fa], capture_output=True)
+            wall = time.time() - t0
+            r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            util = ((r1.ru_utime + r1.ru_stime) - (r0.ru_utime + r0.ru_stime)) / wall / (os.cpu_count() or 4)
+            rj = {"wall_s": wall, "cpu_util": round(util, 3)}
+            json.dump(rj, open(cache, "w"))
+            with open(os.path.join(d, f"ref_{cmd}10k.out"), "wb") as fh:
+                fh.write(rr.stdout)
+        env = dict(os.environ)
+        env["PYTHONPATH"], env["JAX_PLATFORMS"] = "", "cpu"
+        wall = float("inf")
+        ours_out = b""
+        for _ in range(2):
+            t0 = time.time()
+            orun = subprocess.run(
+                [sys.executable, "-m", "ropebwt3_tpu"] + args_r + ["--engine=native", fmd, sub_fa],
+                capture_output=True, env=env,
+            )
+            wall = min(wall, time.time() - t0)
+            ours_out = orun.stdout
+        refout = os.path.join(d, f"ref_{cmd}10k.out")
+        equal = os.path.exists(refout) and open(refout, "rb").read() == ours_out
+        unit = N_SW / wall
+        res[cmd] = {
+            "ours_per_s": round(unit, 1), "ref_t4_per_s": round(N_SW / rj["wall_s"], 1),
+            "ratio": round(rj["wall_s"] / wall, 3), "byte_equal": bool(equal),
+        }
+        log(f"align {label} {cmd}: ours {wall:.2f}s vs ref {rj['wall_s']:.2f}s ({res[cmd]['ratio']}x, byte_equal={equal})")
+    return res or None
 
 
 def main():
@@ -451,39 +520,67 @@ def main():
     if hyb_rps:
         rec["hybrid_reads_per_s"] = round(hyb_rps, 1)
         rec["hybrid_dev_share"] = res["hybrid_dev_share"]
-    if os.environ.get("RB3TPU_BENCH_FAST") != "1":
+    # compressed-occ capacity artifacts (scripts/rb_chip.py writes them)
+    cap = {}
+    for scale in ("mtb13", "big8g"):
+        p = os.path.join(BENCH, scale, "rb_chip.json")
+        if os.path.exists(p):
+            cap[scale] = json.load(open(p))
+    if cap:
+        rec["runblock_capacity"] = cap
+    # the headline record lands NOW — every later stage only enriches it
+    # (round-4 lesson: the record must never depend on the slowest stage)
+    emit(rec)
+    if os.environ.get("RB3TPU_BENCH_FAST") == "1":
+        return
+
+    if ref:
+        rec["scale"] = {"64M": {
+            "ours_reads_per_s": rec["tpu_reads_per_s"],
+            "ref_t4_reads_per_s": round(ref["reads_per_s"], 1),
+            "ratio": round(tpu_rps / ref["reads_per_s"], 3),
+        }}
+        if nat_rps:
+            rec["scale"]["64M"]["native_reads_per_s"] = rec["native_reads_per_s"]
+        if hyb_rps:
+            rec["scale"]["64M"]["hybrid_reads_per_s"] = rec["hybrid_reads_per_s"]
+            rec["scale"]["64M"]["hybrid_ratio"] = round(hyb_rps / ref["reads_per_s"], 3)
+
+    # scale stages in priority order (1.34G is the must-have second point),
+    # each guarded by a calibrated wall-clock estimate: `factor` tracks how
+    # this session's chip/tunnel speed compares to the round-4 base costs
+    base_est = {"mtb13": 110.0, "s640": 45.0, "big2g": 250.0, "big8g": 180.0}
+    factor = 1.0
+    for scale, label in (("mtb13", "1338M"), ("s640", "640M"), ("big2g", "2400M"), ("big8g", "8001M")):
+        est = base_est[scale] * factor
+        if remaining() < est:
+            log(f"skipping scale {label}: est {est:.0f}s > {remaining():.0f}s left")
+            continue
+        t0 = time.time()
         try:
-            curve = scale_curve()
-            if curve:
-                e64 = {
-                    "ours_reads_per_s": rec["tpu_reads_per_s"],
-                    "ref_t4_reads_per_s": round(ref["reads_per_s"], 1) if ref else None,
-                    "ratio": round(tpu_rps / ref["reads_per_s"], 3) if ref else None,
-                }
-                if nat_rps:
-                    e64["native_reads_per_s"] = rec["native_reads_per_s"]
-                if hyb_rps:
-                    e64["hybrid_reads_per_s"] = rec["hybrid_reads_per_s"]
-                    e64["hybrid_ratio"] = round(hyb_rps / ref["reads_per_s"], 3) if ref else None
-                curve["64M"] = e64
-                rec["scale"] = curve
-        except Exception as e:  # scale curve must never kill the headline metric
-            log(f"scale curve skipped: {e}")
+            ent = scale_stage(scale, label)
+        except Exception as e:  # one stage must never kill the record
+            log(f"scale {label} failed: {e}")
+            continue
+        took = time.time() - t0
+        factor = min(3.0, max(0.3, took / base_est[scale]))
+        if ent:
+            rec.setdefault("scale", {})[label] = ent
+            emit(rec)
+
+    for scale, label in (("mtb13", "1338M"), ("big2g", "2400M")):
+        if remaining() < 45:
+            log(f"skipping align {label}: {remaining():.0f}s left")
+            break
         try:
-            ac = align_curve()
-            if ac:
-                rec["align_scale"] = ac
+            ent = align_stage(scale, label)
         except Exception as e:
-            log(f"align curve skipped: {e}")
-        # compressed-occ capacity artifacts (scripts/rb_chip.py writes them)
-        cap = {}
-        for scale in ("mtb13", "big8g"):
-            p = os.path.join(BENCH, scale, "rb_chip.json")
-            if os.path.exists(p):
-                cap[scale] = json.load(open(p))
-        if cap:
-            rec["runblock_capacity"] = cap
-    print(json.dumps(rec))
+            log(f"align {label} failed: {e}")
+            continue
+        if ent:
+            rec.setdefault("align_scale", {})[label] = ent
+            emit(rec)
+    log(f"done in {time.time() - T0:.0f}s (deadline {DEADLINE:.0f}s)")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ math to rank.extend_c_circuit, equivalence-tested in tests/test_runblock.py.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from .. import _jax_setup as __jx
@@ -219,8 +220,10 @@ def choose_S(lens: np.ndarray, n: int) -> tuple[int, dict]:
     return best, stats
 
 
-def build_runblock(syms: np.ndarray, lens: np.ndarray, n: int | None = None, S: int | None = None, idx_dtype=None) -> RunBlockIndex:
-    """Build the compressed device index from global BWT runs."""
+def build_runblock_np(syms: np.ndarray, lens: np.ndarray, n: int | None = None, S: int | None = None, idx_dtype=None) -> dict:
+    """Build the compressed rows on the host; returns the raw numpy pieces
+    {rows, esc, mega|None, acc, n, S, int64} (build_runblock wraps them onto
+    the device; ShardedIndex re-shards them over the idx mesh axis)."""
     import ctypes
 
     from ..native import get_lib
@@ -257,22 +260,87 @@ def build_runblock(syms: np.ndarray, lens: np.ndarray, n: int | None = None, S: 
     acc = np.zeros(7, np.int64)
     np.add.at(acc[1:], syms, lens)
     acc = np.cumsum(acc)
+    return dict(rows=rows, esc=esc, mega=mega if int64 else None,
+                acc=acc.astype(np.int64 if int64 else np.int32), n=n, S=S, int64=int64)
+
+
+def _to_device(d: dict) -> RunBlockIndex:
     comp = jnp.asarray(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32))
     return RunBlockIndex(
-        rows=jnp.asarray(rows),
-        esc=jnp.asarray(esc),
-        occ_super=jnp.asarray(mega) if int64 else jnp.zeros((1, ASIZE), jnp.int32),
-        acc=jnp.asarray(acc.astype(np.int64 if int64 else np.int32)),
-        n=n,
-        S=S,
+        rows=jnp.asarray(d["rows"]),
+        esc=jnp.asarray(d["esc"]),
+        occ_super=jnp.asarray(d["mega"]) if d["mega"] is not None else jnp.zeros((1, ASIZE), jnp.int32),
+        acc=jnp.asarray(d["acc"]),
+        n=int(d["n"]),
+        S=int(d["S"]),
         comp=comp,
     )
 
 
-def from_dense(f, S: int | None = None, idx_dtype=None) -> RunBlockIndex:
-    """Build from a DenseFMIndex (test convenience: re-derives the runs)."""
+def build_runblock(syms: np.ndarray, lens: np.ndarray, n: int | None = None, S: int | None = None, idx_dtype=None) -> RunBlockIndex:
+    """Build the compressed device index from global BWT runs."""
+    return _to_device(build_runblock_np(syms, lens, n=n, S=S, idx_dtype=idx_dtype))
+
+
+# ---- sidecar cache (`<idx>.dense.rb.npz`) --------------------------------
+# Deriving runs from a multi-GB dense BWT costs tens of seconds; persisting
+# the built rows makes rb-engine startup (serve, bench, capacity mode) a
+# single file read — the analog of the `.dense` sidecar for the compressed
+# format.
+
+
+def save_cache(path: str, d: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"  # np.savez appends .npz to a bare stem
+    np.savez(tmp, rows=d["rows"], esc=d["esc"],
+             mega=d["mega"] if d["mega"] is not None else np.zeros(0, np.int64),
+             acc=d["acc"], meta=np.array([d["n"], d["S"], int(d["int64"])], np.int64))
+    os.replace(tmp + ".npz", path)
+
+
+def load_cache(path: str, n: int) -> dict | None:
+    try:
+        z = np.load(path, allow_pickle=False)
+        meta = z["meta"]
+        if int(meta[0]) != n:
+            return None
+        int64 = bool(meta[2])
+        mega = z["mega"]
+        return dict(rows=z["rows"], esc=z["esc"], mega=mega if int64 and mega.size else None,
+                    acc=z["acc"], n=int(meta[0]), S=int(meta[1]), int64=int64)
+    except Exception:
+        return None
+
+
+def runs_from_dense(f) -> tuple[np.ndarray, np.ndarray]:
+    """(syms, lens) of the global BWT runs of a DenseFMIndex."""
     bwt = np.asarray(f.bwt[: f.n])
     brk = np.flatnonzero(np.diff(bwt)) + 1
     starts = np.concatenate([[0], brk])
     ends = np.concatenate([brk, [f.n]])
-    return build_runblock(bwt[starts], ends - starts, n=f.n, S=S, idx_dtype=idx_dtype)
+    return bwt[starts], ends - starts
+
+
+def from_dense_np(f, S: int | None = None, idx_dtype=None, cache: str | None | bool = True) -> dict:
+    """Host-side rows from a DenseFMIndex, through the sidecar cache when the
+    index itself came from a `.dense` sidecar (cache=True resolves the path;
+    pass a string to override, None/False to disable)."""
+    if cache is True:
+        sc = getattr(f, "_sidecar_path", None)
+        cache = sc + ".rb.npz" if sc else None
+    if cache and os.path.exists(cache) and S is None and idx_dtype is None:
+        got = load_cache(cache, int(f.n))
+        if got is not None:
+            return got
+    syms, lens = runs_from_dense(f)
+    d = build_runblock_np(syms, lens, n=f.n, S=S, idx_dtype=idx_dtype)
+    if cache and S is None and idx_dtype is None:
+        try:
+            save_cache(cache, d)
+        except OSError:
+            pass
+    return d
+
+
+def from_dense(f, S: int | None = None, idx_dtype=None, cache: str | None | bool = True) -> RunBlockIndex:
+    """Build from a DenseFMIndex (cached via `<sidecar>.rb.npz` by default)."""
+    return _to_device(from_dense_np(f, S=S, idx_dtype=idx_dtype, cache=cache))
