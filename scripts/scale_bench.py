@@ -9,12 +9,14 @@ that records wall AND loop iterations (so per-iteration cost is separable
 from workload iteration-count differences — the round-1 "640M falloff"
 attribution needs this).
 
-Usage:
-  python scripts/scale_bench.py gen   s640|mtb13|big2g     # corpus+reads
-  python scripts/scale_bench.py build s640|mtb13|big2g     # our FMD + dense
-  python scripts/scale_bench.py ref   s640|mtb13|big2g     # reference timing
-  python scripts/scale_bench.py tpu   s640|mtb13|big2g     # TPU kernel timing
-  python scripts/scale_bench.py golden big2g               # byte-compare mem
+Usage (scales: s640 | mtb13 | big2g | big8g):
+  python scripts/scale_bench.py gen     <scale>   # corpus+reads
+  python scripts/scale_bench.py build   <scale>   # our FMD + dense cache
+  python scripts/scale_bench.py sidecar <scale>   # .dense/.pl/.rb.npz prebuild
+  python scripts/scale_bench.py ref     <scale>   # reference timing (run solo)
+  python scripts/scale_bench.py tpu     <scale>   # TPU kernel timing
+  python scripts/scale_bench.py golden  <scale>   # byte-compare mem (big2g/big8g
+                                                  # are the int64 golden gates)
 
 Stages are idempotent (cached artifacts under .bench/<scale>/).
 """
@@ -113,7 +115,9 @@ def build(scale):
     fmd = os.path.join(out, "idx.fmd")
     if not os.path.exists(fmd):
         t0 = time.time()
-        batch = SCALES[scale].get("batch", "320m")
+        # default 120m: 320M single batches hit this host's SA-IS cliff
+        # (round 4) — a future SCALES entry without "batch" must not re-hit it
+        batch = SCALES[scale].get("batch", "120m")
         log(f"{scale}: building FMD (our CLI, host path, -m{batch} batches) ...")
         # multi-batch merge path: large SINGLE batches crawl on the host
         # SA-IS (cache-miss bound; this host hits a cliff past ~240M), and
@@ -137,6 +141,27 @@ def build(scale):
         f = DenseFMIndex.from_runs(syms, lens)
         np.savez(npz, bwt=f.bwt, n=f.n, acc=f.acc, occ_block=f.occ_block, occ_super=f.occ_super)
         log(f"{scale}: dense {time.time()-t0:.1f}s")
+
+
+def sidecar(scale):
+    """Prebuild every query-time sidecar for a scale so bench-time loads are
+    mmap-warm (VERDICT r4 item 2: the first bench after regen used to pay
+    GB-scale table construction per scale): `.dense` (v2 hugepage layout),
+    `.dense.pl` (pline rank records), `.dense.rb.npz` (compressed rb rows)."""
+    from ropebwt3_tpu.cli import load_index
+    from ropebwt3_tpu.ops import runblock
+    from ropebwt3_tpu.ops.smem_native import pline_table
+
+    fmd = os.path.join(d(scale), "idx.fmd")
+    t0 = time.time()
+    f = load_index(fmd)  # builds/refreshes <idx>.dense
+    log(f"{scale}: dense sidecar {time.time()-t0:.1f}s")
+    t0 = time.time()
+    pline_table(f)  # builds/refreshes <idx>.dense.pl
+    log(f"{scale}: pline sidecar {time.time()-t0:.1f}s")
+    t0 = time.time()
+    runblock.from_dense_np(f)  # builds/refreshes <idx>.dense.rb.npz
+    log(f"{scale}: rb sidecar {time.time()-t0:.1f}s")
 
 
 def load_dense(scale):
@@ -273,4 +298,4 @@ def golden(scale):
 
 if __name__ == "__main__":
     stage, scale = sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "s640"
-    {"gen": gen, "build": build, "ref": ref, "tpu": tpu, "golden": golden}[stage](scale)
+    {"gen": gen, "build": build, "sidecar": sidecar, "ref": ref, "tpu": tpu, "golden": golden}[stage](scale)
