@@ -85,35 +85,7 @@ class RunBlockIndex:
         bi = (kl // S).astype(jnp.int32)
         off = (kl % S).astype(jnp.int32)
         row = self.rows[bi]  # (2, Q, 40)
-        if dt == jnp.int32:
-            counts = row[..., :6].astype(dt)
-        else:
-            lo = jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32).astype(dt)
-            ns = self.occ_super.shape[0]
-            mega_shift = 32 - int(S).bit_length() + 1  # log2(2^32 / S)
-            mi = (bi >> mega_shift).astype(jnp.int32)
-            oh = (jax.lax.broadcasted_iota(jnp.int32, mi.shape + (ns,), mi.ndim) == mi[..., None]).astype(dt)
-            counts = jnp.sum(oh[..., None] * self.occ_super, axis=-2, dtype=dt) + lo
-        esc_i = row[..., 6]  # (2, Q)
-        # run path: keyed in-block counts via the packed records
-        recs = row[..., 8:40]
-        lo16 = recs & jnp.int32(0xFFFF)
-        hi16 = (recs >> 16) & jnp.int32(0xFFFF)
-        e16 = jnp.stack([lo16, hi16], axis=-1).reshape(recs.shape[:-1] + (RB_R,))
-        sym = e16 & jnp.int32(7)
-        end = e16 >> 3
-        start = jnp.concatenate([jnp.zeros_like(end[..., :1]), end[..., :-1]], axis=-1)
-        cov = jnp.clip(jnp.minimum(off[..., None], end) - start, 0, None)  # (2,Q,64)
-        ohk = (jax.lax.broadcasted_iota(jnp.int32, cov.shape + (ASIZE,), cov.ndim) == sym[..., None]).astype(jnp.int32)
-        occk_run = jnp.sum(cov[..., None] * ohk, axis=-2)  # (2,Q,6) keyed
-        # dense path: multi-word keyed planes
-        planes = self.esc[jnp.clip(esc_i, 0)]  # (2, Q, 3W)
-        occk_dense = _dense_counts_keyed(planes, off)
-        occk = jnp.where((esc_i >= 0)[..., None], occk_dense, occk_run)
-        # keyed -> nt6: counts6[c] = occk[KEY[c]] (static permutation)
-        perm = jnp.asarray(_key_perm())
-        occ_nt6 = occk[..., perm]
-        return counts + occ_nt6.astype(dt), occk
+        return decode_row_counts(row, off, self.esc, self.occ_super, S, bi, dt)
 
     def extend(self, ik: jax.Array, is_back: jax.Array) -> jax.Array:
         """All-symbols bidirectional extension; same contract as rank.extend."""
@@ -171,6 +143,48 @@ class RunBlockIndex:
         k = jnp.minimum(k.astype(dt), jnp.asarray(self.n, dt))
         occ, _ = self._counts_and_inblock(jnp.stack([k, k], axis=0), dt)
         return occ[0]
+
+
+def decode_row_counts(row: jax.Array, off: jax.Array, esc: jax.Array, occ_super: jax.Array, S: int, bi_glob: jax.Array, dt):
+    """Pure-elementwise decode of gathered rb rows — shared by the
+    single-device RunBlockIndex and the idx-sharded mesh path
+    (parallel/mesh.rank1a_local, rb mode).
+
+    row: (..., 40) gathered rows; off: (...,) in-block offsets in [0, S];
+    esc: the (local) escape-plane table row[...,6] indexes into;
+    occ_super: megablock int64 bases (int64 mode) — indexed by the GLOBAL
+    block id bi_glob, so sharded callers pass global ids while gathering
+    rows from their local slab.  Returns (counts6 (...,6) dt nt6 order,
+    occk (...,6) int32 keyed in-block counts below off)."""
+    if dt == jnp.int32:
+        counts = row[..., :6].astype(dt)
+    else:
+        lo = jax.lax.bitcast_convert_type(row[..., :6], jnp.uint32).astype(dt)
+        ns = occ_super.shape[0]
+        mega_shift = 32 - int(S).bit_length() + 1  # log2(2^32 / S)
+        mi = (bi_glob >> mega_shift).astype(jnp.int32)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, mi.shape + (ns,), mi.ndim) == mi[..., None]).astype(dt)
+        counts = jnp.sum(oh[..., None] * occ_super, axis=-2, dtype=dt) + lo
+    esc_i = row[..., 6]
+    # run path: keyed in-block counts via the packed records
+    recs = row[..., 8:40]
+    lo16 = recs & jnp.int32(0xFFFF)
+    hi16 = (recs >> 16) & jnp.int32(0xFFFF)
+    e16 = jnp.stack([lo16, hi16], axis=-1).reshape(recs.shape[:-1] + (RB_R,))
+    sym = e16 & jnp.int32(7)
+    end = e16 >> 3
+    start = jnp.concatenate([jnp.zeros_like(end[..., :1]), end[..., :-1]], axis=-1)
+    cov = jnp.clip(jnp.minimum(off[..., None], end) - start, 0, None)  # (...,64)
+    ohk = (jax.lax.broadcasted_iota(jnp.int32, cov.shape + (ASIZE,), cov.ndim) == sym[..., None]).astype(jnp.int32)
+    occk_run = jnp.sum(cov[..., None] * ohk, axis=-2)  # (...,6) keyed
+    # dense path: multi-word keyed planes
+    planes = esc[jnp.clip(esc_i, 0)]  # (..., 3W)
+    occk_dense = _dense_counts_keyed(planes, off)
+    occk = jnp.where((esc_i >= 0)[..., None], occk_dense, occk_run)
+    # keyed -> nt6: counts6[c] = occk[KEY[c]] (static permutation)
+    perm = jnp.asarray(_key_perm())
+    occ_nt6 = occk[..., perm]
+    return counts + occ_nt6.astype(dt), occk
 
 
 def _dense_counts_keyed(planes: jax.Array, off: jax.Array) -> jax.Array:
@@ -280,6 +294,36 @@ def _to_device(d: dict) -> RunBlockIndex:
 def build_runblock(syms: np.ndarray, lens: np.ndarray, n: int | None = None, S: int | None = None, idx_dtype=None) -> RunBlockIndex:
     """Build the compressed device index from global BWT runs."""
     return _to_device(build_runblock_np(syms, lens, n=n, S=S, idx_dtype=idx_dtype))
+
+
+def shard_layout_np(d: dict, n_idx: int) -> dict:
+    """Re-lay host-built rows for an n_idx-way shard of the block axis
+    (parallel/mesh.ShardedIndex occ="rb"): rows pad to a multiple of n_idx
+    and their escape ids renumber PER SHARD (each shard carries only its own
+    escape planes, padded to the max per-shard count so the slabs are
+    equal-shaped).  The tiny megablock base table stays replicated.
+
+    Returns {rows (nb_pad, 40), esc (n_idx*esc_pad, 3S/32), nb_local,
+    esc_pad} — shard s owns rows[s*nb_local:(s+1)*nb_local] and
+    esc[s*esc_pad:(s+1)*esc_pad]."""
+    rows, esc = d["rows"], d["esc"]
+    nb = len(rows)
+    nb_pad = (nb + n_idx - 1) // n_idx * n_idx
+    nb_local = nb_pad // n_idx
+    rows2 = np.full((nb_pad, 40), 0, np.int32)
+    rows2[:nb] = rows
+    rows2[nb:, 6] = -1  # pad blocks: no escape row
+    has = rows[:, 6] >= 0
+    owner = np.arange(nb) // nb_local
+    counts = np.bincount(owner[has], minlength=n_idx)
+    esc_before = np.concatenate([[0], np.cumsum(counts)])[:n_idx]
+    glob = rows[:, 6]
+    local = glob - esc_before[owner]
+    rows2[:nb][has, 6] = local[has]
+    esc_pad = max(1, int(counts.max()) if n_idx else 1)
+    esc_sh = np.zeros((n_idx * esc_pad, esc.shape[1]), np.int32)
+    esc_sh[owner[has] * esc_pad + local[has]] = esc[glob[has]]
+    return dict(rows=rows2, esc=esc_sh, nb_local=nb_local, esc_pad=esc_pad)
 
 
 # ---- sidecar cache (`<idx>.dense.rb.npz`) --------------------------------

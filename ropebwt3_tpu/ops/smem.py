@@ -131,9 +131,17 @@ class BatchedSmemTG:
         # lanes over dp (parallel/); packed dispatches go through
         # smem_sharded_fn, everything else falls back to the host engine
         if mesh is not None:
+            import os as _os
+
             from ..parallel.mesh import ShardedIndex
 
-            self.sidx = ShardedIndex.from_dense(f, mesh)
+            # same occ resolution as single-chip, but the auto HBM threshold
+            # applies PER idx SHARD: capacity scales with the mesh axis
+            if occ == "auto":
+                occ = _os.environ.get("RB3TPU_DEVICE_OCC", "auto")
+            if occ == "auto":
+                occ = "rb" if f.n * 0.75 / max(1, mesh.shape["idx"]) > 12e9 else "dense"
+            self.sidx = ShardedIndex.from_dense(f, mesh, occ=occ)
             self._sharded_steps: dict = {}
             self.idx = None
         else:

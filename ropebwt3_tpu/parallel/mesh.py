@@ -29,13 +29,21 @@ _EXT_ORDER = (0, 4, 3, 2, 1, 5)
 
 @dataclass
 class ShardedIndex:
-    """Dense FM-index laid out for a (dp, idx) mesh.
+    """FM-index occ tables laid out for a (dp, idx) mesh.
 
-    int32 indexes use the fused (nb_pad, 12) int32 `occf` row table (bit-plane
-    columns 0:6, absolute counts 6:12 — cf. ops/rank.DeviceIndex): the local
-    rank partial is ONE row gather per shard.  int64 indexes keep the
-    three-table layout (occ_bits + uint16 occ_block under replicated
-    occ_super)."""
+    Dense mode: int32 indexes use the fused (nb_pad, 12) int32 `occf` row
+    table (bit-plane columns 0:6, absolute counts 6:12 — cf.
+    ops/rank.DeviceIndex): the local rank partial is ONE row gather per
+    shard.  int64 indexes keep the three-table layout (occ_bits + uint16
+    occ_block under replicated occ_super).
+
+    Runblock mode (occ="rb", rb_S set): the run-aware compressed rows
+    (ops/runblock.py, 160 B per S symbols + escape planes, ~0.02-0.34 B/sym)
+    shard over `idx` with per-shard escape slabs — the beyond-HBM capacity
+    format and the tensor-parallel story in one: the reference's whole-Tsym
+    answer is its compressed rld0 blocks (rld0.c:107-204); ours is the same
+    compression sharded over the mesh, so capacity scales with BOTH the
+    compression ratio and the idx axis."""
 
     mesh: Mesh
     occ_bits: jax.Array | None  # (nb_pad, 6) uint32, sharded (legacy int64)
@@ -47,20 +55,39 @@ class ShardedIndex:
     n: int
     nb_local: int  # blocks per idx shard
     occf: jax.Array | None = None  # (nb_pad, 12) int32, sharded (fused modes)
+    rb_rows: jax.Array | None = None  # (nb_pad, 40) int32, sharded (rb mode)
+    rb_esc: jax.Array | None = None  # (n_idx*esc_pad, 3S/32) int32, sharded
+    rb_S: int | None = None  # rb block size (static); None = dense mode
+    rb_nb: int = 0  # unpadded rb block count (static; ownership clamp)
 
     @classmethod
-    def from_dense(cls, f: DenseFMIndex, mesh: Mesh, idx_dtype=None) -> "ShardedIndex":
+    def from_dense(cls, f: DenseFMIndex, mesh: Mesh, idx_dtype=None, occ: str = "dense", rb_S: int | None = None) -> "ShardedIndex":
         from ..ops import rank as rank_mod
 
-        if idx_dtype is None:
-            idx_dtype = jnp.int32 if f.n < (1 << 31) - (1 << 20) else jnp.int64
         n_idx = mesh.shape["idx"]
-        nb = len(f.occ_block)
-        nb_pad = (nb + n_idx - 1) // n_idx * n_idx
         shard = NamedSharding(mesh, P("idx", None))
         repl = NamedSharding(mesh, P())
-        acc = jax.device_put(f.acc.astype(idx_dtype), repl)
         comp = jax.device_put(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32), repl)
+        if occ == "rb":
+            from ..ops import runblock
+
+            d = runblock.from_dense_np(f, S=rb_S, idx_dtype=idx_dtype)
+            lay = runblock.shard_layout_np(d, n_idx)
+            acc = jax.device_put(np.asarray(d["acc"]), repl)
+            mega = d["mega"] if d["mega"] is not None else np.zeros((1, ASIZE), np.int32)
+            return cls(
+                mesh=mesh, occ_bits=None, occ_block=None,
+                occ_super=jax.device_put(mega, repl),
+                acc=acc, comp=comp, n=f.n, nb_local=lay["nb_local"],
+                rb_rows=jax.device_put(lay["rows"], shard),
+                rb_esc=jax.device_put(lay["esc"], shard),
+                rb_S=int(d["S"]), rb_nb=len(d["rows"]),
+            )
+        if idx_dtype is None:
+            idx_dtype = jnp.int32 if f.n < (1 << 31) - (1 << 20) else jnp.int64
+        nb = len(f.occ_block)
+        nb_pad = (nb + n_idx - 1) // n_idx * n_idx
+        acc = jax.device_put(f.acc.astype(idx_dtype), repl)
         # one fused (nb, 12) row table for both dtypes (ops/rank.py layout:
         # absolute int32 counts, or uint32 megablock-relative for int64 with
         # the tiny base table riding in occ_super)
@@ -75,8 +102,16 @@ class ShardedIndex:
         )
 
     @property
+    def rb(self) -> tuple[int, int] | None:
+        """(S, nb) static rb parameters, or None in dense mode (threaded into
+        rank1a_local so the shard-local decode picks the right format)."""
+        return (self.rb_S, self.rb_nb) if self.rb_S is not None else None
+
+    @property
     def tables(self):
         """Pytree of the sharded occ tables (mode-dependent arity)."""
+        if self.rb_S is not None:
+            return (self.rb_rows, self.rb_esc, self.occ_super)
         if self.occf is not None:
             if self.occ_super is not None:  # fused int64: + megablock bases
                 return (self.occf, self.occ_super)
@@ -85,6 +120,8 @@ class ShardedIndex:
 
     @property
     def table_specs(self):
+        if self.rb_S is not None:
+            return (P("idx", None), P("idx", None), P())
         if self.occf is not None:
             if self.occ_super is not None:
                 return (P("idx", None), P())
@@ -92,15 +129,33 @@ class ShardedIndex:
         return (P("idx", None), P("idx", None), P())
 
 
-def rank1a_local(tables, nb_local: int, k: jax.Array, dt):
+def rank1a_local(tables, nb_local: int, k: jax.Array, dt, rb=None):
     """Masked local rank partial for positions k against THIS shard's blocks.
 
-    Inside shard_map: `tables` holds the local slabs — (occf,) fused rows or
-    (occ_bits, occ_block, occ_super); the caller psums the result over the
-    `idx` axis.  Only the owning shard contributes."""
+    Inside shard_map: `tables` holds the local slabs — (occf,) fused rows,
+    (occ_bits, occ_block, occ_super), or with rb=(S, nb) the compressed
+    (rb_rows, rb_esc, occ_super) runblock slabs; the caller psums the result
+    over the `idx` axis.  Only the owning shard contributes."""
     from ..ops.rank import _inblock_counts
 
     shard_id = jax.lax.axis_index("idx").astype(jnp.int32)
+    if rb is not None:  # run-aware compressed rows (ops/runblock.py)
+        from ..ops.runblock import decode_row_counts
+
+        S, nb = rb
+        rows, esc, mega = tables
+        bi_glob = (k // S).astype(jnp.int32)
+        # ownership clamps to the last real block (matches the single-device
+        # gather clamp for the k==n, S|n edge); the megablock id inside the
+        # decode stays unclamped, same as RunBlockIndex._counts_and_inblock
+        bi_own = jnp.minimum(bi_glob, np.int32(nb - 1))
+        owner = bi_own // nb_local
+        mine = owner == shard_id
+        bi_loc = jnp.where(mine, bi_own - shard_id * nb_local, 0)
+        row = rows[bi_loc]
+        off = (k % S).astype(jnp.int32)
+        counts, _ = decode_row_counts(row, off, esc, mega, S, bi_glob, dt)
+        return jnp.where(mine[..., None], counts, jnp.zeros_like(counts))
     bi_glob = (k // BLOCK).astype(jnp.int32)
     owner = bi_glob // nb_local
     mine = owner == shard_id
@@ -130,13 +185,13 @@ def rank1a_local(tables, nb_local: int, k: jax.Array, dt):
     return jnp.where(mine[..., None], local, jnp.zeros_like(local))
 
 
-def extend_sharded(tables, acc, nb_local: int, ik: jax.Array, is_back: jax.Array):
+def extend_sharded(tables, acc, nb_local: int, ik: jax.Array, is_back: jax.Array, rb=None):
     """Bidirectional extend inside shard_map; one psum over `idx` per call."""
     dt = acc.dtype
     ik = ik.astype(dt)
     prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
     kl = jnp.stack([prim, prim + ik[..., 2]], 0)
-    r = rank1a_local(tables, nb_local, kl, dt)
+    r = rank1a_local(tables, nb_local, kl, dt, rb=rb)
     r = jax.lax.psum(r, "idx")
     tk, tl = r[0], r[1]
     sz = tl - tk
@@ -153,7 +208,7 @@ def extend_sharded(tables, acc, nb_local: int, ik: jax.Array, is_back: jax.Array
     return jnp.stack([x0, x1, sz], axis=-1)
 
 
-def extend_sharded_c(tables, acc, nb_local: int, ik: jax.Array, c: jax.Array, is_back: jax.Array):
+def extend_sharded_c(tables, acc, nb_local: int, ik: jax.Array, c: jax.Array, is_back: jax.Array, rb=None):
     """Single-symbol bidirectional extend inside shard_map (bit-identical to
     extend_sharded row c, cf. ops/rank.extend_c): one psum over `idx`, no
     (Q, 6, 3) candidate tensor, tiny-table lookups as one-hot arithmetic."""
@@ -163,7 +218,7 @@ def extend_sharded_c(tables, acc, nb_local: int, ik: jax.Array, c: jax.Array, is
     ik = ik.astype(dt)
     prim = jnp.where(is_back, ik[..., 0], ik[..., 1])
     kl = jnp.stack([prim, prim + ik[..., 2]], 0)
-    r = rank1a_local(tables, nb_local, kl, dt)
+    r = rank1a_local(tables, nb_local, kl, dt, rb=rb)
     r = jax.lax.psum(r, "idx")
     tk, tl = r[0], r[1]
     sz = tl - tk  # (Q, 6)

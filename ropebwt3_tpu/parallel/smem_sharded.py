@@ -41,12 +41,13 @@ def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems:
     +25% single-chip): the per-iteration seg gather becomes arithmetic."""
     mesh = sidx.mesh
     nb_local = sidx.nb_local
+    rb = sidx.rb  # (S, nb) when the occ rows are runblock-compressed
     if uniform:
         packed = True
 
     def inner(tables, acc, comp, q, qlen, *segs):
         mems, n_mem, it = smem_fsm(
-            lambda ik, back: extend_sharded(tables, acc, nb_local, ik, back),
+            lambda ik, back: extend_sharded(tables, acc, nb_local, ik, back, rb=rb),
             lambda c: _set_intv_tables(acc, c),
             comp,
             q.astype(jnp.int32),
@@ -59,7 +60,7 @@ def smem_sharded_fn(sidx: ShardedIndex, *, min_occ: int, min_len: int, max_mems:
             unroll=unroll,
             segments=segs if packed and not uniform else None,
             uniform_segments=segs if uniform else None,
-            extend_one=lambda ik, c, back: extend_sharded_c(tables, acc, nb_local, ik, c, back),
+            extend_one=lambda ik, c, back: extend_sharded_c(tables, acc, nb_local, ik, c, back, rb=rb),
         )
         return mems, n_mem, it[None]
 

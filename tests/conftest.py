@@ -45,12 +45,14 @@ def run_ref(ref_bin, args, input=None):
     return r.stdout
 
 
-def run_ours(args, input=None):
+def run_ours(args, input=None, extra_env=None):
     # CLI subprocesses must not attach to the tunneled TPU (serializes across
     # processes machine-wide); scrub to the CPU backend.
     env = dict(os.environ)
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    if extra_env:
+        env.update(extra_env)
     r = subprocess.run([sys.executable, "-m", "ropebwt3_tpu"] + args, input=input, capture_output=True, env=env)
     assert r.returncode == 0, r.stderr.decode()
     return r.stdout
