@@ -378,7 +378,11 @@ class HapdivDeviceEngine:
                 end_len=o.end_len, match=o.match, mis=o.mis, gap_open=o.gap_open,
                 gap_ext=o.gap_ext,
             )
-            n_al, max_ed, n_hap, bad = (np.asarray(n_al), np.asarray(max_ed), np.asarray(n_hap), np.asarray(bad))
+            from ..parallel.launch import to_host
+
+            # to_host: np.asarray single-process; allgather when the mesh
+            # spans multiple jax.distributed processes
+            n_al, max_ed, n_hap, bad = (to_host(n_al), to_host(max_ed), to_host(n_hap), to_host(bad))
             for i in range(wn):
                 if bad[i]:
                     bad_idx.append(c0 + i)

@@ -791,8 +791,12 @@ class SwDeviceEngine:
                 min_sc=o.min_sc, end_len=o.end_len, match=o.match, mis=o.mis,
                 gap_open=o.gap_open, gap_ext=o.gap_ext, n_best=o.n_best,
             )
-            a_lo, a_hi, a_rc, a_w = map(np.asarray, (a_lo, a_hi, a_rc, a_w))
-            bsc, bpos, bad = map(np.asarray, (bsc, bpos, bad))
+            from ..parallel.launch import to_host
+
+            # to_host: plain np.asarray single-process; under jax.distributed
+            # the outputs span non-addressable devices and need an allgather
+            a_lo, a_hi, a_rc, a_w = map(to_host, (a_lo, a_hi, a_rc, a_w))
+            bsc, bpos, bad = map(to_host, (bsc, bpos, bad))
             for r, i in enumerate(chunk):
                 if bad[r]:
                     host_idx.append(i)

@@ -191,7 +191,11 @@ def ssa_gen_device(f: DenseFMIndex, ssa_shift: int = 8, mesh=None) -> SSA:
             out_specs=(P(), P(), P("dp"), P("dp")),
             check_rep=False,
         )
-        ssa_l, ssa_lane, death_l, final_k = (np.asarray(x) for x in fn(idx_r, bwt_r, k0, alive0, lids))
+        from .parallel.launch import to_host
+
+        # to_host: np.asarray single-process; allgather when the mesh spans
+        # multiple jax.distributed processes (dp-sharded outputs)
+        ssa_l, ssa_lane, death_l, final_k = (to_host(x) for x in fn(idx_r, bwt_r, k0, alive0, lids))
         death_l, final_k = death_l[:m], final_k[:m]
     ssa_l, ssa_lane = ssa_l[:n_ssa], ssa_lane[:n_ssa]
     r2i = np.zeros(m, dtype=np.uint64)
