@@ -511,7 +511,7 @@ struct Engine {
   // RB3T_DP_STATS=1: rdtsc cycle counters per DP phase, printed by the batch
   // entry points — profiling aid only (gprofng misses our worker threads)
   static inline bool stats_on() { static bool v = [] { const char* e = getenv("RB3T_DP_STATS"); return e && atoi(e) != 0; }(); return v; }
-  uint64_t cyc[6] = {0, 0, 0, 0, 0, 0};  // extends, candset, topn, closure, rebuild, ksmall
+  uint64_t cyc[8] = {0, 0, 0, 0, 0, 0, 0, 0};  // extends, candset, topn, closure, rebuild, ksmall, dawggen, backtrack
   CellSet h;
   std::vector<std::vector<Cell>> rows;
   std::vector<std::pair<int64_t, int64_t>> fpar;
@@ -1497,14 +1497,22 @@ static void sw_read(Engine& eng, const uint8_t* seq, int32_t n, std::vector<Hit>
   DawgOwned g;
   Bwtl qb;
   bool e2e = (o.flag & RB3_SWF_E2E) != 0;
+  const bool st = Engine::stats_on();
+  uint64_t tg = st ? __rdtsc() : 0;
   if (e2e) {
     dawg_linear(seq, n, g);
   } else {
     bwtl_gen_cpp(seq, n, qb);
     dawg_gen_cpp(qb, g);
   }
+  if (st) eng.cyc[6] += __rdtsc() - tg;
   eng.run(g.view());
   if (eng.best_score < o.min_sc) return;
+  uint64_t tb = st ? __rdtsc() : 0;
+  struct BtCyc {  // count both early-return paths without goto churn
+    Engine& e; uint64_t t; bool on;
+    ~BtCyc() { if (on) e.cyc[7] += __rdtsc() - t; }
+  } btc{eng, tb, st};
   int n_col = o.n_best;
   if (e2e) {
     const std::vector<Cell>& prow = eng.rows[g.n_node - 1];
@@ -2038,7 +2046,7 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
       hapdiv_one(eng, seqs + w * k, k, out + w * 10);
     }
   };
-  std::atomic<uint64_t> agg[6] = {{0}, {0}, {0}, {0}, {0}, {0}};
+  std::atomic<uint64_t> agg[8] = {{0}, {0}, {0}, {0}, {0}, {0}, {0}, {0}};
   auto work2 = [&]() {
     Engine eng;
     eng.f = f;
@@ -2048,7 +2056,7 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
       if (w >= n_win) break;
       hapdiv_one(eng, seqs + w * k, k, out + w * 10);
     }
-    for (int i = 0; i < 6; ++i) agg[i] += eng.cyc[i];
+    for (int i = 0; i < 8; ++i) agg[i] += eng.cyc[i];
   };
   if (n_threads == 1 || n_win < 2) {
     work2();
@@ -2058,8 +2066,8 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
     for (std::thread& t : th) t.join();
   }
   if (Engine::stats_on()) {
-    static const char* nm[6] = {"H/E-loop", "candset", "topn", "closure", "rebuild", "ksmall"};
-    for (int i = 0; i < 6; ++i)
+    static const char* nm[8] = {"H/E-loop", "candset", "topn", "closure", "rebuild", "ksmall", "dawggen", "backtrack"};
+    for (int i = 0; i < 8; ++i)
       fprintf(stderr, "[dp-stats] %-9s %12.3f Gcyc\n", nm[i], (double)agg[i].load() / 1e9);
   }
 }
@@ -2078,6 +2086,7 @@ uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
   std::vector<std::string> blobs(n_reads);
   // dynamic claiming (blobs are per-read; schedule can't reorder output)
   std::atomic<int64_t> cursor(0);
+  std::atomic<uint64_t> agg[8] = {{0}, {0}, {0}, {0}, {0}, {0}, {0}, {0}};
   auto work = [&]() {
     Engine eng;
     eng.f = f;
@@ -2089,6 +2098,7 @@ uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
       sw_read(eng, seqs + seq_off[r], (int32_t)(seq_off[r + 1] - seq_off[r]), hits);
       serialize_hits(hits, blobs[r]);
     }
+    for (int i = 0; i < 8; ++i) agg[i] += eng.cyc[i];
   };
   if (n_threads == 1 || n_reads < 2) {
     work();
@@ -2096,6 +2106,11 @@ uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
     std::vector<std::thread> th;
     for (int32_t t = 0; t < n_threads && t < n_reads; ++t) th.emplace_back(work);
     for (std::thread& t : th) t.join();
+  }
+  if (Engine::stats_on()) {
+    static const char* nm[8] = {"H/E-loop", "candset", "topn", "closure", "rebuild", "ksmall", "dawggen", "backtrack"};
+    for (int i = 0; i < 8; ++i)
+      fprintf(stderr, "[dp-stats] %-9s %12.3f Gcyc\n", nm[i], (double)agg[i].load() / 1e9);
   }
   std::vector<int64_t> offs(n_reads + 1);
   int64_t total = 0;

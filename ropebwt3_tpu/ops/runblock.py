@@ -145,6 +145,12 @@ class RunBlockIndex:
         return occ[0]
 
 
+# Profiling-only ablations (RB3TPU_RB_ABLATE=noesc|norun): skip the escape
+# -plane gather / the run-record scan to isolate their chip cost.  BREAKS
+# CORRECTNESS — never set outside scripts/rb_ab.py.
+_ABLATE = os.environ.get("RB3TPU_RB_ABLATE", "")
+
+
 def decode_row_counts(row: jax.Array, off: jax.Array, esc: jax.Array, occ_super: jax.Array, S: int, bi_glob: jax.Array, dt):
     """Pure-elementwise decode of gathered rb rows — shared by the
     single-device RunBlockIndex and the idx-sharded mesh path
@@ -166,21 +172,29 @@ def decode_row_counts(row: jax.Array, off: jax.Array, esc: jax.Array, occ_super:
         oh = (jax.lax.broadcasted_iota(jnp.int32, mi.shape + (ns,), mi.ndim) == mi[..., None]).astype(dt)
         counts = jnp.sum(oh[..., None] * occ_super, axis=-2, dtype=dt) + lo
     esc_i = row[..., 6]
-    # run path: keyed in-block counts via the packed records
-    recs = row[..., 8:40]
-    lo16 = recs & jnp.int32(0xFFFF)
-    hi16 = (recs >> 16) & jnp.int32(0xFFFF)
-    e16 = jnp.stack([lo16, hi16], axis=-1).reshape(recs.shape[:-1] + (RB_R,))
-    sym = e16 & jnp.int32(7)
-    end = e16 >> 3
-    start = jnp.concatenate([jnp.zeros_like(end[..., :1]), end[..., :-1]], axis=-1)
-    cov = jnp.clip(jnp.minimum(off[..., None], end) - start, 0, None)  # (...,64)
-    ohk = (jax.lax.broadcasted_iota(jnp.int32, cov.shape + (ASIZE,), cov.ndim) == sym[..., None]).astype(jnp.int32)
-    occk_run = jnp.sum(cov[..., None] * ohk, axis=-2)  # (...,6) keyed
-    # dense path: multi-word keyed planes
-    planes = esc[jnp.clip(esc_i, 0)]  # (..., 3W)
-    occk_dense = _dense_counts_keyed(planes, off)
-    occk = jnp.where((esc_i >= 0)[..., None], occk_dense, occk_run)
+    occk_run = occk_dense = None
+    if _ABLATE != "norun":
+        # run path: keyed in-block counts via the packed records
+        recs = row[..., 8:40]
+        lo16 = recs & jnp.int32(0xFFFF)
+        hi16 = (recs >> 16) & jnp.int32(0xFFFF)
+        e16 = jnp.stack([lo16, hi16], axis=-1).reshape(recs.shape[:-1] + (RB_R,))
+        sym = e16 & jnp.int32(7)
+        end = e16 >> 3
+        start = jnp.concatenate([jnp.zeros_like(end[..., :1]), end[..., :-1]], axis=-1)
+        cov = jnp.clip(jnp.minimum(off[..., None], end) - start, 0, None)  # (...,64)
+        ohk = (jax.lax.broadcasted_iota(jnp.int32, cov.shape + (ASIZE,), cov.ndim) == sym[..., None]).astype(jnp.int32)
+        occk_run = jnp.sum(cov[..., None] * ohk, axis=-2)  # (...,6) keyed
+    if _ABLATE != "noesc":
+        # dense path: multi-word keyed planes
+        planes = esc[jnp.clip(esc_i, 0)]  # (..., 3W)
+        occk_dense = _dense_counts_keyed(planes, off)
+    if occk_run is None:
+        occk = occk_dense
+    elif occk_dense is None:
+        occk = occk_run
+    else:
+        occk = jnp.where((esc_i >= 0)[..., None], occk_dense, occk_run)
     # keyed -> nt6: counts6[c] = occk[KEY[c]] (static permutation)
     perm = jnp.asarray(_key_perm())
     occ_nt6 = occk[..., perm]

@@ -24,6 +24,21 @@ if os.environ.get("RB3TPU_TEST_REEXEC") != "1":
 import numpy as np
 import pytest
 
+# tests marked `slow` (compile-cliff / daemon-lifecycle / 2-process-build
+# cases whose feature is also covered by a fast sibling) run only with
+# RB3TPU_SLOW_TESTS=1 — keeps the default suite under ~5 min solo
+# (VERDICT r4 item 8; it had crept to ~18-25 min)
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RB3TPU_SLOW_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow (set RB3TPU_SLOW_TESTS=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 REF_SRC = "/root/reference"
 REF_BIN_DIR = "/tmp/rb3_ref_bin"
 REF_BIN = os.path.join(REF_BIN_DIR, "ropebwt3")

@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 WORKER = r"""
 import os, sys
@@ -212,6 +213,8 @@ def test_two_process_cli_ssa_mesh(ref_bin, ref_index, tmp_path):
         assert open(outs[pid], "rb").read() == want, f"process {pid} SSA differs"
 
 
+@pytest.mark.slow  # ~2 min; single-process build --mesh golden covers the
+# sharded merge (test_cli_golden.test_build_mesh_golden)
 def test_two_process_cli_build_mesh(ref_bin, corpus, tmp_path):
     """End-to-end `build --mesh=2x4` (sharded merge rank) under 2-process
     jax.distributed: each process writes its own FMD; both must byte-match

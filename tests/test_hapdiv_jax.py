@@ -150,7 +150,12 @@ def test_oversized_nbest_falls_back(dense_index, corpus, n_best):
             assert (d.n_al, d.max_ed, tuple(d.n_hap)) == (h.n_al, h.max_ed, tuple(h.n_hap))
 
 
-@pytest.mark.parametrize("n_best", [2, 8, 25, 33])
+@pytest.mark.parametrize(
+    "n_best",
+    # 33 (NB=256) trips a multi-minute XLA:CPU compile cliff — slow-gated;
+    # 2/8/25 cover the same geometries incl. wraparound in seconds
+    [2, 8, 25, pytest.param(33, marks=pytest.mark.slow)],
+)
 def test_bucket_scan_matches_sequential(n_best):
     """The bitmask khashl replay (bucket_scan) is bit-identical to the scalar
     first-empty-cyclic-probe insert across table geometries (NB = 8..256),

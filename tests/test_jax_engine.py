@@ -132,6 +132,7 @@ def test_packed_lanes_match_ref(dense_index, reads):
         assert gm == smem_ref.smem_tg(dense_index, q, 1, 13)
 
 
+@pytest.mark.slow  # compile-heavy A/B of an off-by-default feature
 def test_seed_table_and_unroll_match_base(dense_index, reads):
     """The k-mer seed-table jump and loop unrolling are pure iteration savers:
     MEM output must be bit-identical to the plain FSM for every (k, unroll)."""

@@ -9,6 +9,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 from .conftest import run_ref
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -21,6 +23,8 @@ def _env():
     return e
 
 
+@pytest.mark.slow  # ~3 min of daemon spawn/compile; serve coverage stays
+# via test_mem_via_server_golden
 def test_daemon_lifecycle_golden(ref_bin, ref_index, corpus):
     """serve --daemon + RB3TPU_AUTO_SERVE: the daemon detaches with a
     pidfile, a first auto-spawning mem runs locally and stays golden, a later
