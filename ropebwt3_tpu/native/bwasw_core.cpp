@@ -158,13 +158,40 @@ struct CellSet {
   uint32_t count = 0;
   std::vector<Cell> keys;
   std::vector<uint8_t> used;
+  // occupied bucket ids, any order.  The top-n/rebuild phases only need the
+  // MULTISET of (H<<32|bucket) packed keys — selection and sort are by
+  // value, so iteration order here is unobservable; keeping the list saves
+  // the full-table scan per node (topn was ~16% of sw).  Rebuilt on resize
+  // (rehash reassigns bucket ids).
+  std::vector<uint32_t> live;
 
   uint32_t n_buckets() const { return keys.empty() ? 0u : (1u << bits); }
   uint32_t end() const { return n_buckets(); }
 
   void clear() {
     count = 0;
+    live.clear();
     std::fill(used.begin(), used.end(), 0);
+  }
+
+  // Reset to the same geometry a fresh `CellSet(); resize(want)` would
+  // produce, but WITHOUT freeing the buffers.  The bucket count (and so
+  // the tie-breaking iteration order) is bit-identical: bits is computed
+  // exactly like resize() on an empty set; only heap reuse differs.
+  void reset(uint32_t want_buckets) {
+    uint32_t x = want_buckets;
+    int j = 0;
+    while (x >> 1) {
+      x >>= 1;
+      ++j;
+    }
+    if (want_buckets & (want_buckets - 1)) ++j;
+    bits = j > 2 ? j : 2;
+    uint32_t new_n = 1u << bits;
+    keys.resize(new_n);  // vector::resize keeps capacity on shrink
+    used.assign(new_n, 0);
+    live.clear();
+    count = 0;
   }
 
   void resize(uint32_t new_n_buckets) {
@@ -202,6 +229,9 @@ struct CellSet {
     if (nb > new_n) keys.resize(new_n);
     used.swap(new_used);
     bits = new_bits;
+    live.clear();
+    for (uint32_t j2 = 0; j2 < new_n; ++j2)
+      if (used[j2]) live.push_back(j2);
   }
 
   // returns (bucket, absent); on absent the key is stored
@@ -221,6 +251,7 @@ struct CellSet {
       keys[i] = key;
       used[i] = 1;
       ++count;
+      live.push_back(i);
       return {i, true};
     }
     return {i, false};
@@ -511,13 +542,14 @@ struct Engine {
   // RB3T_DP_STATS=1: rdtsc cycle counters per DP phase, printed by the batch
   // entry points — profiling aid only (gprofng misses our worker threads)
   static inline bool stats_on() { static bool v = [] { const char* e = getenv("RB3T_DP_STATS"); return e && atoi(e) != 0; }(); return v; }
-  uint64_t cyc[8] = {0, 0, 0, 0, 0, 0, 0, 0};  // extends, candset, topn, closure, rebuild, ksmall, dawggen, backtrack
+  uint64_t cyc[8] = {0, 0, 0, 0, 0, 0, 0, 0};  // HE-loop (incl. extends), prune, topn, closure, rebuild, extends, dawggen, backtrack
   CellSet h;
   std::vector<std::vector<Cell>> rows;
   std::vector<std::pair<int64_t, int64_t>> fpar;
   std::vector<uint64_t> heap;
   std::vector<Cell> fstack;
   std::vector<Cell> row0;
+  std::vector<int32_t> ks_a;  // pruning-bound scratch (pooled: per-node realloc was ~2% of sw)
   RankCache cache{12};
   int64_t best_pos = 0;
   int32_t best_score = 0;
@@ -598,10 +630,14 @@ struct Engine {
 
   void run(const Dawg& g) {
     int n_col = o.n_best;
-    rows.assign(g.n_node, {});
+    // capacity-preserving resets: rows.assign(n_node, {}) freed every row's
+    // buffer per window (1M+ reallocs over a 10k-window batch) and the
+    // fresh CellSet freed its table; geometry (and so tie-break order) is
+    // unchanged — only the heap traffic goes away
+    if ((int32_t)rows.size() < g.n_node) rows.resize(g.n_node);
+    for (int32_t ri = 0; ri < g.n_node; ++ri) rows[ri].clear();
     fpar.clear();
-    h = CellSet();
-    h.resize((uint32_t)o.n_best * 4);
+    h.reset((uint32_t)o.n_best * 4);
     best_pos = 0;
     best_score = 0;
     Cell root = cell_zero();
@@ -612,6 +648,7 @@ struct Engine {
     const bool st = stats_on();
     uint64_t t0 = 0;
     for (int32_t i = 1; i < g.n_node; ++i) {
+      if (st) t0 = __rdtsc();
       h.clear();
       int32_t max_min_sc = 0;
       int32_t np = g.pre_off[i + 1] - g.pre_off[i];
@@ -620,8 +657,7 @@ struct Engine {
         size_t n_cell = 0;
         for (int32_t pj = 0; pj < np; ++pj) n_cell += rows[pre[pj]].size();
         if (n_cell > (size_t)o.n_best) {
-          std::vector<int32_t> ks_a;
-          ks_a.reserve(n_cell);
+          ks_a.clear();
           for (int32_t pj = 0; pj < np; ++pj)
             for (const Cell& cc : rows[pre[pj]]) ks_a.push_back(cc.H);
           max_min_sc = ksmall_gt(ks_a, o.n_best);
@@ -629,6 +665,7 @@ struct Engine {
         max_min_sc -= std::max(o.gap_open + o.gap_ext, o.mis);
         if (max_min_sc < 0) max_min_sc = 0;
       }
+      if (st) cyc[1] += __rdtsc() - t0;
       int32_t tc = g.c[i];
 
       // H and E from predecessor rows (bwa-sw.c:388-426)
@@ -710,8 +747,7 @@ struct Engine {
       // order are read).  nth_element + sort replaces per-insert sifting.
       if (st) t0 = __rdtsc();
       heap.clear();
-      for (uint32_t itr = 0; itr < h.n_buckets(); ++itr)
-        if (h.used[itr]) heap.push_back(((uint64_t)(uint32_t)h.keys[itr].H << 32) | itr);
+      for (uint32_t itr : h.live) heap.push_back(((uint64_t)(uint32_t)h.keys[itr].H << 32) | itr);
       if ((int64_t)heap.size() > (int64_t)o.n_best) {
         std::nth_element(heap.begin(), heap.begin() + o.n_best, heap.end(), std::greater<uint64_t>());
         heap.resize(o.n_best);
@@ -791,8 +827,7 @@ struct Engine {
         rows[i].swap(row0);
       } else {
         heap.clear();
-        for (uint32_t itr = 0; itr < h.n_buckets(); ++itr)
-          if (h.used[itr]) heap.push_back(((uint64_t)(uint32_t)h.keys[itr].H << 32) | itr);
+        for (uint32_t itr : h.live) heap.push_back(((uint64_t)(uint32_t)h.keys[itr].H << 32) | itr);
         if ((int64_t)heap.size() > (int64_t)o.n_best) {
           std::nth_element(heap.begin(), heap.begin() + o.n_best, heap.end(), std::greater<uint64_t>());
           heap.resize(o.n_best);
@@ -871,7 +906,9 @@ static void hapdiv_one(Engine& eng, const uint8_t* seq, int64_t k, int64_t* out1
       if (q.flt || q.H_from != SW_FROM_H || q.H < eng.o.min_sc) continue;
       if (eng.o.e2e_drop >= 0 && H0 - q.H > eng.o.e2e_drop) continue;
       ++n_al;
+      uint64_t tb = Engine::stats_on() ? __rdtsc() : 0;
       int ed = backtrack_ed(eng.o, eng.f, g, eng.rows, (int64_t)k * eng.o.n_best + (int64_t)idx);
+      if (Engine::stats_on()) eng.cyc[7] += __rdtsc() - tb;
       if (ed > max_ed) max_ed = ed;
       n_hap[ed < 6 ? ed : 6] += q.hi - q.lo;
     }
@@ -2066,7 +2103,7 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
     for (std::thread& t : th) t.join();
   }
   if (Engine::stats_on()) {
-    static const char* nm[8] = {"H/E-loop", "candset", "topn", "closure", "rebuild", "ksmall", "dawggen", "backtrack"};
+    static const char* nm[8] = {"HE-loop", "prune", "topn", "closure", "rebuild", "extends", "dawggen", "backtrack"};
     for (int i = 0; i < 8; ++i)
       fprintf(stderr, "[dp-stats] %-9s %12.3f Gcyc\n", nm[i], (double)agg[i].load() / 1e9);
   }
@@ -2108,7 +2145,7 @@ uint8_t* rb3t_sw_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
     for (std::thread& t : th) t.join();
   }
   if (Engine::stats_on()) {
-    static const char* nm[8] = {"H/E-loop", "candset", "topn", "closure", "rebuild", "ksmall", "dawggen", "backtrack"};
+    static const char* nm[8] = {"HE-loop", "prune", "topn", "closure", "rebuild", "extends", "dawggen", "backtrack"};
     for (int i = 0; i < 8; ++i)
       fprintf(stderr, "[dp-stats] %-9s %12.3f Gcyc\n", nm[i], (double)agg[i].load() / 1e9);
   }
