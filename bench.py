@@ -486,6 +486,28 @@ def main():
     ref = ref_baseline(fmd, reads_fa)
     f = ensure_dense(fmd)
     log(f"index: n={f.n:,} symbols")
+    # a first, chip-independent record lands within seconds: remote compiles
+    # can cost minutes on a cold session, and the scoreboard must exist even
+    # if the driver kills us mid-compile (every later stage only upgrades it)
+    try:
+        from ropebwt3_tpu.ops.smem_native import smem_tg_flat_native
+
+        flat0 = np.ascontiguousarray(reads.reshape(-1))
+        offs0 = np.arange(N_READS + 1, dtype=np.int64) * READ_LEN
+        nw = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            smem_tg_flat_native(f, flat0, offs0, 1, MIN_LEN)
+            nw = min(nw, time.time() - t0)
+        nat0 = N_READS / nw
+        vs0 = nat0 / ref["reads_per_s"] if ref else None
+        emit({
+            "metric": "smem_mem31_reads_per_s", "value": round(nat0, 1), "unit": "reads/s",
+            "vs_baseline": round(vs0, 3) if vs0 else None, "engine": "native",
+            "note": "pre-TPU native record; superseded by later lines",
+        })
+    except Exception as e:
+        log(f"early native record skipped: {e}")
     if not tpu_usable():
         bench_native(f, reads, ref)
         return

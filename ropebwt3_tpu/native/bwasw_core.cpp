@@ -920,28 +920,131 @@ static void hapdiv_one(Engine& eng, const uint8_t* seq, int64_t k, int64_t* out1
 
 // ---- query BWT + prefix DAWG (align/bwtl.py; dawg.c:15-255) --------------
 
-// prefix-doubling suffix array; the SA of a string is unique, so this matches
-// construct/sa.suffix_array_doubling output exactly
-static std::vector<int32_t> suffix_array(const uint8_t* s, int32_t n) {
-  std::vector<int32_t> sa(n), rank(n), tmp(n);
-  for (int32_t i = 0; i < n; ++i) {
-    sa[i] = i;
-    rank[i] = s[i];
+// ---- pooled scratch for query-BWT/DAWG construction ----------------------
+// dawg_gen was ~9% of sw e2e (round-5 phase profile): the comparator-sort
+// prefix doubling plus three unordered_maps (a node allocation per insert)
+// plus a vector-of-vectors predecessor build.  All replaced with pooled
+// buffers, counting-radix doubling, and one open-addressing map with a
+// packed (deg, cnt, id) value.  Output-invariant: the SA of a string is
+// unique, and the map is only ever addressed by key (never iterated).
+struct DawgPools {
+  std::vector<int32_t> sa, rnk, tmp, cnt, sa2;
+  std::vector<uint8_t> s8, sbuf;
+  // map: key = lo<<32|hi, value = deg<<42 | cnt<<21 | id (each < 2^21;
+  // node counts cap at ~2x the 32 KB max read length)
+  std::vector<uint64_t> mk;
+  std::vector<int64_t> mv;
+  std::vector<uint8_t> mu;
+  uint32_t mmask = 0;
+  size_t mn = 0;
+  std::vector<uint64_t> stack, edges;
+  std::vector<int32_t> cur;
+
+  void map_reset(size_t expect) {
+    size_t cap = 64;
+    while (cap < expect * 2) cap <<= 1;
+    if (mk.size() < cap) {
+      mk.resize(cap);
+      mv.resize(cap);
+      mu.assign(cap, 0);
+    } else {
+      cap = mk.size();
+      std::fill(mu.begin(), mu.end(), 0);
+    }
+    mmask = (uint32_t)cap - 1;
+    mn = 0;
   }
-  for (int32_t k = 1;; k <<= 1) {
-    auto cmp = [&](int32_t a, int32_t b) {
-      if (rank[a] != rank[b]) return rank[a] < rank[b];
-      int32_t ra = a + k < n ? rank[a + k] : -1;
-      int32_t rb = b + k < n ? rank[b + k] : -1;
-      return ra < rb;
-    };
-    std::sort(sa.begin(), sa.end(), cmp);
-    tmp[sa[0]] = 0;
-    for (int32_t i = 1; i < n; ++i) tmp[sa[i]] = tmp[sa[i - 1]] + (cmp(sa[i - 1], sa[i]) ? 1 : 0);
-    rank = tmp;
-    if (rank[sa[n - 1]] == n - 1) break;
+
+  void map_grow() {
+    size_t cap = mk.size() * 2;
+    std::vector<uint64_t> ok;
+    ok.swap(mk);
+    std::vector<int64_t> ov;
+    ov.swap(mv);
+    std::vector<uint8_t> ou;
+    ou.swap(mu);
+    mk.resize(cap);
+    mv.resize(cap);
+    mu.assign(cap, 0);
+    mmask = (uint32_t)cap - 1;
+    for (size_t j = 0; j < ok.size(); ++j) {
+      if (!ou[j]) continue;
+      uint32_t i = (uint32_t)kh_hash_u64(ok[j]) & mmask;
+      while (mu[i]) i = (i + 1) & mmask;
+      mu[i] = 1;
+      mk[i] = ok[j];
+      mv[i] = ov[j];
+    }
   }
-  return sa;
+
+  int64_t* map_find(uint64_t k) {
+    uint32_t i = (uint32_t)kh_hash_u64(k) & mmask;
+    while (mu[i]) {
+      if (mk[i] == k) return &mv[i];
+      i = (i + 1) & mmask;
+    }
+    return nullptr;
+  }
+
+  int64_t& map_get(uint64_t k, bool& absent) {
+    if (mn * 4 >= mk.size() * 3) map_grow();
+    uint32_t i = (uint32_t)kh_hash_u64(k) & mmask;
+    while (mu[i]) {
+      if (mk[i] == k) {
+        absent = false;
+        return mv[i];
+      }
+      i = (i + 1) & mmask;
+    }
+    mu[i] = 1;
+    mk[i] = k;
+    mv[i] = 0;
+    ++mn;
+    absent = true;
+    return mv[i];
+  }
+};
+
+static DawgPools& dpool() {
+  static thread_local DawgPools p;
+  return p;
+}
+
+// counting-radix prefix doubling into P.sa; the SA of a string is unique,
+// so this matches the previous comparator-sort version (and
+// construct/sa.suffix_array_doubling) exactly
+static void suffix_array_pooled(const uint8_t* s, int32_t n, DawgPools& P) {
+  P.sa.resize(n);
+  P.rnk.resize(n);
+  P.tmp.resize(n);
+  P.sa2.resize(n);
+  P.cnt.assign((size_t)std::max(n + 1, 257), 0);
+  for (int32_t i = 0; i < n; ++i) ++P.cnt[s[i] + 1];
+  for (int32_t v = 1; v < 257; ++v) P.cnt[v] += P.cnt[v - 1];
+  for (int32_t i = 0; i < n; ++i) P.sa[P.cnt[s[i]]++] = i;
+  P.rnk[P.sa[0]] = 0;
+  for (int32_t i = 1; i < n; ++i) P.rnk[P.sa[i]] = P.rnk[P.sa[i - 1]] + (s[P.sa[i]] != s[P.sa[i - 1]] ? 1 : 0);
+  for (int32_t k = 1; P.rnk[P.sa[n - 1]] != n - 1; k <<= 1) {
+    // order by second key (rank[i+k]; absent ranks smallest)
+    int32_t p2 = 0;
+    for (int32_t i = n - k; i < n; ++i)
+      if (i >= 0) P.sa2[p2++] = i;
+    for (int32_t i = 0; i < n; ++i)
+      if (P.sa[i] >= k) P.sa2[p2++] = P.sa[i] - k;
+    // stable counting sort by first key
+    std::fill(P.cnt.begin(), P.cnt.begin() + n + 1, 0);
+    for (int32_t i = 0; i < n; ++i) ++P.cnt[P.rnk[i] + 1];
+    for (int32_t v = 1; v <= n; ++v) P.cnt[v] += P.cnt[v - 1];
+    for (int32_t i = 0; i < n; ++i) P.sa[P.cnt[P.rnk[P.sa2[i]]]++] = P.sa2[i];
+    P.tmp[P.sa[0]] = 0;
+    for (int32_t i = 1; i < n; ++i) {
+      int32_t a = P.sa[i - 1], b = P.sa[i];
+      int32_t ra = a + k < n ? P.rnk[a + k] : -1;
+      int32_t rb = b + k < n ? P.rnk[b + k] : -1;
+      P.tmp[b] = P.tmp[a] + ((P.rnk[a] != P.rnk[b] || ra != rb) ? 1 : 0);
+    }
+    std::copy(P.tmp.begin(), P.tmp.begin() + n, P.rnk.begin());
+  }
 }
 
 struct Bwtl {  // align/bwtl.py Bwtl (dawg.c:15-103 rb3_bwtl_t)
@@ -961,14 +1064,16 @@ struct Bwtl {  // align/bwtl.py Bwtl (dawg.c:15-103 rb3_bwtl_t)
 };
 
 static void bwtl_gen_cpp(const uint8_t* seq, int32_t n, Bwtl& q) {
-  std::vector<uint8_t> s8(n);
+  DawgPools& P = dpool();
+  P.s8.resize(n);
+  uint8_t* s8 = P.s8.data();
   for (int32_t i = 0; i < n; ++i) s8[i] = seq[i] == 5 ? 1 : seq[i];  // ambiguous -> A
   q.seq_len = n;
   q.sa.assign(n + 1, 0);
   q.sa[0] = n;
   if (n > 0) {
-    std::vector<int32_t> sa = suffix_array(s8.data(), n);
-    for (int32_t i = 0; i < n; ++i) q.sa[i + 1] = sa[i];
+    suffix_array_pooled(s8, n, P);
+    for (int32_t i = 0; i < n; ++i) q.sa[i + 1] = P.sa[i];
   }
   q.primary = 0;
   for (int32_t i = 0; i <= n; ++i)
@@ -976,7 +1081,8 @@ static void bwtl_gen_cpp(const uint8_t* seq, int32_t n, Bwtl& q) {
       q.primary = i;
       break;
     }
-  std::vector<uint8_t> s(n + 1, 0);
+  P.sbuf.assign(n + 1, 0);
+  std::vector<uint8_t>& s = P.sbuf;
   for (int32_t i = 0; i <= n; ++i)
     if (q.sa[i] != 0) s[i] = s8[q.sa[i] - 1] - 1;
   s.erase(s.begin() + q.primary);  // drop the $ column
@@ -1004,57 +1110,67 @@ struct DawgOwned {
 };
 
 static void dawg_gen_cpp(const Bwtl& q, DawgOwned& g) {  // dawg.c:109-228
-  std::unordered_map<uint64_t, int32_t> deg;
+  // same three passes as before, on the pooled packed map (deg/cnt/id in
+  // one value; see DawgPools) — the map is only addressed by key, so the
+  // emitted node order and predecessor order are unchanged
+  DawgPools& P = dpool();
   const uint64_t root_key = (uint64_t)(uint32_t)(q.seq_len + 1);  // lo=0, hi=len+1
-  deg[root_key] = 0;
-  std::vector<uint64_t> stack = {root_key};
+  P.map_reset((size_t)q.seq_len * 2 + 16);
+  {
+    bool ab;
+    P.map_get(root_key, ab);  // deg 0
+  }
+  P.stack.assign(1, root_key);
   int32_t rlo4[4], rhi4[4];
+  const int64_t DEG1 = (int64_t)1 << 42, CNT1 = (int64_t)1 << 21;
+  const int64_t MASK21 = ((int64_t)1 << 21) - 1;
   // pass 1: in-degrees via DFS over distinct SA intervals
-  while (!stack.empty()) {
-    uint64_t x = stack.back();
-    stack.pop_back();
+  while (!P.stack.empty()) {
+    uint64_t x = P.stack.back();
+    P.stack.pop_back();
     q.rank1a((int32_t)(x >> 32), rlo4);
     q.rank1a((int32_t)(x & 0xFFFFFFFFu), rhi4);
     for (int c = 3; c >= 0; --c) {
       int32_t lo = q.acc[c] + rlo4[c], hi = q.acc[c] + rhi4[c];
       if (lo == hi) continue;
       uint64_t key = ((uint64_t)(uint32_t)lo << 32) | (uint32_t)hi;
-      auto it = deg.find(key);
-      if (it == deg.end()) {
-        deg.emplace(key, 1);
-        stack.push_back(key);
-      } else {
-        ++it->second;
-      }
+      bool absent;
+      int64_t& v = P.map_get(key, absent);
+      v += DEG1;
+      if (absent) P.stack.push_back(key);
     }
   }
   // pass 2: emit nodes in topological order
   g.c.assign(1, 0);
   g.lo.assign(1, 0);
   g.hi.assign(1, q.seq_len + 1);
-  std::unordered_map<uint64_t, int32_t> ids, cnt;
-  stack.assign(1, root_key);
-  while (!stack.empty()) {
-    uint64_t x = stack.back();
-    stack.pop_back();
+  P.stack.assign(1, root_key);
+  while (!P.stack.empty()) {
+    uint64_t x = P.stack.back();
+    P.stack.pop_back();
     q.rank1a((int32_t)(x >> 32), rlo4);
     q.rank1a((int32_t)(x & 0xFFFFFFFFu), rhi4);
     for (int c = 3; c >= 0; --c) {
       int32_t lo = q.acc[c] + rlo4[c], hi = q.acc[c] + rhi4[c];
       if (lo == hi) continue;
       uint64_t key = ((uint64_t)(uint32_t)lo << 32) | (uint32_t)hi;
-      if (++cnt[key] == deg[key]) {
-        ids[key] = (int32_t)g.c.size();
+      int64_t& v = *P.map_find(key);
+      v += CNT1;
+      if (((v >> 21) & MASK21) == (v >> 42)) {
+        v = (v & ~MASK21) | (int64_t)g.c.size();
         g.lo.push_back(lo);
         g.hi.push_back(hi);
         g.c.push_back(c + 1);
-        stack.push_back(key);
+        P.stack.push_back(key);
       }
     }
   }
   g.n_node = (int32_t)g.c.size();
-  // predecessors, in (node, symbol) scan order like the Python spec
-  std::vector<std::vector<int32_t>> pres(g.n_node);
+  // pass 3: predecessors, in (node, symbol) scan order like the Python
+  // spec — collect (target, source) pairs in scan order, then a counting
+  // fill reproduces pres[target].push_back(source) exactly
+  P.edges.clear();
+  g.pre_off.assign(g.n_node + 1, 0);
   for (int32_t i = 0; i < g.n_node; ++i) {
     q.rank1a(g.lo[i], rlo4);
     q.rank1a(g.hi[i], rhi4);
@@ -1062,15 +1178,15 @@ static void dawg_gen_cpp(const Bwtl& q, DawgOwned& g) {  // dawg.c:109-228
       int32_t lo = q.acc[c] + rlo4[c], hi = q.acc[c] + rhi4[c];
       if (lo == hi) continue;
       uint64_t key = ((uint64_t)(uint32_t)lo << 32) | (uint32_t)hi;
-      pres[ids[key]].push_back(i);
+      int32_t t = (int32_t)(*P.map_find(key) & MASK21);
+      P.edges.push_back(((uint64_t)(uint32_t)t << 32) | (uint32_t)i);
+      ++g.pre_off[t + 1];
     }
   }
-  g.pre_off.assign(g.n_node + 1, 0);
-  g.pre.clear();
-  for (int32_t i = 0; i < g.n_node; ++i) {
-    for (int32_t p : pres[i]) g.pre.push_back(p);
-    g.pre_off[i + 1] = (int32_t)g.pre.size();
-  }
+  for (int32_t t = 1; t <= g.n_node; ++t) g.pre_off[t] += g.pre_off[t - 1];
+  g.pre.resize(P.edges.size());
+  P.cur.assign(g.pre_off.begin(), g.pre_off.begin() + g.n_node);
+  for (uint64_t e : P.edges) g.pre[P.cur[(int32_t)(e >> 32)]++] = (int32_t)(uint32_t)e;
 }
 
 static void dawg_linear(const uint8_t* seq, int32_t n, DawgOwned& g) {  // dawg.c:230-250
