@@ -52,7 +52,7 @@ def probe(idx, n):
         def step(carry, _):
             ks, acc = carry
             counts = rank_fn(ix, ks)
-            acc = acc + jnp.sum(counts, axis=-1)
+            acc = acc + jnp.sum(counts, axis=-1).astype(acc.dtype)
             ks = (ks * a + c) % jnp.asarray(n, dt)
             ks = jnp.where(ks < 0, ks + n, ks)
             return (ks, acc), None
