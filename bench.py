@@ -30,7 +30,7 @@ T0 = time.time()
 # scoreboard).  The headline record prints as soon as the 64M measurements
 # land; each later stage re-prints an enriched record, and stages that don't
 # fit the remaining budget are skipped with a log line.
-DEADLINE = float(os.environ.get("RB3TPU_BENCH_DEADLINE", "480"))
+DEADLINE = float(os.environ.get("RB3TPU_BENCH_DEADLINE", "600"))
 
 _LATEST: dict | None = None
 _PRINTED = False
