@@ -3,16 +3,14 @@
 
 scripts/rb_ab.py's in-FSM ablations are confounded: wrong counts change the
 FSM trip count, so walls aren't comparable.  This probe times the DECODE
-ALONE under an identical serialized workload: T chained rank1a steps where
-the next positions depend on the previous counts (prevents hoisting), the
-position SEQUENCE being identical across variants by construction — the
-chain advances with a counts-independent LCG and only XORs in a
-counts-derived value modulo 2 (0 for correct decodes on even steps...).
-Simpler and airtight: advance with `ks = (a*ks + c) % n` (decode-independent)
-but fold the decoded counts into a checksum carried to the output, which XLA
-cannot drop and which serializes nothing — steps stay independent, so this
-measures THROUGHPUT (the FSM's serialized latency is measured by rb_ab's
-correct arms).
+ALONE under an identical workload for every arm: T scan steps of Q rank1a
+calls whose positions advance with a decode-INDEPENDENT LCG (so all arms
+visit the same position sequence), while the decoded counts fold into a
+checksum carried to the output so XLA cannot drop the decode.  Steps stay
+independent, so this measures decode THROUGHPUT; the FSM-level serialized
+cost is what rb_ab's correct arms measure.  Note the checksum is
+decode-invariant by construction (the six counts partition the positions
+below k), so only walls — not checksums — distinguish ablated decodes.
 
 Usage: python scripts/rb_probe.py <scale> [arms...]
 Arms: dense rb rbS256 rbS1024 rb-noesc rb-norun
