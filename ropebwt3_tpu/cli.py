@@ -201,7 +201,9 @@ Options:
   --engine=STR  SMEM engine: auto, jax (TPU), native, py,
                 hybrid (TPU + native concurrently on disjoint slices) [auto]
   --mesh=DPxIDX shard over a device mesh with --engine=jax: reads over DP
-                devices, occ tables over IDX devices (e.g. --mesh=4x2) []""",
+                devices, occ tables over IDX devices (e.g. --mesh=4x2) []
+  --occ=STR     device occ rows: auto, dense, rb (run-aware compressed,
+                the beyond-HBM capacity format) [auto]""",
     "sw": f"""Usage: rb3tpu sw [options] <idx.fmr> <seq.fa> [...]
 Options:
 {_SW_SCORING}
@@ -1017,7 +1019,7 @@ def main_fa2kmer(argv: list[str]) -> int:
 # mem / search / sw / hapdiv
 # ---------------------------------------------------------------------------
 
-_LONG_OPTS = ["no-ssa", "seq", "gap=", "cov", "old-mem", "all-e2e", "no-kalloc", "dbg-dawg", "dbg-sw", "dbg-qname", "dbg-bt", "engine=", "mesh="]
+_LONG_OPTS = ["no-ssa", "seq", "gap=", "cov", "old-mem", "all-e2e", "no-kalloc", "dbg-dawg", "dbg-sw", "dbg-qname", "dbg-bt", "engine=", "mesh=", "occ="]
 
 
 def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
@@ -1036,6 +1038,7 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
     no_ssa = False
     engine = "auto"
     mesh_spec = None
+    occ = "auto"
     batch_size = 100_000_000
     hapdiv_k, hapdiv_w = 101, 50
     sw_opts = {
@@ -1113,6 +1116,13 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
             engine = a
         elif o == "--mesh":
             mesh_spec = a
+        elif o == "--occ":
+            # device occ row format: dense fused rows (speed) or rb
+            # run-aware compressed rows (ops/runblock.py, beyond-HBM
+            # capacity); auto flips to rb past ~12 GB dense per shard
+            if a not in ("auto", "dense", "rb"):
+                raise getopt.GetoptError(f"invalid --occ value '{a}' (auto|dense|rb)")
+            occ = a
         elif o in ("--dbg-dawg", "--dbg-sw", "--dbg-qname", "--dbg-bt"):
             from .align import bwasw as _bw
 
@@ -1184,7 +1194,7 @@ def main_search(argv: list[str], cmd: str, _preloaded=None) -> int:
             return run_sw_cli(f, args[1:], is_line, sw_opts, engine=engine, dev_cache=srv_eng, mesh_spec=mesh_spec)
         return run_hapdiv_cli(f, args[1:], is_line, sw_opts, hapdiv_k, hapdiv_w, engine=engine, dev_cache=srv_eng, mesh_spec=mesh_spec)
 
-    return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec, jax_eng=srv_eng)
+    return _run_mem(f, args[1:], is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec, jax_eng=srv_eng, occ=occ)
 
 
 def _emit_hybrid(emit_flat, names, offs, nd, fd, fnat):
@@ -1197,7 +1207,7 @@ def _emit_hybrid(emit_flat, names, offs, nd, fd, fnat):
     emit_flat(names[nd:], offs[nd:] - offs[nd], cn, rn)
 
 
-def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec=None, jax_eng=None) -> int:
+def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, max_pos, engine, batch_size, mesh_spec=None, jax_eng=None, occ="auto") -> int:
     out = sys.stdout
     if mesh_spec and engine == "auto":
         engine = "jax"  # --mesh only means anything on the sharded engine
@@ -1241,7 +1251,7 @@ def _run_mem(f, files, is_line, algo, min_occ, min_len, min_gap_len, write_cov, 
 
                     dd, _, ii = mesh_spec.lower().partition("x")
                     mesh = make_mesh(int(dd), int(ii) if ii else 1)
-                _jax_state["eng"] = BatchedSmemTG(f, min_occ=min_occ, min_len=min_len, mesh=mesh)
+                _jax_state["eng"] = BatchedSmemTG(f, min_occ=min_occ, min_len=min_len, mesh=mesh, occ=occ)
             except Exception:
                 if engine == "jax":
                     raise

@@ -207,6 +207,26 @@ def test_runblock_sharded_matches_host():
     assert int(np.asarray(n_memu).sum()) == 2 * total
 
 
+def test_cli_mem_occ_flag_golden(ref_bin, ref_index, corpus):
+    """`mem --engine=jax --occ=rb` (first-class CLI switch for the capacity
+    rows): BED byte-identical to the reference; bad values error cleanly."""
+    import subprocess as sp
+    import sys as _sys
+
+    from .conftest import run_ours, run_ref
+
+    args = ["mem", "-l13", str(ref_index), str(corpus / "reads.fa")]
+    want = run_ref(ref_bin, args)
+    assert run_ours(args + ["--engine=jax", "--occ=rb"]) == want
+    import os as _os
+
+    env = dict(_os.environ)
+    env["PYTHONPATH"], env["JAX_PLATFORMS"] = "", "cpu"
+    r = sp.run([_sys.executable, "-m", "ropebwt3_tpu", "mem", "--occ=bogus"] + args[1:],
+               capture_output=True, env=env)
+    assert b"invalid --occ value" in r.stderr
+
+
 def test_cli_mem_mesh_rb_golden(ref_bin, ref_index, corpus):
     """End-to-end `mem --engine=jax --mesh` with RB3TPU_DEVICE_OCC=rb: BED
     byte-identical to the reference — the capacity format and the idx-sharded
