@@ -366,6 +366,14 @@ struct RankCache {  // direct-mapped pos -> occ[6]; pure speed, no output effect
   // (round-3 sweep).  RB3T_RANK_CBITS overrides both.
   explicit RankCache(int default_bits = 16) {
     pair_rank = getenv("RB3T_NO_PAIR_RANK") == nullptr;
+    rebits(default_bits);
+  }
+
+  // re-size to a new per-workload default; an explicit RB3T_RANK_CBITS
+  // still wins (the A/B-harness contract).  Round-5 sweep: hapdiv's DP
+  // optimum is 2^13 (1.64 vs 1.68 s at 2^12 on 10k@1.34G) while sw
+  // prefers 2^12 — rb3t_hapdiv_batch calls rebits(13) per engine.
+  void rebits(int default_bits) {
     const char* e = getenv("RB3T_RANK_CBITS");
     int b = e ? atoi(e) : default_bits;
     b = b < 10 ? 10 : (b > 22 ? 22 : b);
@@ -2204,6 +2212,7 @@ void rb3t_hapdiv_batch(const uint8_t* bwt, const uint16_t* occ_block, const int6
     Engine eng;
     eng.f = f;
     eng.o = o;
+    eng.cache.rebits(13);  // hapdiv DP cache optimum (see RankCache::rebits)
     for (;;) {
       int64_t w = cursor.fetch_add(1, std::memory_order_relaxed);
       if (w >= n_win) break;
